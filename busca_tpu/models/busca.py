@@ -1,0 +1,239 @@
+"""The BUSCA decision model: multi-choice QA over track memory vs candidates.
+
+This is the TPU-native equivalent of the reference ``BUSCA`` module
+(busca/network.py:11-507): given a batch of unmatched tracks, each with a
+memory of past appearance crops + boxes and a set of candidate crops + boxes
+(nearest detections plus the track's Kalman prediction), produce a probability
+distribution over candidates (+ NON = "none of the above", + BAD = "corrupt
+memory").
+
+Design differences from the reference (all TPU-motivated):
+- one fused jitted forward: crops -> ReID -> shared linear -> token assembly ->
+  on-device closed-form 3-D positional encodings -> 4-layer post-LN
+  Transformer -> CAN-position decoder.  No host round-trips.
+- static shapes everywhere: batch = bucketed track count, ``seq_len`` memory
+  tokens, ``num_candidates`` candidate slots.  Padded lanes are excluded from
+  the ReID BatchNorm statistics via ``sample_mask`` so numerics match an
+  unpadded reference batch.
+- token layout is computed once at trace time (tuple indices), mirroring
+  ``_assemble_input`` (busca/network.py:103-165).
+
+Numerical contract preserved: shared ``encoder`` linear scaled by
+``sqrt(d_model)`` (network.py:203-204), special tokens appended *after* the
+encoder (network.py:127-136), decoder = LayerNorm + Linear(d,1) over CAN
+positions (network.py:93-94, 222-232), ReID BN in batch-stat mode
+(network.py:554-556) with memory and candidate crops normalized in *separate*
+ReID batches (network.py:192-193).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from busca_tpu.models import encodings
+from busca_tpu.models.reid import ReIDResNet
+from busca_tpu.models.transformer import (
+    TorchLinear,
+    TransformerEncoder,
+    get_activation,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class BuscaConfig:
+    """Transformer-section config (mirrors config/*/*/*.yml keys)."""
+
+    num_layer: int = 4
+    nhead: int = 4
+    dim_embedding: int = 512
+    trans_dim: int = 512
+    ff_size: int = 1024
+    activation: str = "gelu"
+    dropout_p: float = 0.1
+    input_flavour: str = "MEM-SEP-CAN-BAD"
+    output_flavour: str = "CAN"
+    encode_separator_as_reference: bool = True
+    encode_special_tokens: bool = False
+    reid_num_classes: int = 299
+    quantize_pe_fp16: bool = True
+    dtype: str = "float32"
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "BuscaConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    @property
+    def has_bad(self) -> bool:
+        return "BAD" in self.input_flavour
+
+    @property
+    def num_extra_candidates(self) -> int:
+        """NON (+ BAD) choices appended after the real candidate slots."""
+        return 2 if self.has_bad else 1
+
+
+def can_token_positions(
+    mem_len: int, num_candidate_groups: int, flavour: str
+) -> Tuple[int, ...]:
+    """Sequence positions of the CAN tokens (busca/network.py:138-160)."""
+    if flavour.startswith("MEM-SEP-CAN"):
+        return tuple(
+            mem_len + i for i in range(1, num_candidate_groups * 2 + 1, 2)
+        )
+    if flavour.startswith("MEM-CAN-SEP"):
+        return tuple(
+            mem_len + i for i in range(0, num_candidate_groups * 2, 2)
+        )
+    raise NotImplementedError(f"input flavour {flavour!r} not supported")
+
+
+class BuscaModel(nn.Module):
+    """The decision Transformer + ReID encoder, one jittable forward."""
+
+    config: BuscaConfig = BuscaConfig()
+
+    @nn.compact
+    def __call__(
+        self,
+        mem_crops: jnp.ndarray,
+        can_crops: jnp.ndarray,
+        mem_bboxes: jnp.ndarray,
+        can_bboxes: jnp.ndarray,
+        sample_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        return_att: bool = False,
+    ):
+        """Score candidates for a batch of tracks.
+
+        Args:
+          mem_crops: ``[B, L_mem, H, W, 3]`` normalized RGB memory crops.
+          can_crops: ``[B, C, H, W, 3]`` normalized RGB candidate crops.
+          mem_bboxes: ``[B, L_mem, 4]`` ltrb boxes (detector coordinates).
+          can_bboxes: ``[B, C, 4]`` ltrb candidate boxes.
+          sample_mask: ``[B]`` 1 for real tracks, 0 for padded lanes — padded
+            lanes are excluded from ReID BN statistics.
+          deterministic: disables dropout.
+          return_att: also return per-layer attention maps.
+
+        Returns:
+          logits ``[B, C + extras]`` (softmax upstream), and attention list if
+          ``return_att``.
+        """
+        cfg = self.config
+        b, l_mem = mem_crops.shape[0], mem_crops.shape[1]
+        c = can_crops.shape[1]
+        d_model = cfg.trans_dim
+        dtype = jnp.dtype(cfg.dtype)
+
+        reid = ReIDResNet(
+            num_classes=cfg.reid_num_classes,
+            dtype=dtype,
+            name="reid_encoder",
+        )
+
+        def reid_feats(crops, n_per_track):
+            flat = crops.reshape((b * n_per_track,) + crops.shape[2:])
+            mask = None
+            if sample_mask is not None:
+                mask = jnp.repeat(sample_mask, n_per_track)
+            _, feats = reid(flat, mask)
+            return feats.reshape(b, n_per_track, -1)
+
+        # Separate ReID batches for memory and candidates — BN statistics are
+        # computed per group exactly like the reference (network.py:192-193).
+        mem_feats = reid_feats(mem_crops, l_mem)
+        can_feats = reid_feats(can_crops, c)
+
+        enc = TorchLinear(cfg.dim_embedding, d_model, name="encoder")
+        scale = jnp.sqrt(jnp.asarray(d_model, jnp.float32))
+        mem_emb = enc(mem_feats) * scale
+        can_emb = enc(can_feats) * scale
+
+        # Learned special tokens, appended after the encoder linear
+        # (network.py:45-70, 127-136).
+        tok_size = cfg.dim_embedding if cfg.encode_special_tokens else d_model
+        non_token = self.param(
+            "non_token", nn.initializers.normal(1.0), (tok_size,)
+        )
+        sep_token = self.param(
+            "sep_token", nn.initializers.normal(1.0), (tok_size,)
+        )
+        bad_token = (
+            self.param("bad_token", nn.initializers.normal(1.0), (tok_size,))
+            if cfg.has_bad
+            else None
+        )
+
+        def tile(tok):
+            return jnp.broadcast_to(tok, (b, 1, d_model))
+
+        cand_groups = [can_emb[:, i : i + 1, :] for i in range(c)]
+        cand_groups.append(tile(non_token))
+        if cfg.has_bad:
+            cand_groups.append(tile(bad_token))
+
+        sep = tile(sep_token)
+        interleaved = []
+        for g in cand_groups:
+            if cfg.input_flavour.startswith("MEM-SEP-CAN"):
+                interleaved.extend([sep, g])
+            else:  # MEM-CAN-SEP
+                interleaved.extend([g, sep])
+        can_seq = jnp.concatenate(interleaved, axis=1)
+
+        # On-device positional encodings (replaces the reference's 2.7 GB
+        # fp16 table + per-token Python lookups, encodings.py:69-85).
+        mem_pe, can_pe = encodings.positional_encodings(
+            mem_bboxes,
+            can_bboxes,
+            d_model,
+            cfg.input_flavour,
+            cfg.encode_separator_as_reference,
+            cfg.quantize_pe_fp16,
+        )
+        x = jnp.concatenate([mem_emb + mem_pe, can_seq + can_pe], axis=1)
+        x = nn.Dropout(rate=cfg.dropout_p)(x, deterministic=deterministic)
+
+        transformer = TransformerEncoder(
+            num_layers=cfg.num_layer,
+            d_model=d_model,
+            nhead=cfg.nhead,
+            dim_feedforward=cfg.ff_size,
+            dropout=cfg.dropout_p,
+            activation=get_activation(cfg.activation),
+            dtype=dtype,
+            name="transformer_encoder",
+        )
+        out = transformer(x, deterministic, return_att=return_att)
+        if return_att:
+            out, attentions = out
+
+        positions = can_token_positions(
+            l_mem, c + cfg.num_extra_candidates, cfg.input_flavour
+        )
+        can_out = out[:, jnp.asarray(positions), :]
+
+        can_out = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")(can_out)
+        logits = TorchLinear(d_model, 1, name="decoder_linear")(can_out)[..., 0]
+
+        if return_att:
+            return logits, attentions
+        return logits
+
+
+# ---------------------------------------------------------------------------
+# Crop normalization constants (GHOST pipeline, BGR order)
+# ---------------------------------------------------------------------------
+
+# Note the 0.299 std (not the ImageNet 0.229) — a GHOST idiosyncrasy the
+# weights were trained with (busca/tracking.py:64-65, network.py:470-478).
+INPUT_PIXEL_MEAN_BGR = np.array([0.406, 0.456, 0.485], dtype=np.float32)
+INPUT_PIXEL_STD_BGR = np.array([0.225, 0.224, 0.299], dtype=np.float32)
+INPUT_PIXEL_MEAN_RGB = INPUT_PIXEL_MEAN_BGR[::-1].copy()
+INPUT_PIXEL_STD_RGB = INPUT_PIXEL_STD_BGR[::-1].copy()

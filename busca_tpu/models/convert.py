@@ -1,0 +1,229 @@
+"""Checkpoint conversion: reference PyTorch ``.pth`` -> busca_tpu param pytrees.
+
+The reference ships two checkpoints (README.md:69-78):
+- ``model_busca.pth`` — the full BUSCA module (decision Transformer + special
+  tokens + the ReID encoder under ``reid_encoder.model.*``), possibly wrapped
+  in a ``{model_state_dict, optimizer_state_dict}`` envelope
+  (busca/network.py:432-467).
+- ``model_feats.pth`` — the bare GHOST ResNet-50 (busca/reid/
+  load_trained_net.py:43-63).
+
+``convert_busca_state_dict`` maps the torch key layout onto the
+:class:`~busca_tpu.models.busca.BuscaModel` variable tree.  Weights keep the
+torch ``[out, in]`` layout (our ``TorchLinear``), convs transpose
+``[out, in, kh, kw] -> [kh, kw, in, out]`` (NHWC), LayerNorm ``weight`` becomes
+``scale``.  Running BN statistics are converted into the ``batch_stats``
+collection (used only when domain adaptation is off).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = value
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def _map_resnet_key(key: str) -> Optional[Tuple[Tuple[str, ...], bool]]:
+    """Map a torch ResNet-50 key (sans prefix) to (path, is_conv)."""
+    if key == "conv1.weight":
+        return ("conv1", "kernel"), True
+    m = re.fullmatch(r"bn1\.(weight|bias)", key)
+    if m:
+        return ("bn1", m.group(1)), False
+    m = re.fullmatch(r"bn1\.running_(mean|var)", key)
+    if m:
+        return ("bn1", f"running_{m.group(1)}"), False
+    m = re.fullmatch(
+        r"layer(\d)\.(\d+)\.conv(\d)\.weight", key
+    )
+    if m:
+        s, b, k = m.groups()
+        return (f"layer{s}_{b}", f"conv{k}", "kernel"), True
+    m = re.fullmatch(
+        r"layer(\d)\.(\d+)\.bn(\d)\.(weight|bias|running_mean|running_var)", key
+    )
+    if m:
+        s, b, k, p = m.groups()
+        return (f"layer{s}_{b}", f"bn{k}", p), False
+    m = re.fullmatch(r"layer(\d)\.(\d+)\.downsample\.0\.weight", key)
+    if m:
+        s, b = m.groups()
+        return (f"layer{s}_{b}", "downsample_conv", "kernel"), True
+    m = re.fullmatch(
+        r"layer(\d)\.(\d+)\.downsample\.1\.(weight|bias|running_mean|running_var)",
+        key,
+    )
+    if m:
+        s, b, p = m.groups()
+        return (f"layer{s}_{b}", "downsample_bn", p), False
+    m = re.fullmatch(r"(red|fc|fc_person)\.(weight|bias)", key)
+    if m:
+        return (m.group(1), m.group(2)), False
+    if key.endswith("num_batches_tracked"):
+        return None  # irrelevant bookkeeping
+    raise KeyError(f"unrecognized ResNet key: {key!r}")
+
+
+def convert_resnet_state_dict(
+    state_dict: Dict[str, np.ndarray]
+) -> Dict[str, dict]:
+    """Convert a bare GHOST ResNet-50 state dict (``model_feats.pth``).
+
+    Returns a dict with 'params' and 'batch_stats' trees matching
+    :class:`~busca_tpu.models.reid.ReIDResNet`.
+    """
+    params: dict = {}
+    batch_stats: dict = {}
+    for key, value in state_dict.items():
+        mapped = _map_resnet_key(key)
+        if mapped is None:
+            continue
+        path, is_conv = mapped
+        value = np.asarray(value)
+        if is_conv:
+            value = _conv_kernel(value)
+        if path[-1].startswith("running_"):
+            _set(batch_stats, path, value)
+        else:
+            _set(params, path, value)
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def convert_busca_state_dict(
+    state_dict: Dict[str, np.ndarray],
+    ignore_reid: bool = False,
+    ignore_reid_fc: bool = True,
+) -> Dict[str, dict]:
+    """Convert a full BUSCA state dict (``model_busca.pth``).
+
+    Args:
+      state_dict: flat torch key -> array mapping (already unwrapped from any
+        ``model_state_dict`` envelope; use :func:`unwrap_envelope`).
+      ignore_reid: drop all ``reid_encoder.model.*`` entries.
+      ignore_reid_fc: drop the ReID classifier heads (fc / fc_person), like
+        ``load_pretrained(ignore_reid_fc=True)`` (busca/network.py:445-448).
+    Returns:
+      variable dict with 'params' (+ 'batch_stats') for
+      :class:`~busca_tpu.models.busca.BuscaModel`.
+    """
+    params: dict = {}
+    batch_stats: dict = {}
+    for key, value in state_dict.items():
+        value = np.asarray(value)
+        if key in ("cls_token", "sep_token", "non_token", "bad_token", "pad_token"):
+            if key != "pad_token":  # pad token is a constant zeros buffer
+                _set(params, (key,), value)
+            continue
+        if key.startswith("reid_encoder.model."):
+            if ignore_reid:
+                continue
+            sub = key[len("reid_encoder.model."):]
+            if ignore_reid_fc and re.match(r"(fc|fc_person)\.", sub):
+                continue
+            mapped = _map_resnet_key(sub)
+            if mapped is None:
+                continue
+            path, is_conv = mapped
+            if is_conv:
+                value = _conv_kernel(value)
+            full = ("reid_encoder",) + path
+            if path[-1].startswith("running_"):
+                _set(batch_stats, full, value)
+            else:
+                _set(params, full, value)
+            continue
+        m = re.fullmatch(r"encoder\.(weight|bias)", key)
+        if m:
+            _set(params, ("encoder", m.group(1)), value)
+            continue
+        m = re.fullmatch(r"decoder\.0\.(weight|bias)", key)
+        if m:  # LayerNorm: torch 'weight' -> flax 'scale'
+            name = "scale" if m.group(1) == "weight" else "bias"
+            _set(params, ("decoder_norm", name), value)
+            continue
+        m = re.fullmatch(r"decoder\.1\.(weight|bias)", key)
+        if m:
+            _set(params, ("decoder_linear", m.group(1)), value)
+            continue
+        m = re.fullmatch(
+            r"transformer_encoder\.layers\.(\d+)\.(.+)", key
+        )
+        if m:
+            i, rest = m.groups()
+            layer = f"layers_{i}"
+            mapping = {
+                "self_attn.in_proj_weight": ("self_attn", "in_proj_weight"),
+                "self_attn.in_proj_bias": ("self_attn", "in_proj_bias"),
+                "self_attn.out_proj.weight": ("self_attn", "out_proj", "weight"),
+                "self_attn.out_proj.bias": ("self_attn", "out_proj", "bias"),
+                "linear1.weight": ("linear1", "weight"),
+                "linear1.bias": ("linear1", "bias"),
+                "linear2.weight": ("linear2", "weight"),
+                "linear2.bias": ("linear2", "bias"),
+                "norm1.weight": ("norm1", "scale"),
+                "norm1.bias": ("norm1", "bias"),
+                "norm2.weight": ("norm2", "scale"),
+                "norm2.bias": ("norm2", "bias"),
+            }
+            if rest not in mapping:
+                raise KeyError(f"unrecognized transformer key: {key!r}")
+            _set(
+                params,
+                ("transformer_encoder", layer) + mapping[rest],
+                value,
+            )
+            continue
+        raise KeyError(f"unrecognized BUSCA key: {key!r}")
+    out = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out
+
+
+def unwrap_envelope(state_dict: dict) -> Dict[str, np.ndarray]:
+    """Unwrap ``{model_state_dict, optimizer_state_dict}`` envelopes and
+    convert tensors to numpy (busca/network.py:438-443)."""
+    if "model_state_dict" in state_dict:
+        state_dict = state_dict["model_state_dict"]
+    out = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a ``.pth`` file to a flat numpy state dict (requires torch)."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    return unwrap_envelope(state)
+
+
+def merge_params(base: dict, update: dict) -> dict:
+    """Recursively overlay ``update`` onto ``base`` (missing keys keep base).
+
+    Mirrors the reference's partial-load behavior: ``model_dict.update(...)``
+    (busca/network.py:465-467) — converted checkpoints may omit e.g. the ReID
+    fc head, whose randomly-initialized values are then kept.
+    """
+    out = dict(base)
+    for k, v in update.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = merge_params(out[k], v)
+        else:
+            out[k] = v
+    return out

@@ -1,0 +1,180 @@
+"""Fused crop-resize-normalize: the BUSCA image pipeline as one device op.
+
+Replaces the reference's per-detection host loop of
+``get_bbox_crop`` -> ``_cutout_with_pad`` -> ``cv2.resize`` -> normalize
+(busca/tracking.py:62-113, busca/network.py:492-507): every output pixel is a
+bilinear gather from the full frame, batched over boxes, so the whole
+per-frame crop workload is one XLA/Pallas computation with static shapes.
+
+Semantics preserved (validated against cv2 in tests):
+- box corners: floor(x1), floor(y1), ceil(x2), ceil(y2) (tracking.py:85-89).
+- the cutout is clipped to the frame and padded back to the floor/ceil size
+  with the *scalar mean of the clipped region* (all pixels & channels,
+  tracking.py:94-106) — computed here in O(1) per box via an integral image.
+- resize to (384, 128) with cv2.INTER_LINEAR's half-pixel convention and
+  edge clamping.
+- the uint8 round-trip of the reference (crops are stored as uint8 in track
+  memory, tracking.py:71 with normalize=False) is reproduced by optional
+  rounding (``quantize_uint8``).
+- GHOST normalization ``(x/255 - mean_bgr) / std_bgr`` with the 0.299 blue
+  std (tracking.py:64-65), and BGR->RGB flip for the ReID net
+  (network.py:396-398).
+
+Documented deviation: boxes entirely outside the frame produce zero crops
+(like degenerate boxes).  The reference's pad-with-mean produces NaNs there
+(np.mean of an empty slice), which would poison batched BN statistics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_OUT_HW = (384, 128)
+
+
+def integral_image(frame: jnp.ndarray) -> jnp.ndarray:
+    """Channel-summed 2-D inclusive prefix sum with a zero border.
+
+    Args:
+      frame: ``[H, W, 3]``.
+    Returns:
+      ``[H+1, W+1]`` float32, ``ii[y, x] = sum(frame[:y, :x, :])``.
+    """
+    s = jnp.cumsum(jnp.cumsum(frame.astype(jnp.float32).sum(-1), axis=0), axis=1)
+    return jnp.pad(s, ((1, 0), (1, 0)))
+
+
+def _region_mean(ii: jnp.ndarray, y1, y2, x1, x2) -> jnp.ndarray:
+    """Mean over frame[y1:y2, x1:x2, :] (scalar, all channels) in O(1)."""
+    cnt = jnp.maximum(y2 - y1, 0) * jnp.maximum(x2 - x1, 0)
+    total = ii[y2, x2] - ii[y1, x2] - ii[y2, x1] + ii[y1, x1]
+    return jnp.where(cnt > 0, total / (cnt.astype(jnp.float32) * 3.0), 0.0), cnt
+
+
+def _crop_one(
+    frame: jnp.ndarray,
+    ii: jnp.ndarray,
+    box: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    quantize_uint8: bool,
+) -> jnp.ndarray:
+    """Crop+pad+resize one ltrb box from the frame. Returns [out_h, out_w, 3]."""
+    h, w = frame.shape[0], frame.shape[1]
+    out_h, out_w = out_hw
+
+    x1 = jnp.floor(box[0]).astype(jnp.int32)
+    y1 = jnp.floor(box[1]).astype(jnp.int32)
+    x2 = jnp.ceil(box[2]).astype(jnp.int32)
+    y2 = jnp.ceil(box[3]).astype(jnp.int32)
+    hc = y2 - y1
+    wc = x2 - x1
+
+    cy1 = jnp.clip(y1, 0, h)
+    cy2 = jnp.clip(y2, 0, h)
+    cx1 = jnp.clip(x1, 0, w)
+    cx2 = jnp.clip(x2, 0, w)
+    mean, cnt = _region_mean(ii, cy1, cy2, cx1, cx2)
+    if quantize_uint8:
+        # np.pad casts the float mean into the uint8 crop -> truncation.
+        pad_val = jnp.trunc(mean)
+    else:
+        pad_val = mean
+
+    valid = (hc > 0) & (wc > 0) & (cnt > 0)
+
+    # cv2.INTER_LINEAR half-pixel sampling over the padded cutout, expressed
+    # in absolute frame coordinates.
+    sy = hc.astype(jnp.float32) / out_h
+    sx = wc.astype(jnp.float32) / out_w
+    src_y = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * sy - 0.5
+    src_x = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * sx - 0.5
+    src_y = jnp.clip(src_y, 0.0, jnp.maximum(hc.astype(jnp.float32) - 1.0, 0.0))
+    src_x = jnp.clip(src_x, 0.0, jnp.maximum(wc.astype(jnp.float32) - 1.0, 0.0))
+    ay = y1.astype(jnp.float32) + src_y  # [out_h]
+    ax = x1.astype(jnp.float32) + src_x  # [out_w]
+
+    y0 = jnp.floor(ay).astype(jnp.int32)
+    x0 = jnp.floor(ax).astype(jnp.int32)
+    fy = (ay - y0.astype(jnp.float32))[:, None, None]  # [out_h,1,1]
+    fx = (ax - x0.astype(jnp.float32))[None, :, None]  # [1,out_w,1]
+
+    def sample(yy, xx):
+        """frame value at integer (yy [out_h], xx [out_w]); mean outside clip."""
+        inside = (
+            (yy[:, None] >= cy1)
+            & (yy[:, None] < cy2)
+            & (xx[None, :] >= cx1)
+            & (xx[None, :] < cx2)
+        )  # [out_h, out_w]
+        ys = jnp.clip(yy, 0, h - 1)
+        xs = jnp.clip(xx, 0, w - 1)
+        vals = frame[ys][:, xs].astype(jnp.float32)  # [out_h, out_w, 3]
+        return jnp.where(inside[..., None], vals, pad_val)
+
+    v00 = sample(y0, x0)
+    v01 = sample(y0, x0 + 1)
+    v10 = sample(y0 + 1, x0)
+    v11 = sample(y0 + 1, x0 + 1)
+    out = (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
+    )
+    if quantize_uint8:
+        out = jnp.clip(jnp.round(out), 0.0, 255.0)
+    return jnp.where(valid, out, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_hw", "normalize", "bgr_input", "rgb_output",
+                     "quantize_uint8"),
+)
+def crop_resize_normalize(
+    frame: jnp.ndarray,
+    boxes: jnp.ndarray,
+    out_hw: Tuple[int, int] = DEFAULT_OUT_HW,
+    normalize: bool = True,
+    bgr_input: bool = True,
+    rgb_output: bool = True,
+    quantize_uint8: bool = True,
+) -> jnp.ndarray:
+    """Extract normalized ReID crops for a batch of boxes from one frame.
+
+    Args:
+      frame: ``[H, W, 3]`` uint8 (or float) frame, BGR unless ``bgr_input``
+        is False.
+      boxes: ``[N, 4]`` ltrb boxes in frame coordinates (float).
+      out_hw: output crop size (H, W) — (384, 128) for the shipped weights.
+      normalize: apply the GHOST ``(x/255 - mean)/std`` BGR normalization.
+      rgb_output: flip channels to RGB (what the ReID net expects).
+      quantize_uint8: reproduce the reference's uint8 memory round-trip.
+
+    Returns:
+      ``[N, out_h, out_w, 3]`` float32 crops.
+    """
+    ii = integral_image(frame)
+    crops = jax.vmap(
+        lambda b: _crop_one(frame, ii, b, out_hw, quantize_uint8)
+    )(boxes.astype(jnp.float32))
+
+    if normalize:
+        from busca_tpu.models.busca import (
+            INPUT_PIXEL_MEAN_BGR,
+            INPUT_PIXEL_STD_BGR,
+        )
+
+        mean = jnp.asarray(INPUT_PIXEL_MEAN_BGR)
+        std = jnp.asarray(INPUT_PIXEL_STD_BGR)
+        if not bgr_input:
+            mean, std = mean[::-1], std[::-1]
+        crops = (crops / 255.0 - mean) / std
+    if rgb_output == bgr_input:
+        # output channel order differs from input order -> flip
+        crops = crops[..., ::-1]
+    return crops

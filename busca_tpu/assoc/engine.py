@@ -1,0 +1,255 @@
+"""The association engine — TPU-native ``BUSCA.associate_embeddings``.
+
+This is the single entry point every tracker strategy calls for the third
+association round (busca/network.py:282-429).  Given unmatched tracks and the
+frame's considered detections it returns a ``[T, D(+T)]`` probability matrix
+plus a per-track reliability flag.
+
+TPU-first structure:
+- all tensor math (normalize, ReID, Transformer, softmax) runs in ONE jitted
+  device call with **bucketed** track counts — the track batch is padded to
+  the next bucket size so per-frame shape churn never recompiles
+  (SURVEY.md §7.3.1); padded lanes carry ``sample_mask=0`` and are excluded
+  from ReID BN statistics.
+- memory/candidate *selection* (variable-length Python lists, argsorts,
+  scatter into the global matrix) stays on host — it is tiny bookkeeping.
+
+Reference semantics preserved exactly:
+- memory sampling incl. ``use_broader_memory`` even-stride re-sampling
+  (``_get_track_mem``, network.py:247-279) and the ``track.scale`` rescale.
+- incomplete memories -> zero crops + dummy ``[250, 250, 500, 500]`` boxes,
+  flagged unreliable (network.py:300-308).
+- candidates: ``num_candidates`` nearest detections by center distance;
+  missing slots -> zero crop + the ltwh sentinel box (network.py:329-355).
+- the Kalman candidate replaces slot ``min(len(dets), C-1)``
+  (network.py:363-380) with index ``D + t`` in the output matrix.
+- ``select_highest_candidate`` / ``highest_candidate_minimum_thresh`` /
+  ``keep_highest_value`` one-hot post-processing (network.py:415-422).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from busca_tpu.core import hostmath
+from busca_tpu.models import encodings
+from busca_tpu.models.busca import (
+    BuscaConfig,
+    BuscaModel,
+    INPUT_PIXEL_MEAN_BGR,
+    INPUT_PIXEL_STD_BGR,
+)
+
+DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
+INCOMPLETE_MEM_BBOX_TLWH = np.array([250.0, 250.0, 500.0, 500.0])
+
+
+def _get_track_mem(track, seq_len: int, use_broader_memory: bool):
+    """Memory sampling (network.py:247-279). Returns (crops list, ltwh [L,4])."""
+    full = track.images_mem
+    n = len(full)
+    if use_broader_memory and n >= seq_len and seq_len > 1:
+        sep = float(n - 1) / float(seq_len - 1)
+        idx = [int(i * sep) for i in range(seq_len)]
+        crops = [full[i] for i in idx]
+        bboxes = [track.tlwh_mem[i] for i in idx]
+    else:
+        crops = full[-seq_len:]
+        bboxes = track.tlwh_mem[-seq_len:]
+    bboxes = np.array(bboxes, dtype=np.float64) * track.scale
+    return crops, bboxes
+
+
+class AssociationEngine:
+    """Bucketed, jitted BUSCA association."""
+
+    def __init__(
+        self,
+        config: BuscaConfig,
+        variables: dict,
+        seq_len: int = 11,
+        num_candidates: int = 5,
+        crop_hw: Tuple[int, int] = (384, 128),
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+    ):
+        self.config = config
+        self.model = BuscaModel(config)
+        self.variables = variables
+        self.seq_len = seq_len
+        self.num_candidates = num_candidates
+        self.crop_hw = crop_hw
+        self.buckets = tuple(sorted(buckets))
+
+        mean = jnp.asarray(INPUT_PIXEL_MEAN_BGR)
+        std = jnp.asarray(INPUT_PIXEL_STD_BGR)
+
+        model = self.model
+
+        @functools.partial(jax.jit, static_argnames=("normalize_ims",))
+        def _score(variables, mem_crops, can_crops, mem_boxes, can_boxes,
+                   mask, normalize_ims=True):
+            """crops: uint8 (or float) BGR HWC; boxes: ltrb f32; mask: [T]."""
+
+            def prep(x):
+                x = x.astype(jnp.float32)
+                if normalize_ims:
+                    x = (x / 255.0 - mean) / std
+                return x[..., ::-1]  # BGR -> RGB (network.py:396-398)
+
+            logits = model.apply(
+                {"params": variables["params"]},
+                prep(mem_crops),
+                prep(can_crops),
+                mem_boxes,
+                can_boxes,
+                mask,
+            )
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._score = _score
+
+    # ------------------------------------------------------------------ api --
+    def associate(
+        self,
+        tracks: Sequence,
+        dets: Sequence,
+        dists_matrix: Optional[np.ndarray] = None,
+        *,
+        use_broader_memory: bool = True,
+        select_highest_candidate: bool = True,
+        highest_candidate_minimum_thresh: Optional[float] = None,
+        keep_highest_value: bool = False,
+        extra_kalman_candidates: Sequence = (),
+        normalize_ims: bool = True,
+    ):
+        """Returns (probs_matrix [T, D(+T)], reliable [T]) or (None, None)."""
+        if len(tracks) == 0:
+            return None, None
+        if len(dets) == 0 and len(extra_kalman_candidates) == 0:
+            return None, None
+
+        if dists_matrix is None:
+            dists_matrix = self._center_distances(tracks, dets)
+
+        seq_len, c = self.seq_len, self.num_candidates
+        h, w = self.crop_hw
+        t_count = len(tracks)
+        d_count = len(dets)
+
+        mem_crops = np.zeros((t_count, seq_len, h, w, 3), dtype=np.uint8)
+        mem_boxes = np.zeros((t_count, seq_len, 4), dtype=np.float64)
+        reliable = np.zeros(t_count, dtype=bool)
+        for ti, track in enumerate(tracks):
+            crops, bboxes = _get_track_mem(track, seq_len, use_broader_memory)
+            if len(crops) == seq_len:
+                reliable[ti] = True
+                mem_crops[ti] = np.stack(crops)
+                mem_boxes[ti] = bboxes
+            else:
+                mem_boxes[ti] = INCOMPLETE_MEM_BBOX_TLWH  # zero crops stay
+
+        can_crops = np.zeros((t_count, c, h, w, 3), dtype=np.uint8)
+        can_boxes = np.tile(
+            encodings.missing_candidate_bbox("ltwh"), (t_count, c, 1)
+        )
+        det_inds: List[List[Optional[int]]] = []
+        num_available = min(d_count, c)
+        for ti in range(t_count):
+            order = np.argsort(dists_matrix[ti])[:c].tolist() if d_count else []
+            order += [None] * (c - len(order))
+            det_inds.append(order)
+            for ci, di in enumerate(order):
+                if di is None:
+                    continue
+                det = dets[di]
+                can_crops[ti, ci] = det.images_mem[-1]
+                can_boxes[ti, ci] = (
+                    np.asarray(det.tlwh_mem[-1], dtype=np.float64) * det.scale
+                )
+
+        if len(extra_kalman_candidates) > 0:
+            num_available = min(d_count + 1, c)
+            k_slot = min(d_count, c - 1)
+            for ti, kdet in enumerate(extra_kalman_candidates):
+                det_inds[ti][k_slot] = d_count + ti
+                can_crops[ti, k_slot] = kdet.images_mem[-1]
+                can_boxes[ti, k_slot] = np.asarray(kdet.tlwh) * kdet.scale
+
+        # tlwh -> ltrb (network.py:391-394)
+        mem_boxes = hostmath.tlwh_to_tlbr(mem_boxes).astype(np.float32)
+        can_boxes = hostmath.tlwh_to_tlbr(can_boxes).astype(np.float32)
+
+        probs = self._score_bucketed(
+            mem_crops, can_crops, mem_boxes, can_boxes, normalize_ims
+        )  # [T, c + extras]
+
+        num_dets_total = d_count + len(extra_kalman_candidates)
+        probs_matrix = np.zeros((t_count, num_dets_total))
+        for ti in range(t_count):
+            track_probs = probs[ti]
+            if select_highest_candidate:
+                new = np.zeros_like(track_probs)
+                mt = highest_candidate_minimum_thresh
+                if mt is None or mt == 0 or track_probs.max() >= mt:
+                    new[track_probs.argmax()] = (
+                        track_probs.max() if keep_highest_value else 1.0
+                    )
+                track_probs = new
+            inds = det_inds[ti][:num_available]
+            probs_matrix[ti, inds] = track_probs[:num_available]
+        return probs_matrix, reliable
+
+    # ------------------------------------------------------------- internals --
+    def _center_distances(self, tracks, dets) -> np.ndarray:
+        """Center-distance matrix from track/det current boxes
+        (busca/tracking.py:23-60, called at byte_tracker.py:489)."""
+        if len(tracks) == 0 or len(dets) == 0:
+            return np.zeros((len(tracks), len(dets)))
+        a = np.stack([t.tlbr for t in tracks])
+        b = np.stack([d.tlbr for d in dets])
+        return hostmath.center_distance(a, b)
+
+    def _bucket(self, t: int) -> int:
+        for b in self.buckets:
+            if t <= b:
+                return b
+        return self.buckets[-1]
+
+    def _score_bucketed(
+        self, mem_crops, can_crops, mem_boxes, can_boxes, normalize_ims
+    ) -> np.ndarray:
+        """Pad the track batch to a bucket and run the jitted scorer; chunk
+        batches larger than the biggest bucket."""
+        t_count = mem_crops.shape[0]
+        max_b = self.buckets[-1]
+        out = []
+        for start in range(0, t_count, max_b):
+            end = min(start + max_b, t_count)
+            n = end - start
+            b = self._bucket(n)
+            pad = b - n
+
+            def padded(x):
+                if pad == 0:
+                    return x[start:end]
+                widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+                return np.pad(x[start:end], widths)
+
+            mask = np.zeros(b, dtype=np.float32)
+            mask[:n] = 1.0
+            probs = self._score(
+                self.variables,
+                jnp.asarray(padded(mem_crops)),
+                jnp.asarray(padded(can_crops)),
+                jnp.asarray(padded(mem_boxes)),
+                jnp.asarray(padded(can_boxes)),
+                jnp.asarray(mask),
+                normalize_ims=normalize_ims,
+            )
+            out.append(np.asarray(probs)[:n])
+        return np.concatenate(out, axis=0)

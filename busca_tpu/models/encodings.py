@@ -222,8 +222,12 @@ def insert_fake_bboxes(
         raise NotImplementedError(f"input flavour {flavour!r} not supported")
     b, c, _ = can_bboxes.shape
     has_bad = "BAD" in flavour
+    # NOTE: the reference takes the *ltwh*-flavoured sentinel and uses it
+    # verbatim as an ltrb box for the BAD token (busca/encodings.py:21) —
+    # i.e. [f32min, f32min, -f32min/100, -f32min/100].  Preserved as-is, the
+    # trained weights saw these exact buckets.
     fake = jnp.broadcast_to(
-        jnp.asarray(missing_candidate_bbox("ltrb"), dtype=can_bboxes.dtype),
+        jnp.asarray(missing_candidate_bbox("ltwh"), dtype=can_bboxes.dtype),
         (b, 1, 4),
     )
     ref = jnp.broadcast_to(ref_bbox, (b, 1, 4))

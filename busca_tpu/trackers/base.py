@@ -1,0 +1,239 @@
+"""Track state machine and the shared track store.
+
+One ``Track`` class serves every adapter strategy (SURVEY.md §7.1.5) — the
+reference forks its track class per tracker (STrack, deep_sort Track, GHOST
+Track); here the shared memory/geometry machinery lives in one place and the
+strategies differ only in their association loops.
+
+Behavioral contract follows the canonical ByteTrack adapter
+(adapters/ByteTrack/yolox/tracker/byte_tracker.py:23-192):
+
+- state machine New -> Tracked -> Lost -> Removed.
+- appearance memory ``images_mem`` (uint8 BGR crops) and ``tlwh_mem`` grow on
+  gated updates (``update_mems``).
+- Kalman state in xyah; ``predict`` zeroes the h-velocity for non-tracked
+  tracks (byte_tracker.py:44-48).
+- ``scale``: memories are stored in original-image coordinates; the detector
+  coordinate scale is carried per track (byte_tracker.py:34).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import List, Optional
+
+import numpy as np
+
+from busca_tpu.core import hostmath
+
+_KF = hostmath.HostKalman()
+
+
+class TrackState:
+    New = 0
+    Tracked = 1
+    Lost = 2
+    Removed = 3
+
+
+class Track:
+    _count = itertools.count(1)
+
+    def __init__(
+        self,
+        tlwh: np.ndarray,
+        score: float,
+        image: Optional[np.ndarray] = None,
+        scale: float = 1.0,
+    ):
+        self._tlwh = np.asarray(tlwh, dtype=np.float64)
+        self.score = float(score)
+        self.scale = scale
+        self.mean: Optional[np.ndarray] = None  # [8]
+        self.covariance: Optional[np.ndarray] = None  # [8, 8]
+        self.is_activated = False
+        self.state = TrackState.New
+        self.tracklet_len = 0
+        self.track_id = 0
+        self.frame_id = 0
+        self.start_frame = 0
+
+        self.tlwh_mem: List[np.ndarray] = [self._tlwh.copy()]
+        self.images_mem: List[np.ndarray] = []
+        self.conf_mem: List[float] = [self.score]
+        if image is not None:
+            self.images_mem.append(image)
+
+    # ----------------------------------------------------------- geometry --
+    @property
+    def tlwh(self) -> np.ndarray:
+        if self.mean is None:
+            return self._tlwh.copy()
+        ret = self.mean[:4].copy()
+        ret[2] *= ret[3]
+        ret[:2] -= ret[2:] / 2
+        return ret
+
+    @property
+    def tlbr(self) -> np.ndarray:
+        ret = self.tlwh
+        ret[2:] += ret[:2]
+        return ret
+
+    @property
+    def end_frame(self) -> int:
+        return self.frame_id
+
+    @staticmethod
+    def next_id() -> int:
+        return next(Track._count)
+
+    @staticmethod
+    def reset_id_counter():
+        Track._count = itertools.count(1)
+
+    # -------------------------------------------------------------- kalman --
+    def predict(self):
+        mean_state = self.mean.copy()
+        if self.state != TrackState.Tracked:
+            mean_state[7] = 0
+        m, c = _KF.predict(mean_state[None], self.covariance[None])
+        self.mean, self.covariance = m[0], c[0]
+
+    @staticmethod
+    def multi_predict(tracks: List["Track"]):
+        """Batched Kalman predict over a track pool (byte_tracker.py:50-61)."""
+        if not tracks:
+            return
+        means = np.stack([t.mean for t in tracks])
+        covs = np.stack([t.covariance for t in tracks])
+        for i, t in enumerate(tracks):
+            if t.state != TrackState.Tracked:
+                means[i, 7] = 0
+        means, covs = _KF.predict(means, covs)
+        for i, t in enumerate(tracks):
+            t.mean, t.covariance = means[i], covs[i]
+
+    # ---------------------------------------------------------- transitions --
+    def activate(self, frame_id: int):
+        self.track_id = self.next_id()
+        m, c = _KF.initiate(hostmath.tlwh_to_xyah(self._tlwh)[None])
+        self.mean, self.covariance = m[0], c[0]
+        self.tracklet_len = 0
+        self.state = TrackState.Tracked
+        if frame_id == 1:
+            self.is_activated = True
+        self.frame_id = frame_id
+        self.start_frame = frame_id
+
+    def re_activate(self, new_track: "Track", frame_id: int, new_id=False,
+                    update_mems=True):
+        m, c = _KF.update(
+            self.mean[None],
+            self.covariance[None],
+            hostmath.tlwh_to_xyah(new_track.tlwh)[None],
+        )
+        self.mean, self.covariance = m[0], c[0]
+        self.tracklet_len = 0
+        self.state = TrackState.Tracked
+        self.is_activated = True
+        self.frame_id = frame_id
+        if new_id:
+            self.track_id = self.next_id()
+        self.score = new_track.score
+        self.scale = new_track.scale
+        self._extend_mems(new_track, update_mems)
+
+    def update(self, new_track: "Track", frame_id: int, update_mems=True):
+        self.frame_id = frame_id
+        self.tracklet_len += 1
+        m, c = _KF.update(
+            self.mean[None],
+            self.covariance[None],
+            hostmath.tlwh_to_xyah(new_track.tlwh)[None],
+        )
+        self.mean, self.covariance = m[0], c[0]
+        self.state = TrackState.Tracked
+        self.is_activated = True
+        self.score = new_track.score
+        self.scale = new_track.scale
+        self._extend_mems(new_track, update_mems)
+
+    def _extend_mems(self, new_track: "Track", update_mems: bool):
+        if not update_mems:
+            return
+        if new_track.tlwh_mem:
+            self.tlwh_mem.extend(new_track.tlwh_mem)
+            self.conf_mem.extend(new_track.conf_mem)
+        if new_track.images_mem:
+            self.images_mem.extend(new_track.images_mem)
+
+    def mark_lost(self):
+        self.state = TrackState.Lost
+
+    def mark_removed(self):
+        self.state = TrackState.Removed
+
+    # ------------------------------------------------------- camera motion --
+    def apply_camera_motion(self, warp_matrix: np.ndarray):
+        """Warp the track position by a 2x3 motion matrix
+        (byte_tracker.py:123-138)."""
+        if self.mean is None:
+            pos = self._tlwh[:2].copy()
+        else:
+            pos = self.mean[:2].copy()
+        pos = pos * self.scale
+        p = warp_matrix @ np.array([pos[0], pos[1], 1.0])
+        new_pos = p[:2] / self.scale
+        if self.mean is None:
+            self._tlwh[:2] = new_pos
+        else:
+            self.mean[:2] = new_pos
+
+    def __repr__(self):
+        return f"OT_{self.track_id}_({self.start_frame}-{self.end_frame})"
+
+
+# ------------------------------------------------------------- pool algebra --
+
+def joint_tracks(a: List[Track], b: List[Track]) -> List[Track]:
+    seen = {}
+    res = []
+    for t in a:
+        seen[t.track_id] = 1
+        res.append(t)
+    for t in b:
+        if not seen.get(t.track_id, 0):
+            seen[t.track_id] = 1
+            res.append(t)
+    return res
+
+
+def sub_tracks(a: List[Track], b: List[Track]) -> List[Track]:
+    pool = {t.track_id: t for t in a}
+    for t in b:
+        pool.pop(t.track_id, None)
+    return list(pool.values())
+
+
+def remove_duplicate_tracks(a: List[Track], b: List[Track]):
+    """Drop the younger of near-duplicate (IoU > 0.85) track pairs
+    (byte_tracker.py:685-698)."""
+    if not a or not b:
+        return a, b
+    pdist = hostmath.iou_distance(
+        np.stack([t.tlbr for t in a]), np.stack([t.tlbr for t in b])
+    )
+    pairs = np.where(pdist < 0.15)
+    dup_a, dup_b = set(), set()
+    for p, q in zip(*pairs):
+        time_a = a[p].frame_id - a[p].start_frame
+        time_b = b[q].frame_id - b[q].start_frame
+        if time_a > time_b:
+            dup_b.add(q)
+        else:
+            dup_a.add(p)
+    return (
+        [t for i, t in enumerate(a) if i not in dup_a],
+        [t for i, t in enumerate(b) if i not in dup_b],
+    )

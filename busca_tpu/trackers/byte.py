@@ -1,0 +1,378 @@
+"""BYTE tracker strategy with the BUSCA third association round.
+
+Behavioral rebuild of the canonical adapter
+(adapters/ByteTrack/yolox/tracker/byte_tracker.py:195-456):
+
+1. split detections by score into first round (> track_thresh) and second
+   round (0.1 .. track_thresh);
+2. round 1: IoU (+score fusion) + LAPJV over tracked+lost tracks;
+3. round 2: IoU over remaining *tracked* tracks vs low-score detections;
+4. **round 3b (BUSCA)**: for still-unmatched tracks — detection-coverage
+   reliability gate, ECC camera-motion compensation, Kalman-prediction
+   candidates, and the decision-Transformer association; a track stays alive
+   iff its own Kalman candidate wins with prob > ``busca_thresh``;
+5. unconfirmed-track round, new-track init, lost-track pruning, duplicate
+   removal, and the removed-list leak fix (byte_tracker.py:441-443).
+
+The BUSCA crops for all considered detections are extracted in one fused
+device call (ops/crop.py) instead of the reference's per-detection cv2 loop
+(byte_tracker.py:278-287).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from busca_tpu.core import hostmath
+from busca_tpu.ops import lap
+from busca_tpu.ops.crop import crop_resize_normalize
+from busca_tpu.trackers import cmc
+from busca_tpu.trackers.base import (
+    Track,
+    TrackState,
+    joint_tracks,
+    remove_duplicate_tracks,
+    sub_tracks,
+)
+
+# The Kalman pseudo-detection confidence: barely above the 0.1 second-round
+# floor (byte_tracker.py:468) — affects downstream memory admission.
+KALMAN_CANDIDATE_CONF = 0.10000001
+
+
+@dataclasses.dataclass
+class ByteTrackerConfig:
+    track_thresh: float = 0.6
+    track_buffer: int = 30
+    match_thresh: float = 0.9
+    mot20: bool = False
+    # BUSCA knobs (config/ByteTrack/*/config_bytetrack_*.yml)
+    use_busca: bool = False
+    busca_thresh: float = 0.5
+    seq_len: int = 11
+    num_candidates: int = 5
+    use_broader_memory: bool = True
+    select_highest_candidate: bool = True
+    highest_candidate_minimum_thresh: Optional[float] = None
+    transformer_update_mems_only_first_round: bool = True
+    reliable_thresh: Optional[Sequence[float]] = None
+    use_camera_motion_compensation: bool = True
+    crop_hw: tuple = (384, 128)
+
+
+class ByteTracker:
+    """One instance per video sequence (reset per video like the reference,
+    mot_evaluator.py:166-173)."""
+
+    def __init__(
+        self,
+        config: ByteTrackerConfig,
+        assoc_engine=None,
+        frame_rate: int = 30,
+    ):
+        self.cfg = config
+        self.engine = assoc_engine
+        self.tracked: List[Track] = []
+        self.lost: List[Track] = []
+        self.removed: List[Track] = []
+        self.frame_id = 0
+        self.det_thresh = config.track_thresh + 0.1
+        self.buffer_size = int(frame_rate / 30.0 * config.track_buffer)
+        self.max_time_lost = self.buffer_size
+        self.last_image: Optional[np.ndarray] = None
+        self.use_busca = config.use_busca and assoc_engine is not None
+
+    # ------------------------------------------------------------------ main --
+    def update(
+        self,
+        bboxes_tlbr: np.ndarray,
+        scores: np.ndarray,
+        scale: float = 1.0,
+        frame: Optional[np.ndarray] = None,
+    ) -> List[Track]:
+        """Process one frame.
+
+        Args:
+          bboxes_tlbr: ``[N, 4]`` detections in detector coordinates.
+          scores: ``[N]`` confidences.
+          scale: detector-coords = original-coords * scale.
+          frame: original uint8 BGR frame (needed for BUSCA crops / CMC).
+        Returns:
+          the activated output tracks.
+        """
+        self.frame_id += 1
+        cfg = self.cfg
+        activated, refind, lost, removed = [], [], [], []
+
+        bboxes_tlbr = np.asarray(bboxes_tlbr, dtype=np.float64).reshape(-1, 4)
+        scores = np.asarray(scores, dtype=np.float64).reshape(-1)
+
+        first_mask = scores > cfg.track_thresh
+        second_mask = (scores > 0.1) & (scores < cfg.track_thresh)
+        considered_mask = first_mask | second_mask
+
+        dets_first = bboxes_tlbr[first_mask]
+        scores_first = scores[first_mask]
+        dets_second = bboxes_tlbr[second_mask]
+        scores_second = scores[second_mask]
+        dets_considered = bboxes_tlbr[considered_mask]
+        scores_considered = scores[considered_mask]
+
+        # One fused crop call for every detection group (device).
+        if self.use_busca and cfg.busca_thresh > 0 and frame is not None:
+            imgs_first = self._crops(frame, dets_first * scale)
+            imgs_second = self._crops(frame, dets_second * scale)
+            imgs_considered = self._crops(frame, dets_considered * scale)
+        else:
+            imgs_first = [None] * len(dets_first)
+            imgs_second = [None] * len(dets_second)
+            imgs_considered = [None] * len(dets_considered)
+
+        detections = [
+            Track(hostmath.tlbr_to_tlwh(b), s, im, scale)
+            for b, s, im in zip(dets_first, scores_first, imgs_first)
+        ]
+        considered_dets = [
+            Track(hostmath.tlbr_to_tlwh(b), s, im, scale)
+            for b, s, im in zip(dets_considered, scores_considered, imgs_considered)
+        ]
+
+        unconfirmed = [t for t in self.tracked if not t.is_activated]
+        tracked = [t for t in self.tracked if t.is_activated]
+
+        # ---- round 1: high-score detections ---------------------------------
+        pool = joint_tracks(tracked, self.lost)
+        Track.multi_predict(pool)
+        dists = hostmath.iou_distance(
+            np.stack([t.tlbr for t in pool]) if pool else np.zeros((0, 4)),
+            np.stack([d.tlbr for d in detections]) if detections else np.zeros((0, 4)),
+        )
+        if not cfg.mot20:
+            dists = hostmath.fuse_score(
+                dists, np.array([d.score for d in detections])
+            )
+        matches, u_track, u_det = lap.linear_assignment(dists, cfg.match_thresh)
+
+        for it, idet in matches:
+            track, det = pool[it], detections[idet]
+            update_mems = det.score >= self.det_thresh
+            if track.state == TrackState.Tracked:
+                track.update(det, self.frame_id, update_mems)
+                activated.append(track)
+            else:
+                track.re_activate(det, self.frame_id, False, update_mems)
+                refind.append(track)
+
+        # ---- round 2: low-score detections vs remaining tracked tracks ------
+        detections_second = [
+            Track(hostmath.tlbr_to_tlwh(b), s, im, scale)
+            for b, s, im in zip(dets_second, scores_second, imgs_second)
+        ]
+        r_tracked = [
+            pool[i] for i in u_track if pool[i].state == TrackState.Tracked
+        ]
+        r_lost = [
+            pool[i] for i in u_track if pool[i].state != TrackState.Tracked
+        ]
+        dists = hostmath.iou_distance(
+            np.stack([t.tlbr for t in r_tracked]) if r_tracked else np.zeros((0, 4)),
+            np.stack([d.tlbr for d in detections_second])
+            if detections_second
+            else np.zeros((0, 4)),
+        )
+        matches, u_track, _ = lap.linear_assignment(dists, 0.5)
+        for it, idet in matches:
+            track, det = r_tracked[it], detections_second[idet]
+            update_mems = not cfg.transformer_update_mems_only_first_round
+            track.update(det, self.frame_id, update_mems)
+            activated.append(track)
+
+        unassigned = joint_tracks([r_tracked[i] for i in u_track], r_lost)
+        u_track = list(range(len(unassigned)))
+
+        # ---- round 3b: BUSCA -------------------------------------------------
+        if self.use_busca and cfg.busca_thresh > 0:
+            if cfg.reliable_thresh is not None and not self._is_reliable(
+                frame, self.tracked, cfg.reliable_thresh
+            ):
+                pass  # unreliable frame: skip the third round entirely
+            else:
+                third_pool = unassigned
+                if cfg.use_camera_motion_compensation and self.frame_id > 1:
+                    cmc.compensate_tracks(third_pool, self.last_image, frame)
+                kalman_cands = self._kalman_candidates(third_pool, frame)
+                third_matches, u_track = self._third_round(
+                    third_pool, considered_dets, kalman_cands, cfg.busca_thresh
+                )
+                for it, _prob in third_matches:
+                    track = third_pool[it]
+                    det = kalman_cands[it]
+                    if track.state == TrackState.Tracked:
+                        track.update(det, self.frame_id, update_mems=False)
+                        activated.append(track)
+
+        for it in u_track:
+            track = unassigned[it]
+            if track.state != TrackState.Lost:
+                track.mark_lost()
+                lost.append(track)
+
+        # ---- unconfirmed tracks ---------------------------------------------
+        detections = [detections[i] for i in u_det]
+        dists = hostmath.iou_distance(
+            np.stack([t.tlbr for t in unconfirmed]) if unconfirmed else np.zeros((0, 4)),
+            np.stack([d.tlbr for d in detections]) if detections else np.zeros((0, 4)),
+        )
+        if not cfg.mot20:
+            dists = hostmath.fuse_score(
+                dists, np.array([d.score for d in detections])
+            )
+        matches, u_unconfirmed, u_det = lap.linear_assignment(dists, 0.7)
+        for it, idet in matches:
+            unconfirmed[it].update(detections[idet], self.frame_id, True)
+            activated.append(unconfirmed[it])
+        for it in u_unconfirmed:
+            track = unconfirmed[it]
+            track.mark_removed()
+            removed.append(track)
+
+        # ---- init new tracks --------------------------------------------------
+        for inew in u_det:
+            track = detections[inew]
+            if track.score < self.det_thresh:
+                continue
+            track.activate(self.frame_id)
+            activated.append(track)
+
+        # ---- prune lost --------------------------------------------------------
+        for track in self.lost:
+            if self.frame_id - track.end_frame > self.max_time_lost:
+                track.mark_removed()
+                removed.append(track)
+
+        self.tracked = [t for t in self.tracked if t.state == TrackState.Tracked]
+        self.tracked = joint_tracks(self.tracked, activated)
+        self.tracked = joint_tracks(self.tracked, refind)
+        self.lost = sub_tracks(self.lost, self.tracked)
+        self.lost.extend(lost)
+        self.lost = sub_tracks(self.lost, self.removed)
+        self.removed.extend(removed)
+        # leak fix (byte_tracker.py:441-443)
+        self.removed = [
+            t
+            for t in self.removed
+            if self.frame_id - t.end_frame < 10 * self.max_time_lost
+        ]
+        self.tracked, self.lost = remove_duplicate_tracks(self.tracked, self.lost)
+
+        self.last_image = np.copy(frame) if frame is not None else None
+        return [t for t in self.tracked if t.is_activated]
+
+    # ------------------------------------------------------------ internals --
+    def _crops(self, frame: np.ndarray, boxes_tlbr: np.ndarray):
+        """Uint8 BGR crops for the track memories (normalize happens in the
+        association engine, like the reference's normalize_ims=True path)."""
+        if len(boxes_tlbr) == 0:
+            return []
+        crops = np.asarray(
+            crop_resize_normalize(
+                frame,
+                np.asarray(boxes_tlbr, dtype=np.float32),
+                self.cfg.crop_hw,
+                normalize=False,
+                bgr_input=True,
+                rgb_output=False,
+                quantize_uint8=True,
+            )
+        ).astype(np.uint8)
+        return list(crops)
+
+    def _kalman_candidates(self, pool: List[Track], frame) -> List[Track]:
+        """Pseudo-detections at each track's Kalman-predicted position
+        (byte_tracker.py:468-479)."""
+        cands = []
+        boxes = [t.tlbr * t.scale for t in pool]
+        crops = self._crops(frame, np.array(boxes).reshape(-1, 4)) if pool else []
+        for t, im in zip(pool, crops):
+            cands.append(
+                Track(t.tlwh, np.float32(KALMAN_CANDIDATE_CONF), im, t.scale)
+            )
+        return cands
+
+    def _third_round(self, pool, considered_dets, kalman_cands, thresh):
+        """BUSCA association; a track survives iff its Kalman candidate wins
+        (byte_tracker.py:481-532)."""
+        if thresh <= 0.0 or not pool:
+            return [], list(range(len(pool)))
+        dists = self.engine._center_distances(pool, considered_dets)
+        probs, reliable = self.engine.associate(
+            pool,
+            considered_dets,
+            dists,
+            use_broader_memory=self.cfg.use_broader_memory,
+            select_highest_candidate=self.cfg.select_highest_candidate,
+            highest_candidate_minimum_thresh=self.cfg.highest_candidate_minimum_thresh,
+            extra_kalman_candidates=kalman_cands,
+        )
+        if probs is None:
+            return [], list(range(len(pool)))
+        n_dets = len(considered_dets)
+        matches, u_track = [], []
+        for i in range(len(pool)):
+            p = probs[i, n_dets + i]
+            if reliable[i] and p > thresh:
+                matches.append([i, p])
+            else:
+                u_track.append(i)
+        return matches, u_track
+
+    def _is_reliable(self, frame, active_tracks, p) -> bool:
+        """Detection-coverage gate (byte_tracker.py:459-465, 574-623)."""
+        cov = detection_coverage(frame, active_tracks)
+        return cov["area_covered"] > cov["area_covered_per_obj"] * p[0] + p[1]
+
+
+def detection_coverage(frame: np.ndarray, tracks: Sequence[Track]) -> dict:
+    """Fraction of the frame covered by track boxes + per-object stats.
+
+    numpy rasterization equivalent to the reference's cv2.rectangle fill
+    (byte_tracker.py:574-623), including the inclusive right/bottom edges of
+    cv2.rectangle and the reference's (quirky, tuned-around) axis-swapped
+    normalization of per-box areas.
+    """
+    h, w = frame.shape[0], frame.shape[1]
+    canvas = np.zeros((h, w), dtype=bool)
+    bbox_areas = []
+    for t in tracks:
+        b = np.array(t.tlbr) * t.scale
+        x1, y1, x2, y2 = int(b[0]), int(b[1]), int(b[2]), int(b[3])
+        x1, x2 = min(x1, x2), max(x1, x2)
+        y1, y2 = min(y1, y2), max(y1, y2)
+        # cv2.rectangle(thickness=-1) fills [y1, y2] x [x1, x2] inclusive.
+        ys, ye = max(y1, 0), min(y2 + 1, h)
+        xs, xe = max(x1, 0), min(x2 + 1, w)
+        if ys < ye and xs < xe:
+            canvas[ys:ye, xs:xe] = True
+        # NOTE: x-extent normalized by H and y-extent by W — reproducing the
+        # reference exactly; reliable_thresh values were tuned with this.
+        area = max(min(((b[2] - b[0]) / h) * ((b[3] - b[1]) / w), 1.0), 0.0)
+        bbox_areas.append(area)
+
+    covered = float(canvas.sum()) / (h * w)
+    n = len(bbox_areas)
+    if n > 0:
+        per_obj = covered / n
+        avg_area = float(np.sqrt(np.array(bbox_areas)).mean() ** 2)
+        max_area = float(max(bbox_areas))
+    else:
+        per_obj, avg_area, max_area = 0.0, 0.0, 0.0
+    return {
+        "area_covered": covered,
+        "area_covered_per_obj": per_obj,
+        "max_bbox_area": max_area,
+        "average_bbox_area": avg_area,
+        "bbox_areas": bbox_areas,
+    }

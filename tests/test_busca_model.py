@@ -95,7 +95,7 @@ class _TorchBusca(tnn.Module):
         )
         # candidate token bboxes: [ref, can_i]*C + [ref, ref] + [fake, fake]
         fmin = np.finfo(np.float32).min
-        fake = np.array([fmin, fmin, fmin / 100, fmin / 100])
+        fake = np.array([fmin, fmin, -fmin / 100, -fmin / 100])  # ltwh-as-ltrb
         tok_boxes = []
         for i in range(C):
             tok_boxes += [ref[:, 0], can_bboxes[:, i]]

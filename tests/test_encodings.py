@@ -135,8 +135,9 @@ def test_insert_fake_bboxes_layout(rng):
     # NON group: [ref, ref]
     np.testing.assert_array_equal(out[:, 2 * c], ref_np[:, 0])
     np.testing.assert_array_equal(out[:, 2 * c + 1], ref_np[:, 0])
-    # BAD group: distant fake sentinel
-    fake = encodings.missing_candidate_bbox("ltrb")
+    # BAD group: distant fake sentinel (the ltwh-flavoured values, used as
+    # ltrb — reference encodings.py:21)
+    fake = encodings.missing_candidate_bbox("ltwh")
     np.testing.assert_allclose(out[:, 2 * c + 2], np.tile(fake, (b, 1)), rtol=1e-6)
     np.testing.assert_allclose(out[:, 2 * c + 3], np.tile(fake, (b, 1)), rtol=1e-6)
 

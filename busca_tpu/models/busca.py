@@ -60,13 +60,19 @@ class BuscaConfig:
     encode_separator_as_reference: bool = True
     encode_special_tokens: bool = False
     reid_num_classes: int = 299
+    # ResNet stage depths: (3, 4, 6, 3) = ResNet-50 (the shipped weights);
+    # smaller variants for experimentation / cheap tests.
+    reid_layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
     quantize_pe_fp16: bool = True
     dtype: str = "float32"
 
     @classmethod
     def from_dict(cls, d: dict) -> "BuscaConfig":
         known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in known})
+        kw = {k: v for k, v in d.items() if k in known}
+        if "reid_layers" in kw:
+            kw["reid_layers"] = tuple(kw["reid_layers"])
+        return cls(**kw)
 
     @property
     def has_bad(self) -> bool:
@@ -132,6 +138,7 @@ class BuscaModel(nn.Module):
         dtype = jnp.dtype(cfg.dtype)
 
         reid = ReIDResNet(
+            layers=cfg.reid_layers,
             num_classes=cfg.reid_num_classes,
             dtype=dtype,
             name="reid_encoder",

@@ -1,0 +1,99 @@
+"""Device mesh + sharding rules for the BUSCA model family.
+
+The reference's only distribution is NCCL DDP over eval processes
+(tools/track.py:305-316) — embarrassingly-parallel sequences with a final
+gather.  The TPU-native equivalents:
+
+- **dp** (data parallel): track-batches / training batches sharded across
+  chips; XLA inserts the gradient all-reduce over ICI automatically under
+  GSPMD.
+- **tp** (tensor parallel): the decision Transformer's FF and attention
+  projections sharded column/row-wise (Megatron layout) so the matmuls stay
+  large per chip.
+- sequence/pipeline/expert parallelism intentionally do NOT apply: attention
+  is over a fixed 25-token window (the reference handles long temporal
+  context by memory subsampling, SURVEY.md §5.7), the model is 4 layers, and
+  there are no experts.  The mesh API leaves room for more axes for future
+  model families.
+
+Sequence-level data parallelism across hosts (one MOT sequence per host) is
+handled in :mod:`busca_tpu.eval.runner`, not here — it needs no collectives
+until the final metric gather.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axes: Tuple[str, str] = ("dp", "tp"),
+    tp_size: Optional[int] = None,
+) -> Mesh:
+    """Build a (dp, tp) mesh over the first ``n_devices`` devices.
+
+    tp defaults to 2 when the device count is even (ICI-neighbor pairs),
+    else 1.
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if tp_size is None:
+        tp_size = 2 if n % 2 == 0 and n >= 2 else 1
+    if n % tp_size != 0:
+        raise ValueError(f"{n} devices not divisible by tp={tp_size}")
+    grid = np.asarray(devices).reshape(n // tp_size, tp_size)
+    return Mesh(grid, axes)
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading (batch) axis over dp, replicate the rest."""
+    return NamedSharding(mesh, P("dp", *([None] * (ndim - 1))))
+
+
+def _spec_for_param(path: Tuple[str, ...], value) -> P:
+    """Megatron-style partition spec for one parameter.
+
+    torch-layout linears (``weight [out, in]``):
+    - attention in_proj / FF linear1: split the *out* dim over tp
+      (column parallel);
+    - attention out_proj / FF linear2: split the *in* dim over tp
+      (row parallel);
+    - everything else (ReID convs, norms, tokens, decoder): replicated —
+      the ResNet is activation-dominated; its weights are small enough that
+      replication beats the resharding traffic at this scale.
+    """
+    names = [str(p) for p in path]
+    joined = "/".join(names)
+    if "in_proj_weight" in joined or "linear1/weight" in joined:
+        return P("tp", None)
+    if "in_proj_bias" in joined or "linear1/bias" in joined:
+        return P("tp")
+    if "out_proj/weight" in joined or "linear2/weight" in joined:
+        return P(None, "tp")
+    return P(*([None] * value.ndim))
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for a BuscaModel param tree."""
+
+    def to_sharding(path, value):
+        names = tuple(
+            p.key if hasattr(p, "key") else str(p) for p in path
+        )
+        return NamedSharding(mesh, _spec_for_param(names, value))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def replicated(mesh: Mesh, tree):
+    """Fully-replicated shardings for an arbitrary pytree."""
+    return jax.tree_util.tree_map(
+        lambda v: NamedSharding(mesh, P(*([None] * np.ndim(v)))), tree
+    )

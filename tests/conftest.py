@@ -18,7 +18,8 @@ import jax  # noqa: E402
 # The env vars alone are not honored under the axon TPU plugin, so force the
 # config directly (must happen before any backend initialization).
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# x64 stays off globally (2x compile/runtime cost); tests needing f64 oracles
+# use the `x64` fixture below.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -29,3 +30,11 @@ assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 @pytest.fixture
 def rng():
     return np.random.RandomState(7)
+
+
+@pytest.fixture
+def x64():
+    """Enable f64 inside a test (for strict numeric oracles)."""
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)

@@ -35,7 +35,7 @@ class _TorchBusca(tnn.Module):
     def __init__(self):
         super().__init__()
         torch.manual_seed(42)
-        self.reid = TorchGhostResNet50(num_classes=7)
+        self.reid = TorchGhostResNet50(num_classes=7, layers_cfg=(1, 1, 1, 1))
         self.encoder = tnn.Linear(D, D)
         self.layers = tnn.ModuleList(
             [TorchPostLNLayer(D, NHEAD, FF) for _ in range(N_LAYERS)]
@@ -133,7 +133,7 @@ def test_busca_model_matches_torch_oracle(rng):
 
     want = oracle.forward(mem_crops, can_crops, mem_boxes, can_boxes).numpy()
 
-    cfg = BuscaConfig(num_layer=N_LAYERS, reid_num_classes=7)
+    cfg = BuscaConfig(num_layer=N_LAYERS, reid_num_classes=7, reid_layers=(1, 1, 1, 1))
     model = BuscaModel(cfg)
     variables = model.init(
         jax.random.PRNGKey(0),
@@ -163,7 +163,7 @@ def test_busca_model_matches_torch_oracle(rng):
 
 
 def test_padded_lanes_do_not_change_real_scores(rng):
-    cfg = BuscaConfig(num_layer=N_LAYERS, reid_num_classes=7)
+    cfg = BuscaConfig(num_layer=N_LAYERS, reid_num_classes=7, reid_layers=(1, 1, 1, 1))
     model = BuscaModel(cfg)
     mem_crops = rng.randn(B, L_MEM, H, W, 3).astype(np.float32)
     can_crops = rng.randn(B, C, H, W, 3).astype(np.float32)

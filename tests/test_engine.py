@@ -38,7 +38,7 @@ def _det(rng, xy):
 
 
 def _engine(rng):
-    cfg = BuscaConfig(num_layer=1, reid_num_classes=5)
+    cfg = BuscaConfig(num_layer=1, reid_num_classes=5, reid_layers=(1, 1, 1, 1))
     model = BuscaModel(cfg)
     mem = np.zeros((1, SEQ_LEN, H, W, 3), np.float32)
     can = np.zeros((1, NUM_CAN, H, W, 3), np.float32)

@@ -54,7 +54,7 @@ def test_geometry_mirrors_match(rng):
     )
 
 
-def test_kalman_mirror_matches(rng):
+def test_kalman_mirror_matches(rng, x64):
     n = 9
     kf = hostmath.HostKalman()
     z0 = _random_xyah(rng, n)

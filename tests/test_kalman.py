@@ -71,7 +71,7 @@ def _random_xyah(rng, n):
     )
 
 
-def test_initiate_predict_update_gating_match_oracle(rng):
+def test_initiate_predict_update_gating_match_oracle(rng, x64):
     n = 12
     z0 = _random_xyah(rng, n)
     oracle = _NumpyOracle()

@@ -1,0 +1,65 @@
+"""Trainer + multichip sharding tests (8-device virtual CPU mesh)."""
+
+import numpy as np
+import jax
+
+from busca_tpu.models.busca import BuscaConfig
+from busca_tpu.parallel.mesh import make_mesh, param_shardings
+from busca_tpu.train.data import EpisodeSpec, synthetic_batch
+from busca_tpu.train.trainer import train_smoke
+
+
+def test_synthetic_batch_layout(rng):
+    spec = EpisodeSpec(batch=6, seq_len=3, num_candidates=2, crop_hw=(32, 16))
+    b = synthetic_batch(rng, spec)
+    assert b["mem_crops"].shape == (6, 3, 32, 16, 3)
+    assert b["can_crops"].shape == (6, 2, 32, 16, 3)
+    assert b["labels"].max() <= spec.num_choices - 1
+    assert np.isfinite(b["mem_crops"]).all()
+
+
+def test_single_device_smoke_train():
+    _, metrics = train_smoke(
+        steps=2,
+        config=BuscaConfig(
+            num_layer=1, reid_num_classes=5, reid_layers=(1, 1, 1, 1)
+        ),
+        spec=EpisodeSpec(batch=4, seq_len=3, num_candidates=2, crop_hw=(64, 32)),
+    )
+    assert np.isfinite(metrics["loss"])
+
+
+def test_mesh_and_param_shardings():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(8)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+
+    import jax.numpy as jnp
+
+    params = {
+        "transformer_encoder": {
+            "layers_0": {
+                "self_attn": {
+                    "in_proj_weight": jnp.zeros((96, 32)),
+                    "out_proj": {"weight": jnp.zeros((32, 32))},
+                },
+                "linear1": {"weight": jnp.zeros((64, 32)), "bias": jnp.zeros(64)},
+                "linear2": {"weight": jnp.zeros((32, 64))},
+            }
+        },
+        "encoder": {"weight": jnp.zeros((32, 32))},
+    }
+    s = param_shardings(params, mesh)
+    l0 = s["transformer_encoder"]["layers_0"]
+    assert l0["self_attn"]["in_proj_weight"].spec == jax.sharding.PartitionSpec("tp", None)
+    assert l0["linear1"]["weight"].spec == jax.sharding.PartitionSpec("tp", None)
+    assert l0["linear1"]["bias"].spec == jax.sharding.PartitionSpec("tp")
+    assert l0["linear2"]["weight"].spec == jax.sharding.PartitionSpec(None, "tp")
+    assert l0["self_attn"]["out_proj"]["weight"].spec == jax.sharding.PartitionSpec(None, "tp")
+    assert s["encoder"]["weight"].spec == jax.sharding.PartitionSpec(None, None)
+
+
+def test_multichip_dryrun_entrypoint():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)

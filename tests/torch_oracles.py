@@ -43,7 +43,7 @@ class TorchBottleneck(tnn.Module):
 class TorchGhostResNet50(tnn.Module):
     """ResNet-50 with the GHOST head: max pool, red linear, L2-norm feats."""
 
-    def __init__(self, num_classes=299, red=4):
+    def __init__(self, num_classes=299, red=4, layers_cfg=(3, 4, 6, 3)):
         super().__init__()
         self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
         self.bn1 = tnn.BatchNorm2d(64)
@@ -52,7 +52,7 @@ class TorchGhostResNet50(tnn.Module):
         layers = []
         in_ch = 64
         for stage, (planes, blocks) in enumerate(
-            zip((64, 128, 256, 512), (3, 4, 6, 3))
+            zip((64, 128, 256, 512), layers_cfg)
         ):
             stride = 1 if stage == 0 else 2
             stage_blocks = []

@@ -1,0 +1,151 @@
+"""Sequence runner + A/B evaluation harness.
+
+The evaluation layer of the framework (reference L5: per-sequence loops ->
+MOTChallenge writers -> metrics, e.g. adapters/ByteTrack/yolox/evaluators/
+mot_evaluator.py:80-235, with per-video tracker reset at :166-173).
+
+Distribution model (SURVEY.md §2.5): tracking is per-sequence embarrassingly
+parallel; sequences are sharded across *hosts* (process-level DP — each host
+runs its share and metrics are aggregated afterwards), while each host's TPU
+runs the batched per-frame association.  ``shard_sequences`` implements the
+static host-sharding; in a multi-host job pass ``jax.process_index()`` /
+``jax.process_count()``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from busca_tpu.eval import metrics as metrics_lib
+from busca_tpu.eval import mot
+
+
+@dataclasses.dataclass
+class SequenceResult:
+    name: str
+    num_frames: int
+    results: List[Tuple[int, list, list, list]]
+    track_time_s: float
+
+    @property
+    def fps(self) -> float:
+        return self.num_frames / self.track_time_s if self.track_time_s else 0.0
+
+
+def run_sequence(
+    tracker,
+    frames: Iterable[Optional[np.ndarray]],
+    detections: Sequence[Tuple[np.ndarray, np.ndarray]],
+    name: str = "seq",
+    scale: float = 1.0,
+    min_box_area: float = 10.0,
+) -> SequenceResult:
+    """Drive one tracker instance over a sequence.
+
+    Args:
+      tracker: object with ``update(bboxes_tlbr, scores, scale, frame)``.
+      frames: per-frame images (uint8 BGR) or None (cached-detection mode).
+      detections: per-frame (tlbr [N, 4], scores [N]).
+    """
+    results = []
+    t0 = time.perf_counter()
+    for idx, (frame, (boxes, scores)) in enumerate(zip(frames, detections)):
+        online = tracker.update(boxes, scores, scale, frame)
+        tlwhs, ids, confs = [], [], []
+        for t in online:
+            tlwh = t.tlwh
+            if tlwh[2] * tlwh[3] > min_box_area:
+                tlwhs.append(tlwh)
+                ids.append(t.track_id)
+                confs.append(t.score)
+        results.append((idx + 1, tlwhs, ids, confs))
+    dt = time.perf_counter() - t0
+    return SequenceResult(name, len(results), results, dt)
+
+
+def results_to_pred(
+    seq_result: SequenceResult,
+) -> Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """SequenceResult -> the {frame: (tlwh, ids, scores)} metric input."""
+    out = {}
+    for frame_id, tlwhs, ids, confs in seq_result.results:
+        if ids:
+            out[frame_id] = (
+                np.stack(tlwhs),
+                np.asarray(ids, int),
+                np.asarray(confs),
+            )
+    return out
+
+
+def evaluate_sequence(
+    seq_result: SequenceResult,
+    gt: Dict[int, Tuple[np.ndarray, np.ndarray]],
+) -> metrics_lib.MotMetrics:
+    return metrics_lib.evaluate_clear(gt, results_to_pred(seq_result))
+
+
+def shard_sequences(
+    names: Sequence[str], process_index: int, process_count: int
+) -> List[str]:
+    """Static host-sharding of sequences (the DP dimension of evaluation)."""
+    return [n for i, n in enumerate(names) if i % process_count == process_index]
+
+
+def run_ab(
+    make_base_tracker: Callable[[], object],
+    make_busca_tracker: Callable[[], object],
+    frames_factory: Callable[[], Iterable],
+    detections: Sequence[Tuple[np.ndarray, np.ndarray]],
+    gt: Dict[int, Tuple[np.ndarray, np.ndarray]],
+    name: str = "seq",
+) -> Dict[str, metrics_lib.MotMetrics]:
+    """The reference's A/B acceptance pattern: same sequence, base tracker vs
+    tracker+BUSCA, metric deltas out (SURVEY.md §4.3)."""
+    out = {}
+    for tag, factory in (("base", make_base_tracker), ("busca", make_busca_tracker)):
+        seq = run_sequence(factory(), frames_factory(), detections, name=name)
+        out[tag] = evaluate_sequence(seq, gt)
+    return out
+
+
+def run_mot_sequence(
+    seq_dir: str,
+    tracker,
+    det_path: Optional[str] = None,
+    output_path: Optional[str] = None,
+    max_frames: Optional[int] = None,
+) -> SequenceResult:
+    """Run a tracker over an on-disk MOTChallenge sequence.
+
+    Uses the sequence's public detections (``det/det.txt``) unless a custom
+    detection file is given — the cached-detection evaluation mode
+    (BASELINE.json config #1).
+    """
+    import cv2
+
+    info = mot.load_seqinfo(seq_dir)
+    det_path = det_path or os.path.join(seq_dir, "det", "det.txt")
+    dets_by_frame = mot.read_detections(det_path)
+    n = info.seq_length
+    if max_frames:
+        n = min(n, max_frames)
+
+    def frames():
+        for f in range(1, n + 1):
+            img = cv2.imread(info.frame_path(f))
+            yield img
+
+    detections = [
+        dets_by_frame.get(f, (np.zeros((0, 4)), np.zeros(0)))
+        for f in range(1, n + 1)
+    ]
+    result = run_sequence(tracker, frames(), detections, name=info.name)
+    if output_path:
+        mot.write_results(output_path, result.results)
+    return result

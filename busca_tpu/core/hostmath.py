@@ -171,7 +171,13 @@ class HostKalman:
         new_cov = self.F @ cov @ self.F.T + self._motion_cov(mean[:, 3])
         return new_mean, new_cov
 
-    def project(self, mean, cov):
+    def project(self, mean, cov, confidence=None):
+        """Project to measurement space.
+
+        ``confidence`` enables StrongSORT's NSA noise adaptation: the
+        measurement noise std scales by ``(1 - confidence)`` (NSA Kalman,
+        used via the conf-passing update at deep_sort/track.py:242).
+        """
         h = mean[:, 3]
         std = np.stack(
             [
@@ -182,15 +188,17 @@ class HostKalman:
             ],
             axis=-1,
         )
+        if confidence is not None:
+            std = std * (1.0 - np.asarray(confidence, dtype=np.float64))[:, None]
         pm = mean @ self.H.T
         pc = self.H @ cov @ self.H.T + self._diag_embed(std)
         return pm, pc
 
-    def update(self, mean, cov, measurement):
+    def update(self, mean, cov, measurement, confidence=None):
         mean = np.asarray(mean, dtype=np.float64)
         cov = np.asarray(cov, dtype=np.float64)
         z = np.atleast_2d(np.asarray(measurement, dtype=np.float64))
-        pm, pc = self.project(mean, cov)
+        pm, pc = self.project(mean, cov, confidence)
         pht = cov @ self.H.T  # [N, 8, 4]
         # gain K: solve S K^T = (P H^T)^T  (batched)
         kt = np.linalg.solve(pc, np.swapaxes(pht, 1, 2))  # [N, 4, 8]

@@ -219,6 +219,95 @@ def evaluate_clear(
     )
 
 
+def evaluate_hota(
+    gt: Dict[int, Tuple[np.ndarray, np.ndarray]],
+    pred: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    alphas: np.ndarray = None,
+) -> Dict[str, float]:
+    """HOTA (Luiten et al., IJCV 2021) — the TrackEval algorithm.
+
+    Two passes: (1) accumulate per-identity-pair soft potential matches to a
+    global alignment score; (2) per alpha, per-frame Hungarian on
+    ``alignment * similarity`` with matches valid iff IoU >= alpha; then
+    DetA = TP/(TP+FN+FP), AssA = mean association Jaccard over TPs,
+    HOTA_alpha = sqrt(DetA * AssA), HOTA = mean over alphas.
+
+    Returns {'hota', 'deta', 'assa'} (alpha-averaged).
+    """
+    if alphas is None:
+        alphas = np.arange(0.05, 0.99, 0.05)
+    frames = sorted(set(gt.keys()) | set(pred.keys()))
+
+    gt_ids_all = sorted({int(i) for f in gt.values() for i in f[1]})
+    pr_ids_all = sorted(
+        {int(i) for f in pred.values() for i in f[1]}
+    )
+    g_index = {g: i for i, g in enumerate(gt_ids_all)}
+    p_index = {p: i for i, p in enumerate(pr_ids_all)}
+    ng, np_ = len(gt_ids_all), len(pr_ids_all)
+    if ng == 0 or np_ == 0:
+        deta = 0.0 if (ng or np_) else 1.0
+        return {"hota": deta, "deta": deta, "assa": deta}
+
+    potential = np.zeros((ng, np_))
+    gt_count = np.zeros(ng)
+    pr_count = np.zeros(np_)
+    per_frame = []  # cached (gi, pi, sim) per frame
+    for f in frames:
+        g_boxes, g_ids = gt.get(f, (np.zeros((0, 4)), np.zeros(0, int)))
+        p_boxes, p_ids, _ = pred.get(
+            f, (np.zeros((0, 4)), np.zeros(0, int), np.zeros(0))
+        )
+        gi = np.array([g_index[int(i)] for i in g_ids], int)
+        pi = np.array([p_index[int(i)] for i in p_ids], int)
+        sim = _iou_tlwh(g_boxes, p_boxes)
+        per_frame.append((gi, pi, sim))
+        gt_count[gi] += 1
+        pr_count[pi] += 1
+        if len(gi) and len(pi):
+            denom = sim.sum(0)[None, :] + sim.sum(1)[:, None] - sim
+            soft = np.where(denom > 1e-8, sim / np.maximum(denom, 1e-8), 0.0)
+            np.add.at(potential, (gi[:, None], pi[None, :]), soft)
+
+    alignment = potential / np.maximum(
+        gt_count[:, None] + pr_count[None, :] - potential, 1e-8
+    )
+
+    hotas, detas, assas = [], [], []
+    for alpha in alphas:
+        tp = fn = fp = 0
+        match_count = np.zeros((ng, np_))
+        for gi, pi, sim in per_frame:
+            if len(gi) == 0 or len(pi) == 0:
+                fn += len(gi)
+                fp += len(pi)
+                continue
+            score = alignment[np.ix_(gi, pi)] * sim
+            # maximize score -> minimize negative
+            m, _, _ = lap.linear_assignment(-score, thresh=1e9)
+            matched = 0
+            for r, c in m:
+                if sim[r, c] >= alpha - 1e-8:
+                    match_count[gi[r], pi[c]] += 1
+                    matched += 1
+            tp += matched
+            fn += len(gi) - matched
+            fp += len(pi) - matched
+        deta = tp / max(tp + fn + fp, 1)
+        ass_jaccard = match_count / np.maximum(
+            gt_count[:, None] + pr_count[None, :] - match_count, 1e-8
+        )
+        assa = float((match_count * ass_jaccard).sum() / max(tp, 1))
+        detas.append(deta)
+        assas.append(assa)
+        hotas.append(np.sqrt(deta * assa))
+    return {
+        "hota": float(np.mean(hotas)),
+        "deta": float(np.mean(detas)),
+        "assa": float(np.mean(assas)),
+    }
+
+
 def accumulate(per_seq: Dict[str, MotMetrics]) -> MotMetrics:
     """Aggregate sequence metrics the way MOTChallenge does (count-weighted)."""
     tot = lambda f: sum(getattr(m, f) for m in per_seq.values())

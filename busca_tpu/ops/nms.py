@@ -1,0 +1,118 @@
+"""Static-shaped NMS and YOLOX-style detector postprocess in XLA.
+
+Replaces ``torchvision.ops.batched_nms`` in the reference detector
+postprocess (adapters/ByteTrack/yolox/utils/boxes.py): class-aware greedy
+NMS expressed as a fixed-length ``lax.scan`` over score-sorted candidates, so
+it compiles once and runs entirely on device — no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from busca_tpu.core import boxes as boxlib
+
+
+@functools.partial(jax.jit, static_argnames=("max_outputs",))
+def nms(
+    boxes_tlbr: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    max_outputs: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy IoU NMS with static output size.
+
+    Args:
+      boxes_tlbr: ``[N, 4]``; scores: ``[N]`` (use -inf to mask invalid rows).
+    Returns:
+      (indices ``[max_outputs]`` into the input, valid ``[max_outputs]`` bool).
+    """
+    n = boxes_tlbr.shape[0]
+    order = jnp.argsort(-scores)
+    sorted_boxes = boxes_tlbr[order]
+    sorted_valid = jnp.isfinite(scores[order]) & (scores[order] > -jnp.inf)
+
+    iou = boxlib.iou_matrix(sorted_boxes, sorted_boxes)
+
+    def body(keep_mask, i):
+        # keep i iff not suppressed by any earlier kept box
+        suppressed = jnp.any(
+            keep_mask & (jnp.arange(n) < i) & (iou[i] > iou_threshold)
+        )
+        keep_i = sorted_valid[i] & ~suppressed
+        return keep_mask.at[i].set(keep_i), keep_i
+
+    keep_mask, _ = jax.lax.scan(
+        body, jnp.zeros(n, dtype=bool), jnp.arange(n)
+    )
+
+    # stable-sort kept rows (already in score order) to the front, then take
+    # the first max_outputs — static shapes throughout
+    priority = jnp.where(keep_mask, 0, 1)
+    perm = jnp.argsort(priority, stable=True)
+    kept_sorted = order[perm].astype(jnp.int32)
+    num_kept = keep_mask.sum()
+    if max_outputs <= n:
+        out_idx = kept_sorted[:max_outputs]
+    else:
+        out_idx = jnp.concatenate(
+            [kept_sorted, jnp.zeros(max_outputs - n, jnp.int32)]
+        )
+    valid = jnp.arange(max_outputs) < jnp.minimum(num_kept, max_outputs)
+    out_idx = jnp.where(valid, out_idx, -1)
+    return out_idx, valid
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_classes", "max_outputs")
+)
+def yolox_postprocess(
+    prediction: jnp.ndarray,
+    num_classes: int,
+    conf_threshold: float = 0.7,
+    nms_threshold: float = 0.45,
+    max_outputs: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """YOLOX detector postprocess (conf filter + class-aware NMS).
+
+    Args:
+      prediction: ``[N, 5 + num_classes]`` rows of
+        (cx, cy, w, h, obj_conf, class scores...).
+    Returns:
+      (detections ``[max_outputs, 7]`` = (x1, y1, x2, y2, obj_conf,
+      class_conf, class), valid ``[max_outputs]``) — padded, static shape.
+    """
+    cxcywh = prediction[:, :4]
+    half = cxcywh[:, 2:4] / 2.0
+    tlbr = jnp.concatenate(
+        [cxcywh[:, :2] - half, cxcywh[:, :2] + half], axis=1
+    )
+    obj = prediction[:, 4]
+    cls_scores = prediction[:, 5 : 5 + num_classes]
+    cls_conf = cls_scores.max(axis=1)
+    cls_id = cls_scores.argmax(axis=1)
+
+    keep = obj * cls_conf >= conf_threshold
+    scores = jnp.where(keep, obj * cls_conf, -jnp.inf)
+
+    # class-aware NMS: offset boxes per class so classes never suppress
+    # each other (the batched_nms trick)
+    offset = cls_id.astype(jnp.float32)[:, None] * 1e6
+    idx, valid = nms(tlbr + offset, scores, nms_threshold, max_outputs)
+
+    safe = jnp.clip(idx, 0, prediction.shape[0] - 1)
+    out = jnp.concatenate(
+        [
+            tlbr[safe],
+            obj[safe, None],
+            cls_conf[safe, None],
+            cls_id[safe, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    out = jnp.where(valid[:, None], out, 0.0)
+    return out, valid

@@ -46,6 +46,28 @@ def test_busca_improves_identity_metrics():
     assert busca.num_switches == 0
 
 
+def test_busca_improves_hota():
+    from busca_tpu.eval.metrics import evaluate_hota
+    from busca_tpu.eval.runner import results_to_pred
+
+    _, detections, gt, frames = _setup()
+    base_res = run_sequence(
+        ByteTracker(ByteTrackerConfig()), frames(), detections
+    )
+    busca_res = run_sequence(
+        ByteTracker(
+            ByteTrackerConfig(use_busca=True),
+            assoc_engine=StubEngine(kalman_prob=1.0),
+        ),
+        frames(),
+        detections,
+    )
+    h_base = evaluate_hota(gt, results_to_pred(base_res))
+    h_busca = evaluate_hota(gt, results_to_pred(busca_res))
+    assert h_busca["hota"] > h_base["hota"]
+    assert h_busca["deta"] > h_base["deta"]
+
+
 def test_sequence_runner_outputs_valid_results(tmp_path):
     from busca_tpu.eval import mot
 

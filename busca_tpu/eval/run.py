@@ -1,0 +1,269 @@
+"""CLI: run a tracker (optionally +BUSCA) over sequences and report metrics.
+
+Reference-compatible surface (scripts/run_*.sh + tools/track.py:119-124):
+``--use-busca``, ``--busca-config`` (the shipped YAMLs load unchanged),
+``--busca-ckpt`` (a converted .npz or a reference .pth).  Tracker selection
+via ``--tracker {byte,strongsort,ghost,centertrack,transcenter}``.
+
+Modes:
+- ``--synthetic``: the built-in dropout benchmark sequence (no data needed) —
+  runs base vs BUSCA A/B and prints the metric table.
+- ``--mot-dir``: MOTChallenge sequence directories with ``det/det.txt``
+  detections (the cached-detection path, BASELINE.json config #1); writes
+  MOTChallenge result txts and evaluates vs gt when present.
+
+Example::
+
+    python -m busca_tpu.eval.run --synthetic --use-busca \
+        --busca-config /root/reference/config/ByteTrack/MOT17/config_bytetrack_mot17.yml \
+        --busca-ckpt model_busca.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def build_engine(busca_config_path: str, ckpt_path: Optional[str],
+                 crop_hw=(384, 128)):
+    """Materialize an AssociationEngine from YAML + checkpoint."""
+    import jax
+
+    from busca_tpu.assoc.engine import AssociationEngine
+    from busca_tpu.config import load_tracker_bundle
+    from busca_tpu.models.busca import BuscaModel
+    from busca_tpu.models.checkpoint import load_params_npz
+    from busca_tpu.models.convert import (
+        convert_busca_state_dict,
+        load_torch_checkpoint,
+        merge_params,
+    )
+
+    args, busca_cfg, tracker_kwargs = load_tracker_bundle(busca_config_path)
+    model = BuscaModel(busca_cfg)
+    seq_len = tracker_kwargs.get("seq_len", 11)
+    num_candidates = tracker_kwargs.get("num_candidates", 5)
+
+    # init (shapes only) then overlay the checkpoint
+    h, w = crop_hw
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        np.zeros((1, seq_len, h, w, 3), np.float32),
+        np.zeros((1, num_candidates, h, w, 3), np.float32),
+        np.zeros((1, seq_len, 4), np.float32),
+        np.zeros((1, num_candidates, 4), np.float32),
+    )
+    params = variables["params"]
+    if ckpt_path:
+        if ckpt_path.endswith(".npz"):
+            loaded = load_params_npz(ckpt_path)
+        else:
+            loaded = convert_busca_state_dict(
+                load_torch_checkpoint(ckpt_path), ignore_reid_fc=True
+            )
+        params = merge_params(params, loaded.get("params", loaded))
+    engine = AssociationEngine(
+        busca_cfg,
+        {"params": params},
+        seq_len=seq_len,
+        num_candidates=num_candidates,
+        crop_hw=crop_hw,
+    )
+    return engine, tracker_kwargs
+
+
+def make_tracker(name: str, tracker_kwargs: dict, engine, crop_hw=(384, 128)):
+    from busca_tpu.trackers import (
+        ByteTracker,
+        ByteTrackerConfig,
+        CenterTrackAdapter,
+        GhostConfig,
+        GhostTracker,
+        StrongSortConfig,
+        StrongSortTracker,
+        TransCenterByteTracker,
+    )
+
+    if name in ("byte", "bytetrack", "centertrack", "transcenter"):
+        known = {f.name for f in ByteTrackerConfig.__dataclass_fields__.values()}
+        cfg = ByteTrackerConfig(
+            **{k: v for k, v in tracker_kwargs.items() if k in known}
+        )
+        cfg.crop_hw = crop_hw
+        cfg.use_busca = engine is not None and tracker_kwargs.get("use_busca", True)
+        if name == "centertrack":
+            return CenterTrackAdapter(cfg, engine)
+        if name == "transcenter":
+            return TransCenterByteTracker(cfg, engine)
+        return ByteTracker(cfg, engine)
+    if name == "strongsort":
+        known = {f.name for f in StrongSortConfig.__dataclass_fields__.values()}
+        cfg = StrongSortConfig(
+            **{k: v for k, v in tracker_kwargs.items() if k in known}
+        )
+        cfg.crop_hw = crop_hw
+        cfg.use_busca = engine is not None
+        return StrongSortTracker(cfg, engine)
+    if name == "ghost":
+        known = {f.name for f in GhostConfig.__dataclass_fields__.values()}
+        cfg = GhostConfig(
+            **{k: v for k, v in tracker_kwargs.items() if k in known}
+        )
+        cfg.crop_hw = crop_hw
+        cfg.use_busca = engine is not None
+        return GhostTracker(cfg, engine)
+    raise ValueError(f"unknown tracker: {name}")
+
+
+def run_synthetic(args, engine, tracker_kwargs) -> dict:
+    from busca_tpu.eval.metrics import evaluate_hota
+    from busca_tpu.eval.runner import (
+        evaluate_sequence,
+        results_to_pred,
+        run_sequence,
+    )
+    from busca_tpu.eval.synthetic import default_dropout_sequence
+
+    seq = default_dropout_sequence(args.num_frames)
+    dets = [seq.detections(t) for t in range(args.num_frames)]
+    gt = seq.ground_truth()
+    out = {}
+    variants = [("base", None)]
+    if engine is not None:
+        variants.append(("busca", engine))
+    for tag, eng in variants:
+        tracker = make_tracker(args.tracker, tracker_kwargs, eng, args.crop_hw)
+        frames = (seq.frame(t) for t in range(args.num_frames))
+        if args.tracker == "strongsort":
+            result_rows = []
+            import busca_tpu.eval.runner as runner_lib
+
+            class _SSShim:
+                def __init__(self, trk):
+                    self.trk = trk
+
+                def update(self, boxes, scores, scale, frame):
+                    self.trk.predict()
+                    n = len(boxes)
+                    feats = np.eye(max(n, 1), 16)[:n]
+                    return self.trk.update(boxes, scores, feats, frame)
+
+            tracker = _SSShim(tracker)
+        elif args.tracker == "ghost":
+            class _GShim:
+                def __init__(self, trk):
+                    self.trk = trk
+
+                def update(self, boxes, scores, scale, frame):
+                    n = len(boxes)
+                    feats = np.eye(max(n, 1), 16)[:n]
+                    return self.trk.update(boxes, scores, feats, frame)
+
+            tracker = _GShim(tracker)
+        elif args.tracker == "centertrack":
+            class _CShim:
+                def __init__(self, trk):
+                    self.trk = trk
+
+                def update(self, boxes, scores, scale, frame):
+                    dicts = [
+                        {"bbox": b, "score": s, "class": 1}
+                        for b, s in zip(boxes, scores)
+                    ]
+                    outs = self.trk.step(dicts, frame)
+
+                    class _T:  # minimal view for the runner
+                        def __init__(self, d):
+                            bb = d["bbox"]
+                            self.tlwh = np.array(
+                                [bb[0], bb[1], bb[2] - bb[0], bb[3] - bb[1]]
+                            )
+                            self.track_id = d["tracking_id"]
+                            self.score = d["score"]
+
+                    return [_T(d) for d in outs]
+
+            tracker = _CShim(tracker)
+        res = run_sequence(tracker, frames, dets, name="synthetic")
+        m = evaluate_sequence(res, gt)
+        h = evaluate_hota(gt, results_to_pred(res))
+        out[tag] = {
+            "mota": m.mota,
+            "idf1": m.idf1,
+            "hota": h["hota"],
+            "ids": m.num_switches,
+            "fp": m.num_false_positives,
+            "fn": m.num_misses,
+            "fps": res.fps,
+        }
+    return out
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--tracker", default="byte",
+                        choices=["byte", "strongsort", "ghost", "centertrack",
+                                 "transcenter"])
+    parser.add_argument("--use-busca", action="store_true")
+    parser.add_argument("--busca-config", default=None,
+                        help="BUSCA YAML (reference configs load unchanged)")
+    parser.add_argument("--busca-ckpt", default=None,
+                        help="converted .npz or reference .pth weights")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--num-frames", type=int, default=40)
+    parser.add_argument("--mot-dir", nargs="*", default=[],
+                        help="MOTChallenge sequence directories")
+    parser.add_argument("--output-dir", default="results")
+    parser.add_argument("--crop-h", type=int, default=384)
+    parser.add_argument("--crop-w", type=int, default=128)
+    args = parser.parse_args(argv)
+    args.crop_hw = (args.crop_h, args.crop_w)
+
+    engine, tracker_kwargs = None, {}
+    if args.use_busca:
+        if not args.busca_config:
+            parser.error("--use-busca requires --busca-config")
+        engine, tracker_kwargs = build_engine(
+            args.busca_config, args.busca_ckpt, args.crop_hw
+        )
+        tracker_kwargs["use_busca"] = True
+
+    if args.synthetic:
+        out = run_synthetic(args, engine, tracker_kwargs)
+        print(json.dumps(out, indent=2))
+        return out
+
+    if args.mot_dir:
+        from busca_tpu.eval import mot
+        from busca_tpu.eval.metrics import accumulate, evaluate_clear
+        from busca_tpu.eval.runner import results_to_pred, run_mot_sequence
+
+        per_seq = {}
+        for seq_dir in args.mot_dir:
+            tracker = make_tracker(
+                args.tracker, tracker_kwargs, engine, args.crop_hw
+            )
+            name = os.path.basename(seq_dir.rstrip("/"))
+            out_path = os.path.join(args.output_dir, f"{name}.txt")
+            res = run_mot_sequence(seq_dir, tracker, output_path=out_path)
+            print(f"{name}: {res.num_frames} frames @ {res.fps:.1f} fps")
+            gt_path = os.path.join(seq_dir, "gt", "gt.txt")
+            if os.path.exists(gt_path):
+                gt = mot.read_gt(gt_path)
+                per_seq[name] = evaluate_clear(gt, results_to_pred(res))
+        if per_seq:
+            agg = accumulate(per_seq)
+            print(json.dumps(agg.as_dict(), indent=2))
+        return per_seq
+
+    parser.error("pick a mode: --synthetic or --mot-dir")
+
+
+if __name__ == "__main__":
+    main()

@@ -213,6 +213,46 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     return unwrap_envelope(state)
 
 
+def main(argv=None):
+    """CLI: convert a reference ``.pth`` checkpoint to the npz param format.
+
+    Usage: ``python -m busca_tpu.models.convert model_busca.pth out.npz
+    [--kind busca|resnet] [--keep-reid-fc]``
+    """
+    import argparse
+
+    from busca_tpu.models.checkpoint import save_params_npz
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("src", help="reference .pth checkpoint")
+    parser.add_argument("dst", help="output .npz")
+    parser.add_argument(
+        "--kind", choices=("busca", "resnet"), default="busca",
+        help="busca = model_busca.pth layout; resnet = model_feats.pth",
+    )
+    parser.add_argument("--keep-reid-fc", action="store_true")
+    args = parser.parse_args(argv)
+
+    state = load_torch_checkpoint(args.src)
+    if args.kind == "busca":
+        variables = convert_busca_state_dict(
+            state, ignore_reid_fc=not args.keep_reid_fc
+        )
+    else:
+        variables = convert_resnet_state_dict(state)
+    save_params_npz(args.dst, variables)
+    n = sum(v.size for v in _iter_leaves(variables))
+    print(f"wrote {args.dst}: {n / 1e6:.2f}M parameters")
+
+
+def _iter_leaves(tree):
+    for v in tree.values():
+        if isinstance(v, dict):
+            yield from _iter_leaves(v)
+        else:
+            yield v
+
+
 def merge_params(base: dict, update: dict) -> dict:
     """Recursively overlay ``update`` onto ``base`` (missing keys keep base).
 
@@ -227,3 +267,6 @@ def merge_params(base: dict, update: dict) -> dict:
         else:
             out[k] = v
     return out
+
+if __name__ == "__main__":
+    main()

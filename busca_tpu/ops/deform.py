@@ -1,0 +1,164 @@
+"""Deformable sampling ops: MSDA and DCNv2 equivalents in pure XLA.
+
+The reference's TransCenter path depends on two CUDA extensions
+(Dockerfile:100-111): MultiScaleDeformableAttention (deformable-DETR) and
+DCNv2 (deformable convolution).  On TPU both reduce to *bilinear gathers +
+contractions*, which XLA compiles to efficient fused gather/matmul code — no
+custom kernel needed; the arithmetic lives on the VPU/MXU.
+
+Conventions match the published ops so detector weights can be converted:
+- ``multi_scale_deformable_attention``: sampling locations normalized to
+  [0, 1] per level, grid_sample ``align_corners=False`` semantics
+  (src = loc * size - 0.5), zero padding outside.
+- ``deform_conv2d``: DCNv2 with per-sample modulation mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(
+    img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+) -> jnp.ndarray:
+    """Sample ``img [H, W, C]`` at float pixel coords with zero padding.
+
+    Args:
+      x, y: arbitrary (broadcast-identical) shapes ``[...]``.
+    Returns:
+      ``[..., C]``.
+    """
+    h, w = img.shape[0], img.shape[1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def tap(yy, xx):
+        inside = (
+            (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        )[..., None]
+        v = img[jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1)]
+        return jnp.where(inside, v, 0.0)
+
+    v00 = tap(y0, x0)
+    v01 = tap(y0, x0 + 1)
+    v10 = tap(y0 + 1, x0)
+    v11 = tap(y0 + 1, x0 + 1)
+    return (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
+    )
+
+
+def multi_scale_deformable_attention(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """MSDA forward (replaces the MultiScaleDeformableAttention CUDA op).
+
+    Args:
+      value: ``[B, Len_v, H, D]`` flattened multi-level features (levels
+        concatenated along Len_v in ``spatial_shapes`` order).
+      spatial_shapes: static list of (h_l, w_l) per level.
+      sampling_locations: ``[B, Len_q, H, L, P, 2]`` in [0, 1] (x, y).
+      attention_weights: ``[B, Len_q, H, L, P]`` (softmaxed over L*P).
+    Returns:
+      ``[B, Len_q, H * D]``.
+    """
+    b, _, n_heads, d = value.shape
+    outputs = []
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value[:, start : start + h * w]  # [B, h*w, H, D]
+        start += h * w
+        v = v.reshape(b, h, w, n_heads, d)
+        loc = sampling_locations[:, :, :, lvl]  # [B, Lq, H, P, 2]
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+
+        def sample_one(img_bh, x_bh, y_bh):
+            # img [h, w, D]; x/y [Lq, P]
+            return bilinear_sample(img_bh, x_bh, y_bh)  # [Lq, P, D]
+
+        # vmap over batch then heads
+        v_heads = v.transpose(0, 3, 1, 2, 4)  # [B, H, h, w, D]
+        x_heads = x.transpose(0, 2, 1, 3)  # [B, H, Lq, P]
+        y_heads = y.transpose(0, 2, 1, 3)
+        sampled = jax.vmap(jax.vmap(sample_one))(
+            v_heads, x_heads, y_heads
+        )  # [B, H, Lq, P, D]
+        outputs.append(sampled)
+
+    sampled = jnp.stack(outputs, axis=3)  # [B, H, Lq, L, P, D]
+    weights = attention_weights.transpose(0, 2, 1, 3, 4)  # [B, H, Lq, L, P]
+    out = jnp.einsum("bhqlpd,bhqlp->bhqd", sampled, weights)
+    out = out.transpose(0, 2, 1, 3)  # [B, Lq, H, D]
+    return out.reshape(b, out.shape[1], n_heads * d)
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "padding"))
+def deform_conv2d(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    weight: jnp.ndarray,
+    mask: jnp.ndarray = None,
+    bias: jnp.ndarray = None,
+    stride: int = 1,
+    padding: int = 1,
+) -> jnp.ndarray:
+    """DCNv2 modulated deformable convolution (replaces the DCNv2 CUDA op).
+
+    Args:
+      x: ``[B, H, W, Cin]``.
+      offset: ``[B, Ho, Wo, 2 * kh * kw]`` as interleaved (dy, dx) per tap —
+        the DCN layout.
+      weight: ``[kh, kw, Cin, Cout]``.
+      mask: optional ``[B, Ho, Wo, kh * kw]`` modulation (DCNv2).
+    Returns:
+      ``[B, Ho, Wo, Cout]``.
+    """
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    ho = (h + 2 * padding - kh) // stride + 1
+    wo = (w + 2 * padding - kw) // stride + 1
+
+    base_y = jnp.arange(ho) * stride - padding
+    base_x = jnp.arange(wo) * stride - padding
+    ky = jnp.arange(kh)
+    kx = jnp.arange(kw)
+    # grid of sampling positions per output pixel and tap: [Ho, Wo, kh, kw]
+    gy = base_y[:, None, None, None] + ky[None, None, :, None]
+    gx = base_x[None, :, None, None] + kx[None, None, None, :]
+    gy = jnp.broadcast_to(gy, (ho, wo, kh, kw)).astype(jnp.float32)
+    gx = jnp.broadcast_to(gx, (ho, wo, kh, kw)).astype(jnp.float32)
+
+    off = offset.reshape(b, ho, wo, kh * kw, 2)
+    dy = off[..., 0].reshape(b, ho, wo, kh, kw)
+    dx = off[..., 1].reshape(b, ho, wo, kh, kw)
+
+    def one_image(img, dy_i, dx_i, m_i):
+        sy = gy + dy_i
+        sx = gx + dx_i
+        v = bilinear_sample(img, sx, sy)  # [Ho, Wo, kh, kw, Cin]
+        if m_i is not None:
+            v = v * m_i.reshape(ho, wo, kh, kw)[..., None]
+        return jnp.einsum("ablkc,lkco->abo", v, weight)
+
+    if mask is None:
+        out = jax.vmap(lambda i, a, bb: one_image(i, a, bb, None))(x, dy, dx)
+    else:
+        out = jax.vmap(one_image)(x, dy, dx, mask)
+    if bias is not None:
+        out = out + bias
+    return out

@@ -81,6 +81,11 @@ class GhostTrack:
     def tlbr(self) -> np.ndarray:
         return self.pos.copy()
 
+    @property
+    def score(self) -> float:
+        """Runner-protocol alias for the last admission confidence."""
+        return self.conf
+
     # conf-filtered BUSCA memory views (tracking_utils.py:408-439)
     @property
     def tlwh_mem(self):

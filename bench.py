@@ -42,7 +42,7 @@ def _example_batch(rng):
     return mem_crops, can_crops, boxes(L_MEM), boxes(C)
 
 
-def bench_tpu(batch):
+def bench_tpu(batch, dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -53,7 +53,7 @@ def bench_tpu(batch):
         INPUT_PIXEL_STD_BGR,
     )
 
-    config = BuscaConfig()
+    config = BuscaConfig(dtype=dtype)
     model = BuscaModel(config)
     mem_crops, can_crops, mem_boxes, can_boxes = batch
 
@@ -196,7 +196,8 @@ def bench_torch_cpu(batch):
 def main():
     rng = np.random.RandomState(0)
     batch = _example_batch(rng)
-    tpu_dt, platform = bench_tpu(batch)
+    tpu_dt, platform = bench_tpu(batch, "float32")
+    bf16_dt, _ = bench_tpu(batch, "bfloat16")
     torch_dt = bench_torch_cpu(batch)
     tracks_per_s = T / tpu_dt
     vs = (torch_dt / tpu_dt) if torch_dt else None
@@ -209,12 +210,17 @@ def main():
                 "vs_baseline": round(vs, 2) if vs else None,
                 "detail": {
                     "platform": platform,
-                    "tpu_ms_per_call": round(tpu_dt * 1e3, 2),
+                    "tpu_ms_per_call_f32": round(tpu_dt * 1e3, 2),
+                    "tpu_ms_per_call_bf16": round(bf16_dt * 1e3, 2),
+                    "bf16_tracks_per_s": round(T / bf16_dt, 2),
                     "torch_cpu_ms_per_call": round(torch_dt * 1e3, 2)
                     if torch_dt
                     else None,
                     "tracks_per_call": T,
                     "crops_per_call": T * (L_MEM + C),
+                    "note": "baseline = equivalent torch pipeline on this "
+                    "host's CPU (single core); reference publishes no "
+                    "latency numbers (BASELINE.md)",
                 },
             }
         )

@@ -69,11 +69,22 @@ def compensate_tracks(
     tracks: Sequence,
     prev_frame: Optional[np.ndarray],
     cur_frame: Optional[np.ndarray],
+    backend: str = "cv2",
 ) -> float:
-    """ECC-align frames and warp each track (byte_tracker.py:626-650)."""
+    """ECC-align frames and warp each track (byte_tracker.py:626-650).
+
+    backend='jax' runs the alignment on device (busca_tpu.ops.ecc) —
+    overlappable with the frame's other device work; 'cv2' is the host
+    oracle path.
+    """
     if prev_frame is None or cur_frame is None:
         return 1.0
-    cc, warp = ecc_align(prev_frame, cur_frame)
+    if backend == "jax":
+        from busca_tpu.ops.ecc import estimate_cmc
+
+        cc, warp = estimate_cmc(prev_frame, cur_frame)
+    else:
+        cc, warp = ecc_align(prev_frame, cur_frame)
     for t in tracks:
         t.apply_camera_motion(warp)
     return cc

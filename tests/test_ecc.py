@@ -1,0 +1,88 @@
+"""JAX ECC vs ground-truth warps and the cv2 oracle."""
+
+import numpy as np
+import cv2
+import jax.numpy as jnp
+
+from busca_tpu.ops.ecc import ecc_euclidean, estimate_cmc, rgb_to_gray
+
+
+def _textured(rng, h=120, w=160):
+    img = rng.uniform(0, 255, (h // 8, w // 8)).astype(np.float32)
+    img = cv2.resize(img, (w, h), interpolation=cv2.INTER_CUBIC)
+    return cv2.GaussianBlur(img, (5, 5), 1.5)
+
+
+def _apply_warp(img, warp):
+    return cv2.warpAffine(
+        img, warp, (img.shape[1], img.shape[0]),
+        flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+    )
+
+
+def _invert_affine(m):
+    """ECC recovers the inverse of the warp applied to create the image."""
+    r = m[:, :2]
+    t = m[:, 2]
+    r_inv = np.linalg.inv(r)
+    return np.concatenate([r_inv, (-r_inv @ t)[:, None]], axis=1)
+
+
+def test_recovers_translation(rng):
+    tpl = _textured(rng)
+    true = np.array([[1, 0, 3.0], [0, 1, -2.0]], np.float32)
+    img = _apply_warp(tpl, true)
+    rho, warp = ecc_euclidean(jnp.asarray(tpl), jnp.asarray(img), 60)
+    warp = np.asarray(warp)
+    want = _invert_affine(true)
+    assert float(rho) > 0.95
+    np.testing.assert_allclose(warp[:, 2], want[:, 2], atol=0.2)
+    np.testing.assert_allclose(warp[:, :2], want[:, :2], atol=0.02)
+
+
+def test_recovers_small_rotation(rng):
+    tpl = _textured(rng)
+    theta = 0.02
+    c, s = np.cos(theta), np.sin(theta)
+    true = np.array([[c, -s, 2.0], [s, c, 1.0]], np.float32)
+    img = _apply_warp(tpl, true)
+    rho, warp = ecc_euclidean(jnp.asarray(tpl), jnp.asarray(img), 80)
+    warp = np.asarray(warp)
+    want = _invert_affine(true)
+    assert float(rho) > 0.9
+    got_theta = np.arctan2(warp[1, 0], warp[0, 0])
+    want_theta = np.arctan2(want[1, 0], want[0, 0])
+    np.testing.assert_allclose(got_theta, want_theta, atol=5e-3)
+    np.testing.assert_allclose(warp[:, 2], want[:, 2], atol=0.5)
+
+
+def test_matches_cv2_oracle(rng):
+    tpl = _textured(rng)
+    true = np.array([[1, 0, 2.5], [0, 1, 1.5]], np.float32)
+    img = _apply_warp(tpl, true)
+
+    crit = (cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 60, 1e-5)
+    w0 = np.eye(2, 3, dtype=np.float32)
+    _, cv_warp = cv2.findTransformECC(
+        templateImage=tpl.astype(np.float32),
+        inputImage=img.astype(np.float32),
+        warpMatrix=w0,
+        motionType=cv2.MOTION_EUCLIDEAN,
+        criteria=crit,
+    )
+    _, jx_warp = ecc_euclidean(jnp.asarray(tpl), jnp.asarray(img), 60)
+    np.testing.assert_allclose(np.asarray(jx_warp), cv_warp, atol=0.25)
+
+
+def test_identity_on_identical_frames(rng):
+    frame = rng.randint(0, 255, (80, 100, 3), dtype=np.uint8)
+    rho, warp = estimate_cmc(frame, frame, num_iterations=20)
+    assert rho > 0.99
+    np.testing.assert_allclose(warp, np.eye(2, 3), atol=1e-2)
+
+
+def test_gray_conversion_matches_cv2(rng):
+    frame = rng.randint(0, 255, (40, 50, 3), dtype=np.uint8)
+    got = np.asarray(rgb_to_gray(jnp.asarray(frame), bgr=True))
+    want = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=1.0)

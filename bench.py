@@ -17,9 +17,25 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache — first-compile of the ResNet graph
+    through the TPU tunnel takes minutes; later runs load it in seconds."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+_enable_compile_cache()
 
 T = 16          # unmatched tracks per call (a busy MOT17 frame)
 L_MEM = 11      # memory length (shipped config)

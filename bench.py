@@ -43,7 +43,7 @@ C = 5           # candidate slots (shipped config)
 H, W = 384, 128
 WARMUP = 3
 ITERS = 20
-TORCH_ITERS = 2
+TORCH_ITERS = 1  # one timed call — the CPU baseline is ~60s/call
 
 
 def _example_batch(rng):
@@ -202,7 +202,6 @@ def bench_torch_cpu(batch):
         (can_crops.astype(np.float32) / 255.0).transpose(0, 1, 4, 2, 3)
     )
     with torch.no_grad():
-        net(mem, can)  # warmup
         t0 = time.perf_counter()
         for _ in range(TORCH_ITERS):
             net(mem, can)

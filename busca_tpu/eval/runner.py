@@ -97,6 +97,37 @@ def shard_sequences(
     return [n for i, n in enumerate(names) if i % process_count == process_index]
 
 
+def _eval_one(args):
+    name, gt, pred, iou_threshold = args
+    from busca_tpu.eval import metrics as m
+
+    return name, m.evaluate_clear(gt, pred, iou_threshold)
+
+
+def evaluate_sequences_parallel(
+    per_seq: Dict[str, Tuple[dict, dict]],
+    num_workers: int = 8,
+    iou_threshold: float = 0.5,
+) -> Dict[str, metrics_lib.MotMetrics]:
+    """Metric evaluation across sequences with a process pool.
+
+    The TrackEval role of the reference's parallel evaluation
+    (adapters/GHOST/src/eval_track_eval.py:97-98, USE_PARALLEL / 8 cores).
+
+    Args:
+      per_seq: {name: (gt, pred)} with the evaluate_clear input formats.
+    """
+    items = [
+        (name, gt, pred, iou_threshold) for name, (gt, pred) in per_seq.items()
+    ]
+    if num_workers <= 1 or len(items) <= 1:
+        return dict(_eval_one(i) for i in items)
+    import multiprocessing as mp
+
+    with mp.get_context("spawn").Pool(min(num_workers, len(items))) as pool:
+        return dict(pool.map(_eval_one, items))
+
+
 def run_ab(
     make_base_tracker: Callable[[], object],
     make_busca_tracker: Callable[[], object],

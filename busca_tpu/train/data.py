@@ -84,11 +84,15 @@ def synthetic_batch(rng: np.random.RandomState, spec: EpisodeSpec) -> Dict[str, 
             target_slot = rng.randint(c)
             labels[i] = target_slot
 
+        # detector dropouts mean the correct candidate can be several frames
+        # ahead of the last memory entry — sample a random temporal gap so
+        # the model learns to extrapolate the motion, not just 1-step moves
+        gap = rng.randint(1, 7)
         for ci in range(c):
             if ci == target_slot:
                 can_crops[i, ci] = crop_of(color)
-                x = x0 + vx
-                y = y0 + vy
+                x = x0 + vx * gap
+                y = y0 + vy * gap
                 can_boxes[i, ci] = [x, y, x + bw, y + bh]
             else:
                 can_crops[i, ci] = crop_of(rng.uniform(0, 255, 3))

@@ -1,3 +1,3 @@
-from busca_tpu.ops import crop
+from busca_tpu.ops import crop, deform, ecc, lap, nms
 
-__all__ = ["crop"]
+__all__ = ["crop", "deform", "ecc", "lap", "nms"]

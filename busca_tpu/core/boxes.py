@@ -88,6 +88,25 @@ def iou_matrix(atlbr: jnp.ndarray, btlbr: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(union > 0.0, inter / union, 0.0)
 
 
+def iou_matrix_std(atlbr: jnp.ndarray, btlbr: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU with the standard (no +1) area convention.
+
+    Matches ``torchvision.ops.box_iou`` — used by the reference *detector*
+    postprocess (``torchvision.ops.batched_nms`` in
+    adapters/ByteTrack/yolox/utils/boxes.py), whereas the tracker matching
+    layer uses the +1 ``cython_bbox`` convention (:func:`iou_matrix`).
+    """
+    a = atlbr[:, None, :]
+    b = btlbr[None, :, :]
+    iw = jnp.minimum(a[..., 2], b[..., 2]) - jnp.maximum(a[..., 0], b[..., 0])
+    ih = jnp.minimum(a[..., 3], b[..., 3]) - jnp.maximum(a[..., 1], b[..., 1])
+    inter = jnp.maximum(iw, 0.0) * jnp.maximum(ih, 0.0)
+    area_a = (a[..., 2] - a[..., 0]) * (a[..., 3] - a[..., 1])
+    area_b = (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
+    union = area_a + area_b - inter
+    return jnp.where(union > 0.0, inter / union, 0.0)
+
+
 def iou_distance(atlbr: jnp.ndarray, btlbr: jnp.ndarray) -> jnp.ndarray:
     """1 - IoU cost matrix (reference matching.py:73-91)."""
     return 1.0 - iou_matrix(atlbr, btlbr)

@@ -43,9 +43,16 @@ def run_sequence(
     detections: Sequence[Tuple[np.ndarray, np.ndarray]],
     name: str = "seq",
     scale: float = 1.0,
-    min_box_area: float = 10.0,
+    min_box_area: float = 100.0,
+    vertical_thresh: Optional[float] = 1.6,
 ) -> SequenceResult:
     """Drive one tracker instance over a sequence.
+
+    Output filtering mirrors the reference MOT evaluator
+    (mot_evaluator.py:216-221): boxes with area <= ``min_box_area`` (default
+    100, the reference ``--min_box_area``) or aspect w/h > ``vertical_thresh``
+    ("vertical" boxes, skipped when the reference's ``ignore_vertical_thresh``
+    is set — pass ``vertical_thresh=None`` for that) are dropped from output.
 
     Args:
       tracker: object with ``update(bboxes_tlbr, scores, scale, frame)``.
@@ -59,7 +66,12 @@ def run_sequence(
         tlwhs, ids, confs = [], [], []
         for t in online:
             tlwh = t.tlwh
-            if tlwh[2] * tlwh[3] > min_box_area:
+            vertical = (
+                vertical_thresh is not None
+                and tlwh[3] > 0
+                and tlwh[2] / tlwh[3] > vertical_thresh
+            )
+            if tlwh[2] * tlwh[3] > min_box_area and not vertical:
                 tlwhs.append(tlwh)
                 ids.append(t.track_id)
                 confs.append(t.score)

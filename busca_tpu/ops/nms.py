@@ -36,7 +36,10 @@ def nms(
     sorted_boxes = boxes_tlbr[order]
     sorted_valid = jnp.isfinite(scores[order]) & (scores[order] > -jnp.inf)
 
-    iou = boxlib.iou_matrix(sorted_boxes, sorted_boxes)
+    # standard IoU (torchvision convention) — this op stands in for the
+    # detector-side batched_nms, not the tracker matching layer (which keeps
+    # the +1 cython_bbox convention in core.boxes.iou_matrix)
+    iou = boxlib.iou_matrix_std(sorted_boxes, sorted_boxes)
 
     def body(keep_mask, i):
         # keep i iff not suppressed by any earlier kept box
@@ -68,7 +71,7 @@ def nms(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_classes", "max_outputs")
+    jax.jit, static_argnames=("num_classes", "max_outputs", "pre_nms_topk")
 )
 def yolox_postprocess(
     prediction: jnp.ndarray,
@@ -76,8 +79,15 @@ def yolox_postprocess(
     conf_threshold: float = 0.7,
     nms_threshold: float = 0.45,
     max_outputs: int = 128,
+    pre_nms_topk: int = 1024,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """YOLOX detector postprocess (conf filter + class-aware NMS).
+
+    A detector emits ~24k candidate rows at (800, 1440); the greedy NMS's
+    pairwise IoU matrix is quadratic, so the ``pre_nms_topk`` highest-scored
+    rows are selected first (static shape, ``lax.top_k``) — equivalent to the
+    reference for any frame with fewer than ``pre_nms_topk`` above-threshold
+    candidates, which is every MOT frame by orders of magnitude.
 
     Args:
       prediction: ``[N, 5 + num_classes]`` rows of
@@ -99,12 +109,22 @@ def yolox_postprocess(
     keep = obj * cls_conf >= conf_threshold
     scores = jnp.where(keep, obj * cls_conf, -jnp.inf)
 
-    # class-aware NMS: offset boxes per class so classes never suppress
-    # each other (the batched_nms trick)
-    offset = cls_id.astype(jnp.float32)[:, None] * 1e6
+    if pre_nms_topk and prediction.shape[0] > pre_nms_topk:
+        scores, top_idx = jax.lax.top_k(scores, pre_nms_topk)
+        tlbr = tlbr[top_idx]
+        obj = obj[top_idx]
+        cls_conf = cls_conf[top_idx]
+        cls_id = cls_id[top_idx]
+
+    # class-aware NMS: offset boxes per class so classes never suppress each
+    # other (the batched_nms trick).  Scale the offset by max_coordinate + 1
+    # like torchvision — a fixed 1e6 would quantize coordinates to several
+    # pixels at high class ids (float32 ulp at 8e7 is 8).
+    max_coord = jnp.max(jnp.where(jnp.isfinite(tlbr), tlbr, 0.0))
+    offset = cls_id.astype(jnp.float32)[:, None] * (max_coord + 1.0)
     idx, valid = nms(tlbr + offset, scores, nms_threshold, max_outputs)
 
-    safe = jnp.clip(idx, 0, prediction.shape[0] - 1)
+    safe = jnp.clip(idx, 0, tlbr.shape[0] - 1)
     out = jnp.concatenate(
         [
             tlbr[safe],

@@ -70,7 +70,13 @@ def make_train_step(model: BuscaModel, optimizer: optax.GradientTransformation):
                 logits, batch["labels"]
             )
             acc = (logits.argmax(-1) == batch["labels"]).astype(jnp.float32)
-            return losses.mean(), acc.mean()
+            mask = batch.get("mask")
+            if mask is None:
+                return losses.mean(), acc.mean()
+            # padded lanes are excluded from ReID BN stats via the same mask;
+            # exclude them from the gradient and the accuracy too
+            denom = jnp.maximum(mask.sum(), 1.0)
+            return (losses * mask).sum() / denom, (acc * mask).sum() / denom
 
         (loss, acc), grads = jax.value_and_grad(lf, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)

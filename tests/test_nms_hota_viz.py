@@ -11,7 +11,11 @@ from busca_tpu.viz import create_batch_image, id_color, plot_box
 # ------------------------------- NMS ----------------------------------------
 
 def _greedy_nms_oracle(boxes, scores, thr):
-    """Plain-python greedy NMS with the same +1 IoU convention."""
+    """torchvision.ops.nms semantics: greedy, standard (no +1) IoU.
+
+    torchvision itself is not in the image, so this mirrors its documented
+    algorithm exactly (descending score, suppress if IoU > threshold).
+    """
     order = np.argsort(-scores)
     kept = []
     for i in order:
@@ -20,13 +24,13 @@ def _greedy_nms_oracle(boxes, scores, thr):
         ok = True
         for j in kept:
             bi, bj = boxes[i], boxes[j]
-            iw = min(bi[2], bj[2]) - max(bi[0], bj[0]) + 1
-            ih = min(bi[3], bj[3]) - max(bi[1], bj[1]) + 1
+            iw = min(bi[2], bj[2]) - max(bi[0], bj[0])
+            ih = min(bi[3], bj[3]) - max(bi[1], bj[1])
             if iw > 0 and ih > 0:
                 inter = iw * ih
                 ua = (
-                    (bi[2] - bi[0] + 1) * (bi[3] - bi[1] + 1)
-                    + (bj[2] - bj[0] + 1) * (bj[3] - bj[1] + 1)
+                    (bi[2] - bi[0]) * (bi[3] - bi[1])
+                    + (bj[2] - bj[0]) * (bj[3] - bj[1])
                     - inter
                 )
                 if inter / ua > thr:
@@ -74,6 +78,27 @@ def test_yolox_postprocess(rng):
             assert row[4] * row[5] >= 0.3 - 1e-6  # conf filter held
             assert row[2] > row[0] and row[3] > row[1]
     assert (out[~valid] == 0).all()
+
+
+def test_yolox_postprocess_class_offset_precision(rng):
+    """High class ids must not quantize coordinates (offset scales with
+    max coordinate, not a fixed 1e6 — the torchvision batched_nms rule)."""
+    nc = 80
+    # two overlapping boxes in class 79, one clearly lower-scored: the worse
+    # one must be suppressed even at the largest class offset
+    pred = np.zeros((2, 5 + nc), np.float32)
+    pred[:, 0:2] = [[100.0, 100.0], [104.0, 102.0]]
+    pred[:, 2:4] = [[40.0, 40.0], [40.0, 40.0]]
+    pred[:, 4] = [0.9, 0.8]
+    pred[:, 5 + 79] = [0.9, 0.9]
+    out, valid = yolox_postprocess(jnp.asarray(pred), nc, 0.3, 0.5, 8)
+    assert int(np.asarray(valid).sum()) == 1
+    # per-class separation still holds: same boxes, different classes -> both kept
+    pred2 = pred.copy()
+    pred2[1, 5 + 79] = 0.0
+    pred2[1, 5 + 3] = 0.9
+    out2, valid2 = yolox_postprocess(jnp.asarray(pred2), nc, 0.3, 0.5, 8)
+    assert int(np.asarray(valid2).sum()) == 2
 
 
 # ------------------------------- HOTA ---------------------------------------

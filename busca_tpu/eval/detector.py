@@ -1,0 +1,417 @@
+"""Live detector-in-the-loop evaluation: frame -> YOLOX -> NMS -> tracker.
+
+Rebuilds the reference's canonical per-frame detector path
+(adapters/ByteTrack/yolox/evaluators/mot_evaluator.py:131-235):
+
+1. preproc: aspect-preserving resize, 114-pad to the test size, BGR->RGB,
+   ImageNet normalize (exps/transcenterdetr_base.py:284-306 ``preproc``);
+2. detector forward + decode;
+3. confidence filter + class-aware NMS (yolox/utils/boxes.py postprocess);
+4. the de-normalized uint8 BGR detector image handed to the tracker for
+   BUSCA crops (mot_evaluator.py:196-204 rebuilds it from the normalized
+   tensor; here the padded uint8 canvas *is* that image, kept directly).
+
+TPU-first: steps 1-3 run as ONE jitted device call per frame — the resize is
+the fused crop op (exact cv2.INTER_LINEAR semantics, ops/crop.py), the pad +
+normalize fuse into the first conv, and the static-shape NMS keeps everything
+on device.  Only the final fixed-size (boxes, scores, valid) block and the
+uint8 detector image return to host.  Shapes are static per input resolution,
+so a sequence compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+# ImageNet RGB statistics — the ValTransform defaults the reference evaluates
+# with (exps/transcenterdetr_base.py:327-333; mot_evaluator.py:198-199 reads
+# them back off the dataloader to de-normalize).
+IMAGENET_MEAN_RGB = (0.485, 0.456, 0.406)
+IMAGENET_STD_RGB = (0.229, 0.224, 0.225)
+PAD_VALUE = 114.0
+
+
+@dataclasses.dataclass
+class DetectorOutput:
+    """One frame's detections, in detector (resized) coordinates."""
+
+    boxes_tlbr: np.ndarray  # [N, 4] detector coords
+    scores: np.ndarray  # [N] obj_conf * cls_conf
+    image: np.ndarray  # [test_h, test_w, 3] uint8 BGR (the padded canvas)
+    scale: float  # detector coords = original coords * scale
+
+
+class YoloxDetector:
+    """Flax YOLOX wrapped for the per-frame tracking loop.
+
+    Args:
+      config: model size/classes (``YoloxConfig.size("x", num_classes=1)``
+        for the ByteTrack MOT detector).
+      variables: model variables (``{"params", "batch_stats"}``) — from
+        ``convert_yolox_state_dict`` on an official checkpoint, or
+        ``init_variables`` for random weights.
+      test_size: (H, W) detector input, reference MOT17 uses (800, 1440)
+        (exps comments; ablation runs (640, 1088)).
+      conf_thresh / nms_thresh: postprocess thresholds (exp.test_conf /
+        exp.nmsthre).
+    """
+
+    def __init__(
+        self,
+        config,
+        variables,
+        test_size: Tuple[int, int] = (800, 1440),
+        conf_thresh: float = 0.1,
+        nms_thresh: float = 0.7,
+        max_outputs: int = 256,
+    ):
+        from busca_tpu.models.yolox import YOLOX
+
+        self.config = config
+        self.model = YOLOX(config)
+        self.variables = variables
+        self.test_size = tuple(test_size)
+        self.conf_thresh = float(conf_thresh)
+        self.nms_thresh = float(nms_thresh)
+        self.max_outputs = int(max_outputs)
+        self._steps = {}  # (frame_h, frame_w) -> jitted step
+
+    # ------------------------------------------------------------ factory --
+    @classmethod
+    def build(
+        cls,
+        size: str = "x",
+        ckpt_path: Optional[str] = None,
+        num_classes: int = 1,
+        **kw,
+    ) -> "YoloxDetector":
+        """Detector from a size name + optional official torch checkpoint."""
+        from busca_tpu.models.yolox import YoloxConfig, convert_yolox_state_dict
+
+        config = YoloxConfig.size(size, num_classes=num_classes)
+        if ckpt_path:
+            if ckpt_path.endswith(".npz"):
+                from busca_tpu.models.checkpoint import load_params_npz
+
+                variables = load_params_npz(ckpt_path)
+            else:
+                from busca_tpu.models.convert import load_torch_checkpoint
+
+                sd = load_torch_checkpoint(ckpt_path)
+                sd = sd.get("model", sd)
+                variables = convert_yolox_state_dict(sd, config)
+        else:
+            variables = init_variables(config, kw.get("test_size", (800, 1440)))
+        return cls(config, variables, **kw)
+
+    # ----------------------------------------------------------- step build --
+    def _make_step(self, frame_hw: Tuple[int, int]):
+        import jax
+        import jax.numpy as jnp
+
+        from busca_tpu.ops.crop import crop_resize_normalize
+        from busca_tpu.ops.nms import yolox_postprocess
+
+        fh, fw = frame_hw
+        th, tw = self.test_size
+        r = min(th / fh, tw / fw)
+        rh, rw = int(fh * r), int(fw * r)
+        mean = jnp.asarray(IMAGENET_MEAN_RGB, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD_RGB, jnp.float32)
+
+        @jax.jit
+        def step(variables, frame_bgr_u8):
+            # cv2.INTER_LINEAR resize of the full frame (uint8 rounding like
+            # the reference's cv2.resize-then-float cast)
+            box = jnp.asarray([[0.0, 0.0, float(fw), float(fh)]])
+            resized = crop_resize_normalize(
+                frame_bgr_u8,
+                box,
+                out_hw=(rh, rw),
+                normalize=False,
+                bgr_input=True,
+                rgb_output=False,
+                quantize_uint8=True,
+            )[0]
+            canvas = jnp.full((th, tw, 3), PAD_VALUE, jnp.float32)
+            canvas = canvas.at[:rh, :rw].set(resized)
+            det_image_u8 = jnp.clip(jnp.round(canvas), 0, 255).astype(jnp.uint8)
+
+            x = (canvas[..., ::-1] / 255.0 - mean) / std  # BGR->RGB, normalize
+            pred = self.model.apply(variables, x[None])[0]  # [N, 5+C]
+            out, valid = yolox_postprocess(
+                pred,
+                self.config.num_classes,
+                self.conf_thresh,
+                self.nms_thresh,
+                self.max_outputs,
+            )
+            return out, valid, det_image_u8
+
+        return step, r
+
+    # ----------------------------------------------------------------- api --
+    def detect(self, frame_bgr: np.ndarray) -> DetectorOutput:
+        """Run the detector on one uint8 BGR frame (original resolution)."""
+        import jax.numpy as jnp
+
+        key = (int(frame_bgr.shape[0]), int(frame_bgr.shape[1]))
+        if key not in self._steps:
+            self._steps[key] = self._make_step(key)
+        step, r = self._steps[key]
+        out, valid, det_image = step(self.variables, jnp.asarray(frame_bgr))
+        out = np.asarray(out)
+        valid = np.asarray(valid)
+        rows = out[valid]
+        # tracker input scores = obj_conf * cls_conf (byte_tracker.py:230-234)
+        return DetectorOutput(
+            boxes_tlbr=rows[:, :4].astype(np.float64),
+            scores=(rows[:, 4] * rows[:, 5]).astype(np.float64),
+            image=np.asarray(det_image),
+            scale=r,
+        )
+
+
+class TransCenterDetector:
+    """Stateful TransCenter detector for the per-frame tracking loop.
+
+    Mirrors the reference wrapper's statefulness and IO contract
+    (adapters/TransCenter/models/transcenter.py:75-203): keeps the previous
+    frame (``pre_sample``), consumes the tracker's current positions as
+    ``pre_cts`` center priors, per-video ``reset()``
+    (tracking/mot_evaluator.py:128-150), and emits score-filtered person
+    detections.  The dense forward + decode is one jitted device call.
+    """
+
+    uses_feedback = True  # track loop passes tracker.get_detector_positions()
+
+    def __init__(
+        self,
+        config=None,
+        variables=None,
+        test_size: Tuple[int, int] = (640, 1088),
+        out_thresh: float = 0.1,
+        nms_thresh: float = 0.7,
+    ):
+        from busca_tpu.models.transcenter import (
+            TransCenterConfig,
+            TransCenterDETR,
+        )
+
+        self.config = config or TransCenterConfig.for_dataset("mot17")
+        self.model = TransCenterDETR(self.config)
+        self.test_size = tuple(test_size)
+        self.out_thresh = float(out_thresh)
+        self.nms_thresh = float(nms_thresh)
+        if variables is None:
+            import jax
+            import jax.numpy as jnp
+
+            th, tw = self.test_size
+            variables = jax.jit(self.model.init)(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, th, tw, 3), jnp.float32),
+                jnp.zeros((1, th, tw, 3), jnp.float32),
+                jnp.zeros(
+                    (1, th // self.config.down_ratio,
+                     tw // self.config.down_ratio, 1),
+                    jnp.float32,
+                ),
+            )
+        self.variables = variables
+        self._steps = {}
+        self.reset()
+
+    def reset(self):
+        """Per-video state reset (transcenter.py:197-203)."""
+        self._pre_canvas = None
+
+    def _make_step(self, frame_hw: Tuple[int, int]):
+        import jax
+        import jax.numpy as jnp
+
+        from busca_tpu.ops.crop import crop_resize_normalize
+        from busca_tpu.ops.nms import nms as nms_op
+
+        fh, fw = frame_hw
+        th, tw = self.test_size
+        r = min(th / fh, tw / fw)
+        rh, rw = int(fh * r), int(fw * r)
+        down = self.config.down_ratio
+        mean = jnp.asarray(IMAGENET_MEAN_RGB, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD_RGB, jnp.float32)
+
+        @jax.jit
+        def prep(frame_bgr_u8):
+            box = jnp.asarray([[0.0, 0.0, float(fw), float(fh)]])
+            resized = crop_resize_normalize(
+                frame_bgr_u8, box, out_hw=(rh, rw), normalize=False,
+                bgr_input=True, rgb_output=False, quantize_uint8=True,
+            )[0]
+            canvas = jnp.zeros((th, tw, 3), jnp.float32)
+            canvas = canvas.at[:rh, :rw].set(resized)
+            return jnp.clip(jnp.round(canvas), 0, 255).astype(jnp.uint8)
+
+        @jax.jit
+        def step(variables, canvas_u8, pre_canvas_u8, pre_hm):
+
+            def norm(c_u8):
+                return (
+                    c_u8.astype(jnp.float32)[..., ::-1] / 255.0 - mean
+                ) / std
+
+            out = self.model.apply(
+                variables, norm(canvas_u8)[None], norm(pre_canvas_u8)[None],
+                pre_hm[None],
+            )
+            # transcenter.py:137-138: hm is not _sigmoid'ed in the net
+            out = dict(out)
+            out["hm"] = jnp.clip(jax.nn.sigmoid(out["hm"]), 1e-4, 1 - 1e-4)
+            from busca_tpu.models.transcenter import generic_decode
+
+            decoded = generic_decode(out, k=self.config.K)
+            boxes = decoded["bboxes"][0] * down  # input plane
+            scores = decoded["scores"][0]
+            # person filter (labels == 1 after +1, transcenter.py:168-172)
+            keep = decoded["clses"][0] == 0
+            scores = jnp.where(keep & (scores >= self.out_thresh), scores,
+                               -jnp.inf)
+            if self.config.clip:  # mot20 (transcenter.py:173-176)
+                boxes = jnp.stack(
+                    [
+                        jnp.clip(boxes[:, 0], 0, tw - 1),
+                        jnp.clip(boxes[:, 1], 0, th - 1),
+                        jnp.clip(boxes[:, 2], 0, tw - 1),
+                        jnp.clip(boxes[:, 3], 0, th - 1),
+                    ],
+                    axis=1,
+                )
+            # the reference pipes this through the YOLOX postprocess NMS
+            # (mot_evaluator.py:160); same here, on device
+            idx, valid = nms_op(boxes, scores, self.nms_thresh,
+                                self.config.K)
+            safe = jnp.clip(idx, 0, boxes.shape[0] - 1)
+            return boxes[safe], scores[safe], valid
+
+        return prep, step, r
+
+    def detect(
+        self, frame_bgr: np.ndarray, current_pos: Optional[np.ndarray] = None
+    ) -> DetectorOutput:
+        """One frame; ``current_pos`` = tracker boxes (tlbr, detector coords)
+        from ``get_detector_positions`` — the stateful feedback loop
+        (mot_evaluator.py:158)."""
+        import jax.numpy as jnp
+
+        from busca_tpu.models.transcenter import render_prior_heatmap
+
+        key = (int(frame_bgr.shape[0]), int(frame_bgr.shape[1]))
+        if key not in self._steps:
+            self._steps[key] = self._make_step(key)
+        prep, step, r = self._steps[key]
+        th, tw = self.test_size
+        down = self.config.down_ratio
+
+        # pre_cts: box centers clamped to the input plane, then /down_ratio
+        # (transcenter.py:104-127 with trans=[1, 0, 0] — coords already in
+        # the detector plane)
+        pre_cts = None
+        if current_pos is not None and len(current_pos):
+            cts = (current_pos[:, :2] + current_pos[:, 2:4]) / 2.0
+            cts[:, 0] = np.clip(cts[:, 0], 0, tw - 1)
+            cts[:, 1] = np.clip(cts[:, 1], 0, th - 1)
+            pre_cts = cts / down
+        pre_hm = render_prior_heatmap(pre_cts, (th // down, tw // down))
+
+        canvas = prep(jnp.asarray(frame_bgr))
+        if self._pre_canvas is None:
+            # first frame: pre_sample = sample (transcenter.py:95-97)
+            self._pre_canvas = canvas
+        boxes, scores, valid = step(
+            self.variables, canvas, self._pre_canvas, jnp.asarray(pre_hm)
+        )
+        self._pre_canvas = canvas
+
+        boxes = np.asarray(boxes)
+        scores = np.asarray(scores)
+        valid = np.asarray(valid) & np.isfinite(scores)
+        return DetectorOutput(
+            boxes_tlbr=boxes[valid].astype(np.float64),
+            scores=scores[valid].astype(np.float64),
+            image=np.asarray(canvas),
+            scale=r,
+        )
+
+
+def init_variables(config, test_size=(800, 1440)):
+    """Random-weight variables (shape-correct) for tests/integration runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from busca_tpu.models.yolox import YOLOX
+
+    model = YOLOX(config)
+    th, tw = test_size
+    return jax.jit(functools.partial(model.init, decode=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, th, tw, 3), jnp.float32)
+    )
+
+
+def track_frames_with_detector(
+    detector: YoloxDetector,
+    tracker,
+    frames,
+    name: str = "seq",
+    min_box_area: float = 100.0,
+    vertical_thresh: Optional[float] = 1.6,
+):
+    """Drive detector + tracker over raw frames (the reference's canonical
+    eval loop, mot_evaluator.py:131-235).
+
+    The tracker gets detections mapped back to original coordinates plus the
+    detector-resolution image for BUSCA crops — exactly the reference's
+    ``bboxes /= scale`` + crops-at-``bboxes*scale``-from-``vot_img`` scheme
+    (byte_tracker.py:240-287).
+
+    Detectors with ``uses_feedback`` (TransCenter) get the tracker's current
+    positions each frame — the stateful detector<->tracker loop
+    (TransCenter mot_evaluator.py:158).
+    """
+    import time
+
+    from busca_tpu.eval.runner import SequenceResult
+
+    feedback = getattr(detector, "uses_feedback", False) and hasattr(
+        tracker, "get_detector_positions"
+    )
+    results = []
+    t0 = time.perf_counter()
+    for idx, frame in enumerate(frames):
+        if feedback:
+            det = detector.detect(
+                frame, current_pos=tracker.get_detector_positions()
+            )
+        else:
+            det = detector.detect(frame)
+        online = tracker.update(
+            det.boxes_tlbr / det.scale, det.scores, det.scale, det.image
+        )
+        tlwhs, ids, confs = [], [], []
+        for t in online:
+            tlwh = t.tlwh
+            vertical = (
+                vertical_thresh is not None
+                and tlwh[3] > 0
+                and tlwh[2] / tlwh[3] > vertical_thresh
+            )
+            if tlwh[2] * tlwh[3] > min_box_area and not vertical:
+                tlwhs.append(tlwh)
+                ids.append(t.track_id)
+                confs.append(t.score)
+        results.append((idx + 1, tlwhs, ids, confs))
+    dt = time.perf_counter() - t0
+    return SequenceResult(name, len(results), results, dt)

@@ -11,6 +11,10 @@ Modes:
 - ``--mot-dir``: MOTChallenge sequence directories with ``det/det.txt``
   detections (the cached-detection path, BASELINE.json config #1); writes
   MOTChallenge result txts and evaluates vs gt when present.
+- ``--mot-dir ... --detector yolox-x --detector-ckpt bytetrack_x.pth``: the
+  live detector-in-the-loop path (reference mot_evaluator.py:131-235) — runs
+  YOLOX per frame, NMS on device, feeds the tracker; per-video BYTE threshold
+  table applied (disable with ``--ignore-custom-byte-thresholds``).
 
 Example::
 
@@ -222,6 +226,28 @@ def main(argv=None):
     parser.add_argument("--output-dir", default="results")
     parser.add_argument("--crop-h", type=int, default=384)
     parser.add_argument("--crop-w", type=int, default=128)
+    # live detector-in-the-loop (reference mot_evaluator.py:131-235)
+    parser.add_argument("--detector", default=None,
+                        choices=["yolox-s", "yolox-m", "yolox-l", "yolox-x",
+                                 "transcenter"],
+                        help="run the detector per frame instead of reading "
+                             "cached det/det.txt")
+    parser.add_argument("--detector-dataset", default="mot17",
+                        choices=["mot17", "mot20"],
+                        help="TransCenter per-dataset preset (K/clip, "
+                             "models/transcenter.py:31-48)")
+    parser.add_argument("--detector-ckpt", default=None,
+                        help="official YOLOX .pth (or converted .npz); "
+                             "random weights if omitted")
+    parser.add_argument("--test-h", type=int, default=800)
+    parser.add_argument("--test-w", type=int, default=1440)
+    parser.add_argument("--det-conf", type=float, default=0.01,
+                        help="exp.test_conf (BYTE consumes low-conf dets)")
+    parser.add_argument("--det-nms", type=float, default=0.7,
+                        help="exp.nmsthre")
+    parser.add_argument("--ignore-custom-byte-thresholds", action="store_true",
+                        help="disable the per-video BYTE threshold table "
+                             "(mot_evaluator.py:141-164)")
     args = parser.parse_args(argv)
     args.crop_hw = (args.crop_h, args.crop_w)
 
@@ -242,16 +268,70 @@ def main(argv=None):
     if args.mot_dir:
         from busca_tpu.eval import mot
         from busca_tpu.eval.metrics import accumulate, evaluate_clear
+        from busca_tpu.eval.presets import custom_byte_thresholds
         from busca_tpu.eval.runner import results_to_pred, run_mot_sequence
+
+        detector = None
+        if args.detector == "transcenter":
+            from busca_tpu.eval.detector import TransCenterDetector
+            from busca_tpu.models.transcenter import TransCenterConfig
+
+            detector = TransCenterDetector(
+                TransCenterConfig.for_dataset(args.detector_dataset),
+                test_size=(args.test_h, args.test_w),
+                out_thresh=args.det_conf,
+                nms_thresh=args.det_nms,
+            )
+        elif args.detector:
+            from busca_tpu.eval.detector import YoloxDetector
+
+            detector = YoloxDetector.build(
+                size=args.detector.split("-")[-1],
+                ckpt_path=args.detector_ckpt,
+                num_classes=1,
+                test_size=(args.test_h, args.test_w),
+                conf_thresh=args.det_conf,
+                nms_thresh=args.det_nms,
+            )
 
         per_seq = {}
         for seq_dir in args.mot_dir:
-            tracker = make_tracker(
-                args.tracker, tracker_kwargs, engine, args.crop_hw
-            )
             name = os.path.basename(seq_dir.rstrip("/"))
+            seq_kwargs = dict(tracker_kwargs)
+            if args.tracker in ("byte", "centertrack", "transcenter"):
+                # per-video BYTE threshold table (mot_evaluator.py:141-164)
+                seq_kwargs.update(
+                    custom_byte_thresholds(
+                        name,
+                        seq_kwargs.get("track_thresh", 0.6),
+                        seq_kwargs.get("track_buffer", 30),
+                        ignore=args.ignore_custom_byte_thresholds,
+                    )
+                )
+            tracker = make_tracker(
+                args.tracker, seq_kwargs, engine, args.crop_hw
+            )
             out_path = os.path.join(args.output_dir, f"{name}.txt")
-            res = run_mot_sequence(seq_dir, tracker, output_path=out_path)
+            if detector is not None:
+                from busca_tpu.eval.detector import track_frames_with_detector
+
+                if hasattr(detector, "reset"):
+                    detector.reset()  # per-video (mot_evaluator.py:148-150)
+                info = mot.load_seqinfo(seq_dir)
+
+                def frames():
+                    import cv2
+
+                    for f in range(1, info.seq_length + 1):
+                        yield cv2.imread(info.frame_path(f))
+
+                res = track_frames_with_detector(
+                    detector, tracker, frames(), name=info.name
+                )
+                os.makedirs(args.output_dir, exist_ok=True)
+                mot.write_results(out_path, res.results)
+            else:
+                res = run_mot_sequence(seq_dir, tracker, output_path=out_path)
             print(f"{name}: {res.num_frames} frames @ {res.fps:.1f} fps")
             gt_path = os.path.join(seq_dir, "gt", "gt.txt")
             if os.path.exists(gt_path):

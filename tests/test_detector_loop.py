@@ -1,0 +1,149 @@
+"""Detector-in-the-loop eval path: preproc parity, postprocess top-k, full
+frame->YOLOX->NMS->tracker loop (reference mot_evaluator.py:131-235)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from busca_tpu.eval.detector import (
+    DetectorOutput,
+    IMAGENET_MEAN_RGB,
+    IMAGENET_STD_RGB,
+    YoloxDetector,
+    init_variables,
+    track_frames_with_detector,
+)
+from busca_tpu.eval.presets import custom_byte_thresholds, golden_diff
+from busca_tpu.models.yolox import YoloxConfig
+from busca_tpu.ops.nms import yolox_postprocess
+
+
+TINY = YoloxConfig(depth=0.33, width=0.125, num_classes=1)
+TEST_SIZE = (64, 96)
+
+
+@pytest.fixture(scope="module")
+def tiny_detector():
+    variables = init_variables(TINY, TEST_SIZE)
+    return YoloxDetector(
+        TINY, variables, test_size=TEST_SIZE, conf_thresh=0.05,
+        nms_thresh=0.7, max_outputs=32,
+    )
+
+
+def _frame(rng, h=50, w=70):
+    return rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+
+
+def test_detect_output_contract(tiny_detector, rng):
+    frame = _frame(rng)
+    out = tiny_detector.detect(frame)
+    assert isinstance(out, DetectorOutput)
+    r = min(TEST_SIZE[0] / 50, TEST_SIZE[1] / 70)
+    assert out.scale == pytest.approx(r)
+    assert out.image.shape == (TEST_SIZE[0], TEST_SIZE[1], 3)
+    assert out.image.dtype == np.uint8
+    assert out.boxes_tlbr.shape == (len(out.scores), 4)
+    # second call reuses the compiled step (same resolution)
+    assert len(tiny_detector._steps) == 1
+    tiny_detector.detect(frame)
+    assert len(tiny_detector._steps) == 1
+
+
+def test_detector_image_matches_reference_preproc(tiny_detector, rng):
+    """The uint8 detector image == the reference preproc's padded canvas
+    (exps/transcenterdetr_base.py:284-306) before normalization."""
+    import cv2
+
+    frame = _frame(rng)
+    out = tiny_detector.detect(frame)
+
+    th, tw = TEST_SIZE
+    r = min(th / frame.shape[0], tw / frame.shape[1])
+    resized = cv2.resize(
+        frame,
+        (int(frame.shape[1] * r), int(frame.shape[0] * r)),
+        interpolation=cv2.INTER_LINEAR,
+    )
+    oracle = np.full((th, tw, 3), 114.0, np.float32)
+    oracle[: resized.shape[0], : resized.shape[1]] = resized
+    oracle = oracle.astype(np.uint8)
+    # fused-op resize matches cv2 INTER_LINEAR within rounding
+    assert np.abs(out.image.astype(int) - oracle.astype(int)).max() <= 2
+    # padding region is bit-exact 114
+    assert (out.image[resized.shape[0] :, :] == 114).all()
+    assert (out.image[:, resized.shape[1] :] == 114).all()
+
+
+def test_normalization_roundtrip():
+    """De-normalizing the network input must reproduce the detector image —
+    the reference rebuilds vot_img that way (mot_evaluator.py:196-204)."""
+    canvas = np.random.RandomState(0).randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    x = (canvas[..., ::-1] / 255.0 - IMAGENET_MEAN_RGB) / IMAGENET_STD_RGB
+    back = (x * IMAGENET_STD_RGB + IMAGENET_MEAN_RGB)[..., ::-1] * 255.0
+    assert np.abs(back - canvas).max() < 1e-3
+
+
+def test_postprocess_topk_equivalence(rng):
+    """pre_nms_topk larger than N must not change results."""
+    n, nc = 40, 1
+    pred = np.zeros((n, 5 + nc), np.float32)
+    pred[:, 0] = rng.uniform(20, 80, n)
+    pred[:, 1] = rng.uniform(20, 60, n)
+    pred[:, 2:4] = rng.uniform(5, 20, (n, 2))
+    pred[:, 4] = rng.uniform(0, 1, n)
+    pred[:, 5] = rng.uniform(0, 1, n)
+    a, va = yolox_postprocess(jnp.asarray(pred), nc, 0.1, 0.5, 16,
+                              pre_nms_topk=1024)
+    b, vb = yolox_postprocess(jnp.asarray(pred), nc, 0.1, 0.5, 16,
+                              pre_nms_topk=20)
+    # topk=20 keeps the 20 best-scored rows; with 40 rows the kept set can
+    # differ only if >20 survive NMS — assert the common prefix agrees
+    na, nb = int(np.asarray(va).sum()), int(np.asarray(vb).sum())
+    k = min(na, nb)
+    np.testing.assert_allclose(np.asarray(a)[:k], np.asarray(b)[:k], rtol=1e-6)
+
+
+def test_full_detector_tracker_loop(tiny_detector, rng):
+    """Raw frames through detector + ByteTracker: the reference's canonical
+    call stack with no cached detections."""
+    from busca_tpu.trackers import ByteTracker, ByteTrackerConfig
+
+    tracker = ByteTracker(ByteTrackerConfig(track_thresh=0.5))
+    frames = [_frame(rng) for _ in range(4)]
+    res = track_frames_with_detector(
+        tiny_detector, tracker, frames, name="live", min_box_area=0.0
+    )
+    assert res.num_frames == 4
+    assert len(res.results) == 4
+    for frame_id, tlwhs, ids, confs in res.results:
+        assert len(tlwhs) == len(ids) == len(confs)
+
+
+# ------------------------- presets / golden harness -------------------------
+
+def test_custom_byte_thresholds_table():
+    # mot_evaluator.py:146-163 spot checks
+    assert custom_byte_thresholds("MOT17-05-FRCNN", 0.6) == {
+        "track_thresh": 0.6, "track_buffer": 14}
+    assert custom_byte_thresholds("MOT17-06-FRCNN", 0.6) == {
+        "track_thresh": 0.65, "track_buffer": 14}
+    assert custom_byte_thresholds("MOT17-13-FRCNN", 0.6)["track_buffer"] == 25
+    assert custom_byte_thresholds("MOT17-14-FRCNN", 0.6) == {
+        "track_thresh": 0.67, "track_buffer": 25}
+    assert custom_byte_thresholds("MOT20-06", 0.6)["track_thresh"] == 0.3
+    assert custom_byte_thresholds("MOT17-02-FRCNN", 0.6) == {
+        "track_thresh": 0.6, "track_buffer": 30}
+    # bare names also match
+    assert custom_byte_thresholds("MOT17-05", 0.6)["track_buffer"] == 14
+    # the ignore flag restores defaults (mot_evaluator.py:141-143)
+    assert custom_byte_thresholds("MOT17-05-FRCNN", 0.6, ignore=True) == {
+        "track_thresh": 0.6, "track_buffer": 30}
+
+
+def test_golden_diff_report():
+    measured = {"mota": 76.795, "hota": 69.0, "idf1": 82.272, "ids": 219}
+    rep = golden_diff(measured, "strongsort_busca")
+    assert rep["mota"]["diff"] == 0.0
+    assert rep["hota"]["diff"] == pytest.approx(-0.392)
+    assert rep["ids"]["want"] == 219

@@ -7,6 +7,11 @@ import jax.numpy as jnp
 from busca_tpu.models.busca import BuscaConfig, BuscaModel
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: training / full-size torch oracles
+
+
 def test_bf16_argmax_agreement(rng):
     cfg32 = BuscaConfig(num_layer=1, reid_num_classes=5, reid_layers=(1, 1, 1, 1))
     cfg16 = BuscaConfig(

@@ -8,6 +8,7 @@ exported in the *reference checkpoint key layout* and pushed through
 ``convert_busca_state_dict``, so this also validates the converter end to end.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -123,6 +124,7 @@ def _random_ltrb(rng, *shape):
     return np.concatenate([xy, xy + wh], axis=-1).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_busca_model_matches_torch_oracle(rng):
     oracle = _TorchBusca()
 
@@ -162,6 +164,7 @@ def test_busca_model_matches_torch_oracle(rng):
     assert (got.argmax(-1) == want.argmax(-1)).all()
 
 
+@pytest.mark.slow
 def test_padded_lanes_do_not_change_real_scores(rng):
     cfg = BuscaConfig(num_layer=N_LAYERS, reid_num_classes=7, reid_layers=(1, 1, 1, 1))
     model = BuscaModel(cfg)

@@ -35,6 +35,7 @@ def _frame(rng, h=50, w=70):
     return rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
 
 
+@pytest.mark.slow
 def test_detect_output_contract(tiny_detector, rng):
     frame = _frame(rng)
     out = tiny_detector.detect(frame)
@@ -50,6 +51,7 @@ def test_detect_output_contract(tiny_detector, rng):
     assert len(tiny_detector._steps) == 1
 
 
+@pytest.mark.slow
 def test_detector_image_matches_reference_preproc(tiny_detector, rng):
     """The uint8 detector image == the reference preproc's padded canvas
     (exps/transcenterdetr_base.py:284-306) before normalization."""
@@ -104,6 +106,7 @@ def test_postprocess_topk_equivalence(rng):
     np.testing.assert_allclose(np.asarray(a)[:k], np.asarray(b)[:k], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_full_detector_tracker_loop(tiny_detector, rng):
     """Raw frames through detector + ByteTracker: the reference's canonical
     call stack with no cached detections."""

@@ -7,6 +7,7 @@ the reference's bucketing semantics (clamp, x15, trunc-toward-zero, shift),
 written independently of the source module.
 """
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -157,6 +158,7 @@ def test_insert_fake_bboxes_layout(rng):
         np.testing.assert_array_equal(out3[:, 2 * i + 1], ref_np[:, 0])
 
 
+@pytest.mark.slow
 def test_positional_encodings_end_to_end(rng):
     b, l_mem, c, d = 4, 11, 5, 512
     mem = jnp.asarray(_random_ltrb(rng, b, l_mem))

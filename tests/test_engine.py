@@ -1,6 +1,7 @@
 """Association engine semantics: memory sampling, sentinels, Kalman slot,
 bucketing invariance, one-hot post-processing."""
 
+import pytest
 import numpy as np
 import jax
 
@@ -75,6 +76,7 @@ def test_track_mem_scale_applied(rng):
     assert np.allclose(bboxes[:, 2], 15.0)  # width 30 * 0.5
 
 
+@pytest.mark.slow
 def test_associate_shapes_and_reliability(rng):
     eng = _engine(rng)
     tracks = [_track(rng, SEQ_LEN + 2), _track(rng, 2)]  # second incomplete
@@ -102,6 +104,7 @@ def test_associate_empty_inputs(rng):
     assert eng.associate([t], [], np.zeros((1, 0))) == (None, None)
 
 
+@pytest.mark.slow
 def test_select_highest_candidate_one_hot(rng):
     eng = _engine(rng)
     tracks = [_track(rng, SEQ_LEN + 1)]
@@ -142,6 +145,7 @@ def test_select_highest_candidate_one_hot(rng):
     assert (none[0] == 0).all()
 
 
+@pytest.mark.slow
 def test_bucketing_invariance(rng):
     """Scores must not depend on how much the batch was padded.
 

@@ -9,6 +9,11 @@ from busca_tpu.train.data import EpisodeSpec, synthetic_batch
 from busca_tpu.train.trainer import train_smoke
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: training / full-size torch oracles
+
+
 def test_synthetic_batch_layout(rng):
     spec = EpisodeSpec(batch=6, seq_len=3, num_candidates=2, crop_hw=(32, 16))
     b = synthetic_batch(rng, spec)

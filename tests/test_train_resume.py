@@ -11,6 +11,11 @@ from busca_tpu.train.data import EpisodeSpec, synthetic_batch
 from busca_tpu.train.trainer import make_optimizer, make_train_step
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: training / full-size torch oracles
+
+
 def test_orbax_resume_reproduces_training(tmp_path, rng):
     cfg = BuscaConfig(num_layer=1, reid_num_classes=5, reid_layers=(1, 1, 1, 1),
                       dropout_p=0.0)

@@ -1,11 +1,13 @@
 """Full-loop smoke: training improves the model and the trained engine runs
 live inside the tracker (the complete demo lives in busca_tpu/train/demo.py)."""
 
+import pytest
 import numpy as np
 
 from busca_tpu.train.demo import run_trained_rescue, train_demo_model
 
 
+@pytest.mark.slow
 def test_training_learns_and_engine_deploys():
     cfg, params, metrics = train_demo_model(steps=45, batch=12, seed=3)
     # well above the ~37% no-skill rate of the episode mix

@@ -72,6 +72,7 @@ def test_render_prior_heatmap():
 
 # ----------------------------- PVTv2 torch parity ---------------------------
 
+@pytest.mark.slow
 def test_pvtv2_stage_matches_torch_oracle(rng):
     """One PVTv2 stage (overlap patch embed + SR attention + MixFFN) against
     a torch oracle of the published architecture, params copied over."""
@@ -193,6 +194,7 @@ def _frame(rng, h=24, w=40):
     return rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
 
 
+@pytest.mark.slow
 def test_transcenter_detect_contract(tiny_tc, rng):
     out = tiny_tc.detect(_frame(rng))
     assert out.boxes_tlbr.shape[1] == 4 if len(out.boxes_tlbr) else True
@@ -201,6 +203,7 @@ def test_transcenter_detect_contract(tiny_tc, rng):
     assert np.isfinite(out.scores).all()
 
 
+@pytest.mark.slow
 def test_transcenter_is_stateful(tiny_tc, rng):
     """The previous frame must influence the current detection (pre_sample,
     transcenter.py:89-97,194) and reset() must clear it."""
@@ -216,6 +219,7 @@ def test_transcenter_is_stateful(tiny_tc, rng):
     )
 
 
+@pytest.mark.slow
 def test_transcenter_feedback_two_frame_loop(tiny_tc, rng):
     """2-frame integration: the tracker's position export feeds the detector
     as pre_cts priors (mot_evaluator.py:158 + byte_tracker.py:658-692)."""

@@ -7,6 +7,7 @@ compared, which also exercises the torch-layout parameter convention used by
 the checkpoint converter.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -134,6 +135,7 @@ def test_encoder_stack_matches_torch(rng):
         )
 
 
+@pytest.mark.slow
 def test_encoder_initializes_and_jits(rng):
     model = TransformerEncoder(
         num_layers=2, d_model=64, nhead=4, dim_feedforward=128, dropout=0.1

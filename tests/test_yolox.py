@@ -22,6 +22,11 @@ from busca_tpu.models.yolox import (
 DEPTH, WIDTH, NC = 0.33, 0.25, 2
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: training / full-size torch oracles
+
+
 class TConv(tnn.Module):
     def __init__(self, cin, cout, k=1, s=1):
         super().__init__()

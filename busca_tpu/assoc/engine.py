@@ -204,15 +204,18 @@ class AssociationEngine:
             probs_matrix[ti, inds] = track_probs[:num_available]
         return probs_matrix, reliable
 
-    # ------------------------------------------------------------- internals --
-    def _center_distances(self, tracks, dets) -> np.ndarray:
+    def center_distances(self, tracks, dets) -> np.ndarray:
         """Center-distance matrix from track/det current boxes
-        (busca/tracking.py:23-60, called at byte_tracker.py:489)."""
+        (busca/tracking.py:23-60, called at byte_tracker.py:489) — the
+        candidate-selection distance every strategy's third round uses."""
         if len(tracks) == 0 or len(dets) == 0:
             return np.zeros((len(tracks), len(dets)))
         a = np.stack([t.tlbr for t in tracks])
         b = np.stack([d.tlbr for d in dets])
         return hostmath.center_distance(a, b)
+
+    # backwards-compatible private alias
+    _center_distances = center_distances
 
     def _bucket(self, t: int) -> int:
         for b in self.buckets:

@@ -248,6 +248,14 @@ def main(argv=None):
     parser.add_argument("--ignore-custom-byte-thresholds", action="store_true",
                         help="disable the per-video BYTE threshold table "
                              "(mot_evaluator.py:141-164)")
+    # StrongSORT cached artifacts (deep_sort_app.py:50-52, opts.py:142-143)
+    parser.add_argument("--npy-det", default=None,
+                        help="precomputed detections+features: a .npy file, "
+                             "or a directory containing <seq>.npy per "
+                             "sequence (StrongSORT cached-artifact mode)")
+    parser.add_argument("--ecc-json", default=None,
+                        help="per-video per-frame ECC warp matrices (JSON)")
+    parser.add_argument("--min-confidence", type=float, default=0.6)
     args = parser.parse_args(argv)
     args.crop_hw = (args.crop_h, args.crop_w)
 
@@ -312,7 +320,25 @@ def main(argv=None):
                 args.tracker, seq_kwargs, engine, args.crop_hw
             )
             out_path = os.path.join(args.output_dir, f"{name}.txt")
-            if detector is not None:
+            if args.tracker == "strongsort" and args.npy_det:
+                from busca_tpu.eval.strongsort_io import (
+                    load_ecc_warps,
+                    run_cached_sequence,
+                )
+
+                det_file = args.npy_det
+                if os.path.isdir(det_file):
+                    det_file = os.path.join(det_file, f"{name}.npy")
+                ecc = None
+                if args.ecc_json:
+                    ecc = load_ecc_warps(args.ecc_json).get(name)
+                os.makedirs(args.output_dir, exist_ok=True)
+                res = run_cached_sequence(
+                    seq_dir, det_file, tracker,
+                    min_confidence=args.min_confidence,
+                    ecc_warps=ecc, output_file=out_path,
+                )
+            elif detector is not None:
                 from busca_tpu.eval.detector import track_frames_with_detector
 
                 if hasattr(detector, "reset"):

@@ -237,3 +237,84 @@ def remove_duplicate_tracks(a: List[Track], b: List[Track]):
         [t for i, t in enumerate(a) if i not in dup_a],
         [t for i, t in enumerate(b) if i not in dup_b],
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared third-round (BUSCA) machinery
+# ---------------------------------------------------------------------------
+
+# The Kalman pseudo-detection confidence: barely above the 0.1 second-round
+# floor (byte_tracker.py:468) — affects downstream memory admission.  Shared
+# by every strategy (byte/strongsort/ghost re-export it).
+KALMAN_CANDIDATE_CONF = 0.10000001
+
+
+def extract_uint8_crops(frame, boxes_tlbr, crop_hw) -> List[np.ndarray]:
+    """Uint8 BGR ReID crops for a batch of boxes — one fused device call
+    (ops/crop.py) replacing the reference's per-box cv2 loop.  Normalization
+    happens later in the association engine (normalize_ims=True path)."""
+    if frame is None or len(boxes_tlbr) == 0:
+        return []
+    from busca_tpu.ops.crop import crop_resize_normalize
+
+    crops = np.asarray(
+        crop_resize_normalize(
+            frame,
+            np.asarray(boxes_tlbr, dtype=np.float32).reshape(-1, 4),
+            crop_hw,
+            normalize=False,
+            bgr_input=True,
+            rgb_output=False,
+            quantize_uint8=True,
+        )
+    ).astype(np.uint8)
+    return list(crops)
+
+
+def run_third_round(
+    engine,
+    pool,
+    considered,
+    kalman_cands,
+    thresh: float,
+    *,
+    use_broader_memory: bool = True,
+    select_highest_candidate: bool = True,
+    highest_candidate_minimum_thresh=None,
+    keep_highest_value: bool = False,
+):
+    """The BUSCA third association round, shared by all strategies.
+
+    A track survives iff its own Kalman candidate wins with probability >
+    ``thresh`` (byte_tracker.py:481-532; deep_sort/tracker.py:129-189;
+    GHOST src/tracker.py:501-567 — the ``recover_only_kalman`` semantics).
+
+    Returns ``(matches, u_track)`` with matches as ``[track_idx, prob]``.
+    """
+    if thresh <= 0.0 or not pool:
+        return [], list(range(len(pool)))
+    dist_fn = getattr(engine, "center_distances", None) or getattr(
+        engine, "_center_distances"
+    )
+    dists = dist_fn(pool, considered)
+    probs, reliable = engine.associate(
+        pool,
+        considered,
+        dists,
+        use_broader_memory=use_broader_memory,
+        select_highest_candidate=select_highest_candidate,
+        highest_candidate_minimum_thresh=highest_candidate_minimum_thresh,
+        keep_highest_value=keep_highest_value,
+        extra_kalman_candidates=kalman_cands,
+    )
+    if probs is None:
+        return [], list(range(len(pool)))
+    n_dets = len(considered)
+    matches, u_track = [], []
+    for i in range(len(pool)):
+        p = probs[i, n_dets + i]
+        if reliable[i] and p > thresh:
+            matches.append([i, p])
+        else:
+            u_track.append(i)
+    return matches, u_track

@@ -28,19 +28,17 @@ import numpy as np
 
 from busca_tpu.core import hostmath
 from busca_tpu.ops import lap
-from busca_tpu.ops.crop import crop_resize_normalize
 from busca_tpu.trackers import cmc
 from busca_tpu.trackers.base import (
+    KALMAN_CANDIDATE_CONF,
     Track,
     TrackState,
+    extract_uint8_crops,
     joint_tracks,
     remove_duplicate_tracks,
+    run_third_round,
     sub_tracks,
 )
-
-# The Kalman pseudo-detection confidence: barely above the 0.1 second-round
-# floor (byte_tracker.py:468) — affects downstream memory admission.
-KALMAN_CANDIDATE_CONF = 0.10000001
 
 
 @dataclasses.dataclass
@@ -275,20 +273,7 @@ class ByteTracker:
     def _crops(self, frame: np.ndarray, boxes_tlbr: np.ndarray):
         """Uint8 BGR crops for the track memories (normalize happens in the
         association engine, like the reference's normalize_ims=True path)."""
-        if len(boxes_tlbr) == 0:
-            return []
-        crops = np.asarray(
-            crop_resize_normalize(
-                frame,
-                np.asarray(boxes_tlbr, dtype=np.float32),
-                self.cfg.crop_hw,
-                normalize=False,
-                bgr_input=True,
-                rgb_output=False,
-                quantize_uint8=True,
-            )
-        ).astype(np.uint8)
-        return list(crops)
+        return extract_uint8_crops(frame, boxes_tlbr, self.cfg.crop_hw)
 
     def _kalman_candidates(self, pool: List[Track], frame) -> List[Track]:
         """Pseudo-detections at each track's Kalman-predicted position
@@ -304,30 +289,17 @@ class ByteTracker:
 
     def _third_round(self, pool, considered_dets, kalman_cands, thresh):
         """BUSCA association; a track survives iff its Kalman candidate wins
-        (byte_tracker.py:481-532)."""
-        if thresh <= 0.0 or not pool:
-            return [], list(range(len(pool)))
-        dists = self.engine._center_distances(pool, considered_dets)
-        probs, reliable = self.engine.associate(
+        (byte_tracker.py:481-532).  Shared logic in base.run_third_round."""
+        return run_third_round(
+            self.engine,
             pool,
             considered_dets,
-            dists,
+            kalman_cands,
+            thresh,
             use_broader_memory=self.cfg.use_broader_memory,
             select_highest_candidate=self.cfg.select_highest_candidate,
             highest_candidate_minimum_thresh=self.cfg.highest_candidate_minimum_thresh,
-            extra_kalman_candidates=kalman_cands,
         )
-        if probs is None:
-            return [], list(range(len(pool)))
-        n_dets = len(considered_dets)
-        matches, u_track = [], []
-        for i in range(len(pool)):
-            p = probs[i, n_dets + i]
-            if reliable[i] and p > thresh:
-                matches.append([i, p])
-            else:
-                u_track.append(i)
-        return matches, u_track
 
     def _is_reliable(self, frame, active_tracks, p) -> bool:
         """Detection-coverage gate (byte_tracker.py:459-465, 574-623)."""

@@ -33,8 +33,10 @@ import numpy as np
 from busca_tpu.core import hostmath
 from busca_tpu.ops import lap
 from busca_tpu.ops.crop import crop_resize_normalize
-
-KALMAN_CANDIDATE_CONF = 0.10000001
+from busca_tpu.trackers.base import (
+    KALMAN_CANDIDATE_CONF,
+    run_third_round,
+)
 
 PROXY_REDUCERS = {
     "min": lambda d: d.min(axis=1),
@@ -459,28 +461,17 @@ class GhostTracker:
         return dets
 
     def _third_round(self, pool, considered, kalman_cands, thresh):
-        if thresh <= 0 or not pool:
-            return [], list(range(len(pool)))
+        """Shared logic in base.run_third_round (GHOST semantics:
+        src/tracker.py:501-567)."""
         cfg = self.cfg
-        dists = self.engine._center_distances(pool, considered)
-        probs, reliable = self.engine.associate(
+        return run_third_round(
+            self.engine,
             pool,
             considered,
-            dists,
+            kalman_cands,
+            thresh,
             use_broader_memory=cfg.use_broader_memory,
             select_highest_candidate=cfg.select_highest_candidate,
             highest_candidate_minimum_thresh=cfg.highest_candidate_minimum_thresh,
             keep_highest_value=cfg.keep_highest_value,
-            extra_kalman_candidates=kalman_cands,
         )
-        if probs is None:
-            return [], list(range(len(pool)))
-        n_dets = len(considered)
-        matches, u_track = [], []
-        for i in range(len(pool)):
-            p = probs[i, n_dets + i]
-            if reliable[i] and p > thresh:
-                matches.append([i, p])
-            else:
-                u_track.append(i)
-        return matches, u_track

@@ -33,9 +33,12 @@ import numpy as np
 from busca_tpu.core import hostmath
 from busca_tpu.ops import lap
 from busca_tpu.ops.crop import crop_resize_normalize
+from busca_tpu.trackers.base import (
+    KALMAN_CANDIDATE_CONF,
+    run_third_round,
+)
 
 INFTY_COST = 1e5
-KALMAN_CANDIDATE_CONF = 0.10000001
 
 _KF = hostmath.HostKalman()
 
@@ -532,31 +535,20 @@ class StrongSortTracker:
         return cands
 
     def _third_round(self, pool, considered, kalman_cands, thresh):
-        if thresh <= 0 or not pool:
-            return [], list(range(len(pool)))
+        """Shared logic in base.run_third_round (DeepSORT semantics:
+        deep_sort/tracker.py:129-189)."""
         cfg = self.cfg
-        dists = self.engine._center_distances(pool, considered)
-        probs, reliable = self.engine.associate(
+        return run_third_round(
+            self.engine,
             pool,
             considered,
-            dists,
+            kalman_cands,
+            thresh,
             use_broader_memory=cfg.use_broader_memory,
             select_highest_candidate=cfg.select_highest_candidate,
             highest_candidate_minimum_thresh=cfg.highest_candidate_minimum_thresh,
             keep_highest_value=cfg.keep_highest_value,
-            extra_kalman_candidates=kalman_cands,
         )
-        if probs is None:
-            return [], list(range(len(pool)))
-        n_dets = len(considered)
-        matches, u_track = [], []
-        for i in range(len(pool)):
-            p = probs[i, n_dets + i]
-            if reliable[i] and p > thresh:
-                matches.append([i, p])
-            else:
-                u_track.append(i)
-        return matches, u_track
 
     def _frame_unreliable(self, frame) -> bool:
         if self.cfg.reliable_thresh is None:

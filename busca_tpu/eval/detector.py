@@ -347,6 +347,223 @@ class TransCenterDetector:
         )
 
 
+# CenterNet/CenterTrack input statistics, applied in BGR channel order like
+# the published code (no channel flip after cv2.imread).
+CENTERNET_MEAN_BGR = (0.408, 0.447, 0.470)
+CENTERNET_STD_BGR = (0.289, 0.274, 0.278)
+
+
+def gaussian_radius(det_size: Tuple[float, float], min_overlap: float = 0.7):
+    """CenterNet's peak radius from box size (the published three-case
+    formula used when rendering heatmaps/prior heatmaps)."""
+    h, w = det_size
+    a1 = 1
+    b1 = h + w
+    c1 = w * h * (1 - min_overlap) / (1 + min_overlap)
+    r1 = (b1 - np.sqrt(max(b1**2 - 4 * a1 * c1, 0))) / 2
+    a2 = 4
+    b2 = 2 * (h + w)
+    c2 = (1 - min_overlap) * w * h
+    r2 = (b2 - np.sqrt(max(b2**2 - 4 * a2 * c2, 0))) / 2
+    a3 = 4 * min_overlap
+    b3 = -2 * min_overlap * (h + w)
+    c3 = (min_overlap - 1) * w * h
+    r3 = (b3 + np.sqrt(max(b3**2 - 4 * a3 * c3, 0))) / 2
+    return max(0, min(r1, r2, r3))
+
+
+class CenterTrackDetector:
+    """Stateful CenterTrack detector for the per-frame loop.
+
+    Mirrors adapters/CenterTrack/src/lib/detector.py:90-190: keeps the
+    previous frame (``pre_images``), renders the prior heatmap from the
+    tracker's current tracks at *input* resolution (``_get_additional_inputs``
+    with ``pre_hm: true``), per-video ``reset()``, and returns CenterTrack's
+    dict detections for the ByteTrack-based shim
+    (utils/tracker.py:40-74 / trackers/centertrack.py).
+    """
+
+    def __init__(
+        self,
+        config=None,
+        variables=None,
+        test_size: Tuple[int, int] = (544, 960),
+        out_thresh: float = 0.1,
+    ):
+        from busca_tpu.models.centertrack import (
+            CenterTrackConfig,
+            CenterTrackNet,
+        )
+
+        self.config = config or CenterTrackConfig()
+        self.model = CenterTrackNet(self.config)
+        self.test_size = tuple(test_size)
+        self.out_thresh = float(out_thresh)
+        if variables is None:
+            import jax
+            import jax.numpy as jnp
+
+            th, tw = self.test_size
+            z = jnp.zeros((1, th, tw, 3), jnp.float32)
+            hm = jnp.zeros((1, th, tw, 1), jnp.float32)
+            variables = jax.jit(self.model.init)(
+                jax.random.PRNGKey(0), z, z, hm
+            )
+        self.variables = variables
+        self._steps = {}
+        self.reset()
+
+    def reset(self):
+        """Per-video reset (detector.py:90-104 'Initialize tracking!')."""
+        self._pre_canvas = None
+
+    # ------------------------------------------------------------ internals --
+    def _make_step(self, frame_hw: Tuple[int, int]):
+        import jax
+        import jax.numpy as jnp
+
+        from busca_tpu.models.transcenter import generic_decode
+        from busca_tpu.ops.crop import crop_resize_normalize
+
+        fh, fw = frame_hw
+        th, tw = self.test_size
+        r = min(th / fh, tw / fw)
+        rh, rw = int(fh * r), int(fw * r)
+        mean = jnp.asarray(CENTERNET_MEAN_BGR, jnp.float32)
+        std = jnp.asarray(CENTERNET_STD_BGR, jnp.float32)
+
+        @jax.jit
+        def prep(frame_bgr_u8):
+            box = jnp.asarray([[0.0, 0.0, float(fw), float(fh)]])
+            resized = crop_resize_normalize(
+                frame_bgr_u8, box, out_hw=(rh, rw), normalize=False,
+                bgr_input=True, rgb_output=False, quantize_uint8=True,
+            )[0]
+            canvas = jnp.zeros((th, tw, 3), jnp.float32)
+            canvas = canvas.at[:rh, :rw].set(resized)
+            return jnp.clip(jnp.round(canvas), 0, 255).astype(jnp.uint8)
+
+        @jax.jit
+        def step(variables, canvas_u8, pre_canvas_u8, pre_hm):
+            def norm(c):
+                return (c.astype(jnp.float32) / 255.0 - mean) / std  # BGR
+
+            out = self.model.apply(
+                variables, norm(canvas_u8)[None], norm(pre_canvas_u8)[None],
+                pre_hm[None],
+            )
+            out = dict(out)
+            out["hm"] = jnp.clip(jax.nn.sigmoid(out["hm"]), 1e-4, 1 - 1e-4)
+            decoded = generic_decode(out, k=self.config.K)
+            down = self.config.down_ratio
+            return (
+                decoded["bboxes"][0] * down,
+                decoded["scores"][0],
+                decoded["clses"][0],
+                decoded["tracking"][0] * down,
+            )
+
+        return prep, step, r
+
+    def _render_pre_hm(self, tracks, r: float) -> np.ndarray:
+        """Prior heatmap at input resolution from tracker dicts
+        (detector.py:109-110 _get_additional_inputs): one CenterNet-radius
+        Gaussian per active track."""
+        th, tw = self.test_size
+        out = np.zeros((th, tw, 1), np.float32)
+        for t in tracks or []:
+            x1, y1, x2, y2 = np.asarray(t["bbox"], np.float64) * r
+            w, h = x2 - x1, y2 - y1
+            if w <= 0 or h <= 0:
+                continue
+            radius = max(int(gaussian_radius((np.ceil(h), np.ceil(w)))), 0)
+            sigma = max((2 * radius + 1) / 6.0, 0.5)
+            cx = np.clip((x1 + x2) / 2.0, 0, tw - 1)
+            cy = np.clip((y1 + y2) / 2.0, 0, th - 1)
+            y0, y1_ = int(max(cy - 2 * radius, 0)), int(
+                min(cy + 2 * radius + 1, th)
+            )
+            x0, x1_ = int(max(cx - 2 * radius, 0)), int(
+                min(cx + 2 * radius + 1, tw)
+            )
+            if y0 >= y1_ or x0 >= x1_:
+                continue
+            ys, xs = np.mgrid[y0:y1_, x0:x1_]
+            g = np.exp(
+                -((xs - cx) ** 2 + (ys - cy) ** 2) / (2.0 * sigma**2)
+            ).astype(np.float32)
+            out[y0:y1_, x0:x1_, 0] = np.maximum(out[y0:y1_, x0:x1_, 0], g)
+        return out
+
+    # ----------------------------------------------------------------- api --
+    def detect(self, frame_bgr: np.ndarray, tracks=None):
+        """One frame -> CenterTrack dict detections (original coordinates).
+
+        ``tracks``: the adapter's current dict tracks (``adapter.tracks``),
+        used for the prior heatmap.  Returns (results, det_image, scale).
+        """
+        import jax.numpy as jnp
+
+        key = (int(frame_bgr.shape[0]), int(frame_bgr.shape[1]))
+        if key not in self._steps:
+            self._steps[key] = self._make_step(key)
+        prep, step, r = self._steps[key]
+
+        canvas = prep(jnp.asarray(frame_bgr))
+        if self._pre_canvas is None:
+            self._pre_canvas = canvas
+        pre_hm = self._render_pre_hm(tracks, r)
+        boxes, scores, clses, tracking = step(
+            self.variables, canvas, self._pre_canvas, jnp.asarray(pre_hm)
+        )
+        self._pre_canvas = canvas
+
+        boxes = np.asarray(boxes) / r  # back to original coordinates
+        scores = np.asarray(scores)
+        clses = np.asarray(clses)
+        tracking = np.asarray(tracking) / r
+        results = []
+        for b, s, c, tr in zip(boxes, scores, clses, tracking):
+            if s < self.out_thresh:
+                continue
+            results.append(
+                {
+                    "bbox": b.astype(np.float64),
+                    "score": float(s),
+                    "class": int(c) + 1,
+                    "tracking": tr.astype(np.float64),
+                    "ct": [(b[0] + b[2]) / 2.0, (b[1] + b[3]) / 2.0],
+                }
+            )
+        return results, np.asarray(canvas), r
+
+
+def track_frames_centertrack(
+    detector: CenterTrackDetector, adapter, frames, name: str = "seq"
+):
+    """CenterTrack's per-frame loop: detector dicts -> adapter.step with the
+    raw frame for BUSCA crops (detector.py:143-156), prior heatmap from the
+    adapter's current tracks."""
+    import time
+
+    from busca_tpu.eval.runner import SequenceResult
+
+    results = []
+    t0 = time.perf_counter()
+    for idx, frame in enumerate(frames):
+        dets, det_image, r = detector.detect(frame, tracks=adapter.tracks)
+        online = adapter.step(dets, det_image, scale=r)
+        tlwhs, ids, confs = [], [], []
+        for d in online:
+            b = d["bbox"]
+            tlwhs.append(np.array([b[0], b[1], b[2] - b[0], b[3] - b[1]]))
+            ids.append(d["tracking_id"])
+            confs.append(d["score"])
+        results.append((idx + 1, tlwhs, ids, confs))
+    dt = time.perf_counter() - t0
+    return SequenceResult(name, len(results), results, dt)
+
+
 def init_variables(config, test_size=(800, 1440)):
     """Random-weight variables (shape-correct) for tests/integration runs."""
     import jax

@@ -229,7 +229,7 @@ def main(argv=None):
     # live detector-in-the-loop (reference mot_evaluator.py:131-235)
     parser.add_argument("--detector", default=None,
                         choices=["yolox-s", "yolox-m", "yolox-l", "yolox-x",
-                                 "transcenter"],
+                                 "transcenter", "centertrack"],
                         help="run the detector per frame instead of reading "
                              "cached det/det.txt")
     parser.add_argument("--detector-dataset", default="mot17",
@@ -275,12 +275,22 @@ def main(argv=None):
 
     if args.mot_dir:
         from busca_tpu.eval import mot
-        from busca_tpu.eval.metrics import accumulate, evaluate_clear
+        from busca_tpu.eval.metrics import evaluate_clear
         from busca_tpu.eval.presets import custom_byte_thresholds
         from busca_tpu.eval.runner import results_to_pred, run_mot_sequence
 
         detector = None
-        if args.detector == "transcenter":
+        if args.detector == "centertrack":
+            from busca_tpu.eval.detector import CenterTrackDetector
+
+            if args.tracker != "centertrack":
+                parser.error("--detector centertrack needs "
+                             "--tracker centertrack (dict IO)")
+            detector = CenterTrackDetector(
+                test_size=(args.test_h, args.test_w),
+                out_thresh=args.det_conf,
+            )
+        elif args.detector == "transcenter":
             from busca_tpu.eval.detector import TransCenterDetector
             from busca_tpu.models.transcenter import TransCenterConfig
 
@@ -351,9 +361,18 @@ def main(argv=None):
                     for f in range(1, info.seq_length + 1):
                         yield cv2.imread(info.frame_path(f))
 
-                res = track_frames_with_detector(
-                    detector, tracker, frames(), name=info.name
-                )
+                if args.detector == "centertrack":
+                    from busca_tpu.eval.detector import (
+                        track_frames_centertrack,
+                    )
+
+                    res = track_frames_centertrack(
+                        detector, tracker, frames(), name=info.name
+                    )
+                else:
+                    res = track_frames_with_detector(
+                        detector, tracker, frames(), name=info.name
+                    )
                 os.makedirs(args.output_dir, exist_ok=True)
                 mot.write_results(out_path, res.results)
             else:
@@ -364,7 +383,11 @@ def main(argv=None):
                 gt = mot.read_gt(gt_path)
                 per_seq[name] = evaluate_clear(gt, results_to_pred(res))
         if per_seq:
-            agg = accumulate(per_seq)
+            # multi-host-safe aggregation (rank-local tallies allgathered
+            # over jax.process_count(); == accumulate() single-process)
+            from busca_tpu.eval.runner import global_metrics
+
+            agg = global_metrics(per_seq)
             print(json.dumps(agg.as_dict(), indent=2))
         return per_seq
 

@@ -140,6 +140,109 @@ def evaluate_sequences_parallel(
         return dict(pool.map(_eval_one, items))
 
 
+# ---------------------------------------------------------------------------
+# Multi-host metric aggregation (the reference's dist.gather of results and
+# dist.reduce of statistics at epoch end, mot_evaluator.py:244-248)
+# ---------------------------------------------------------------------------
+
+# tally layout: count-like sufficient statistics of MotMetrics so that
+# cross-host aggregation is a plain vector sum (matches metrics.accumulate)
+_TALLY_DIM = 10
+
+
+def metrics_to_tally(m: metrics_lib.MotMetrics) -> np.ndarray:
+    """MotMetrics -> additive sufficient-statistics vector [10] (f64)."""
+    idtp = m.idr * m.num_gt
+    total_p = (idtp / m.idp) if m.idp > 0 else 0.0
+    return np.asarray(
+        [
+            m.num_gt,
+            m.num_false_positives,
+            m.num_misses,
+            m.num_switches,
+            m.num_matches,
+            m.motp * m.num_matches,
+            idtp,
+            total_p,
+            m.mostly_tracked,
+            m.mostly_lost,
+        ],
+        dtype=np.float64,
+    )
+
+
+def tally_to_metrics(t: np.ndarray) -> metrics_lib.MotMetrics:
+    """Inverse of :func:`metrics_to_tally` after summation."""
+    num_gt, fp, fn, idsw, matches, motp_w, idtp, total_p, mt, ml = t
+    return metrics_lib.MotMetrics(
+        mota=1.0 - (fp + fn + idsw) / num_gt if num_gt else 0.0,
+        motp=motp_w / matches if matches else 0.0,
+        idf1=2 * idtp / (num_gt + total_p) if (num_gt + total_p) else 0.0,
+        idp=idtp / total_p if total_p else 0.0,
+        idr=idtp / num_gt if num_gt else 0.0,
+        num_switches=int(idsw),
+        num_false_positives=int(fp),
+        num_misses=int(fn),
+        num_matches=int(matches),
+        num_gt=int(num_gt),
+        mostly_tracked=int(mt),
+        mostly_lost=int(ml),
+    )
+
+
+def psum_tallies(tallies: np.ndarray, mesh, axis: str = "dp") -> np.ndarray:
+    """Device-collective reduction of per-shard tally rows.
+
+    ``tallies [n, TALLY_DIM]`` is sharded over ``axis``; each shard psums its
+    rows — the XLA collective rides ICI on real hardware.  Used by the
+    multi-host path and exercised on the virtual CPU mesh in tests.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    f = jax.jit(
+        shard_map(
+            lambda t: jax.lax.psum(t.sum(0), axis),
+            mesh=mesh,
+            in_specs=P(axis),
+            out_specs=P(),
+        )
+    )
+    arr = jax.device_put(
+        np.asarray(tallies, np.float32), NamedSharding(mesh, P(axis))
+    )
+    return np.asarray(f(arr))
+
+
+def global_metrics(
+    per_seq: Dict[str, metrics_lib.MotMetrics],
+) -> metrics_lib.MotMetrics:
+    """Aggregate metrics across every host of a multi-process job.
+
+    Each host evaluates its sequence shard (``shard_sequences``) locally and
+    contributes one summed tally; tallies are allgathered over
+    ``jax.process_count()`` processes and summed — the jax.distributed
+    equivalent of the reference's rank-0 gather + reduce
+    (mot_evaluator.py:244-248).  Single-process runs reduce locally.
+    """
+    import jax
+
+    local = np.zeros(_TALLY_DIM, np.float64)
+    for m in per_seq.values():
+        local += metrics_to_tally(m)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        gathered = np.asarray(multihost_utils.process_allgather(local))
+        local = gathered.reshape(-1, _TALLY_DIM).sum(axis=0)
+    return tally_to_metrics(local)
+
+
 def run_ab(
     make_base_tracker: Callable[[], object],
     make_busca_tracker: Callable[[], object],

@@ -1,19 +1,29 @@
-"""Benchmark: the BUSCA association hot path on real TPU hardware.
+"""Benchmark: end-to-end MOT pipeline on real TPU hardware.
 
-Measures the full third-round decision step — GHOST normalization, ReID
-ResNet-50 over (T x (11 mem + 7 can)) 384x128 crops, the 4-layer decision
-Transformer with on-device 3-D positional encodings, and the candidate
-softmax — as one jitted call, i.e. exactly what the tracker runs per frame
-for its unmatched tracks (BuscaModel == reference busca/network.py forward).
+Measures the reference's canonical per-frame pipeline (BASELINE.md north
+star: >= 5x end-to-end FPS vs the torch reference on one TPU chip):
+
+1. **e2e_frames_per_s** (headline): 1080p frame -> fused preproc (resize +
+   pad + normalize) -> YOLOX-X forward -> on-device NMS -> BYTE tracker
+   update (host Kalman + LAPJV), measured over a synthetic 1080p sequence.
+   The detector runs bf16 (the production config; MXU-native).
+2. **detector-only FPS** and the derived host tracker ms/frame.
+3. **BUSCA association** latency/throughput (the episodic third-round cost):
+   the full decision step (GHOST normalize, ReID ResNet-50 over
+   T x (11 mem + 7 can) 384x128 crops, 4-layer decision Transformer,
+   candidate softmax) at T=16 (round-1 comparable) and T=64 (throughput
+   bucket), f32 and bf16.
+4. **MFU** for the detector step and the association call from XLA's
+   compiled cost analysis vs the chip's peak.
 
 Baseline: the same computation through an equivalent torch module graph on
-this machine's CPU (the reference implementation is CUDA/torch; no GPU exists
-here, so the same-host torch build is the reproducible stand-in — the
-reference's own published numbers contain no latency figures, BASELINE.md).
+this machine's CPU (the reference implementation is CUDA/torch; no GPU
+exists here, so the same-host torch build is the reproducible stand-in —
+the reference's own published numbers contain no latency figures,
+BASELINE.md).  The baseline e2e time = torch YOLOX-X forward + the same
+measured host tracker cost.
 
-Prints ONE JSON line:
-  {"metric": "busca_associate_tracks_per_s", "value": ..., "unit": "tracks/s",
-   "vs_baseline": <speedup over torch-CPU>}
+Prints ONE JSON line.
 """
 
 import json
@@ -24,8 +34,8 @@ import numpy as np
 
 
 def _enable_compile_cache():
-    """Persistent XLA compilation cache — first-compile of the ResNet graph
-    through the TPU tunnel takes minutes; later runs load it in seconds."""
+    """Persistent XLA compilation cache — first-compile of the big graphs
+    through the TPU tunnel takes minutes; later runs load in seconds."""
     import jax
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -37,28 +47,73 @@ def _enable_compile_cache():
 
 _enable_compile_cache()
 
-T = 16          # unmatched tracks per call (a busy MOT17 frame)
-L_MEM = 11      # memory length (shipped config)
-C = 5           # candidate slots (shipped config)
-H, W = 384, 128
-WARMUP = 3
-ITERS = 20
-TORCH_ITERS = 1  # one timed call — the CPU baseline is ~60s/call
+# association micro-bench shapes (shipped config)
+L_MEM, C, H, W = 11, 5, 384, 128
+# e2e shapes: 1080p input, reference MOT17 test size
+FRAME_HW = (1080, 1920)
+TEST_SIZE = (800, 1440)
+E2E_FRAMES = 16
+E2E_WARMUP = 3
+DET_SIZE = "x"
+ASSOC_KW = {}
+
+# BENCH_SMOKE=1: tiny shapes to validate the bench logic on CPU; the real
+# (driver) run uses the defaults above on the TPU chip.
+if os.environ.get("BENCH_SMOKE"):
+    H, W = 64, 32
+    FRAME_HW = (120, 160)
+    TEST_SIZE = (64, 96)
+    E2E_FRAMES, E2E_WARMUP = 3, 1
+    DET_SIZE = "s"
+    ASSOC_KW = dict(num_layer=2, reid_layers=(1, 1, 1, 1),
+                    reid_num_classes=7)
+
+# bf16 peak TFLOP/s per chip (dense); fallback covers v5e-class parts
+_PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5e": 197e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6e": 918e12,
+    "TPU v6 lite": 918e12,
+}
 
 
-def _example_batch(rng):
-    mem_crops = rng.randint(0, 256, (T, L_MEM, H, W, 3)).astype(np.uint8)
-    can_crops = rng.randint(0, 256, (T, C, H, W, 3)).astype(np.uint8)
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for k, v in _PEAK_BF16.items():
+        if k.lower() in str(kind).lower():
+            return v
+    return 197e12
+
+
+def _flops_of(compiled) -> float:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+# ---------------------------------------------------------------------------
+# association micro-bench (the BUSCA third-round hot path)
+# ---------------------------------------------------------------------------
+
+def _assoc_batch(rng, t):
+    mem_crops = rng.randint(0, 256, (t, L_MEM, H, W, 3)).astype(np.uint8)
+    can_crops = rng.randint(0, 256, (t, C, H, W, 3)).astype(np.uint8)
 
     def boxes(n):
-        xy = rng.uniform(0, 800, (T, n, 2))
-        wh = rng.uniform(20, 200, (T, n, 2))
+        xy = rng.uniform(0, 800, (t, n, 2))
+        wh = rng.uniform(20, 200, (t, n, 2))
         return np.concatenate([xy, xy + wh], axis=-1).astype(np.float32)
 
     return mem_crops, can_crops, boxes(L_MEM), boxes(C)
 
 
-def bench_tpu(batch, dtype="float32"):
+def bench_association(t, dtype, iters=20, warmup=3):
     import jax
     import jax.numpy as jnp
 
@@ -69,10 +124,10 @@ def bench_tpu(batch, dtype="float32"):
         INPUT_PIXEL_STD_BGR,
     )
 
-    config = BuscaConfig(dtype=dtype)
+    rng = np.random.RandomState(0)
+    mem_crops, can_crops, mem_boxes, can_boxes = _assoc_batch(rng, t)
+    config = BuscaConfig(dtype=dtype, **ASSOC_KW)
     model = BuscaModel(config)
-    mem_crops, can_crops, mem_boxes, can_boxes = batch
-
     mean = jnp.asarray(INPUT_PIXEL_MEAN_BGR)
     std = jnp.asarray(INPUT_PIXEL_STD_BGR)
 
@@ -88,7 +143,6 @@ def bench_tpu(batch, dtype="float32"):
         )
         return jax.nn.softmax(logits, axis=-1)
 
-    # init with normalized float crops (cheap path) to build params
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.zeros((1, L_MEM, H, W, 3), jnp.float32),
@@ -96,27 +150,107 @@ def bench_tpu(batch, dtype="float32"):
         jnp.zeros((1, L_MEM, 4), jnp.float32),
         jnp.zeros((1, C, 4), jnp.float32),
     )
-    params = variables["params"]
     args = (
-        params,
+        variables["params"],
         jnp.asarray(mem_crops),
         jnp.asarray(can_crops),
         jnp.asarray(mem_boxes),
         jnp.asarray(can_boxes),
-        jnp.ones((T,), jnp.float32),
+        jnp.ones((t,), jnp.float32),
     )
-    for _ in range(WARMUP):
+    lowered = associate.lower(*args)
+    compiled = lowered.compile()
+    flops = _flops_of(compiled)
+    for _ in range(warmup):
         associate(*args).block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for _ in range(iters):
         out = associate(*args)
     out.block_until_ready()
-    dt = (time.perf_counter() - t0) / ITERS
-    return dt, jax.devices()[0].platform
+    dt = (time.perf_counter() - t0) / iters
+    return {"ms": dt * 1e3, "tracks_per_s": t / dt, "flops": flops}
 
 
-def bench_torch_cpu(batch):
-    """Equivalent torch pipeline on host CPU (reference-architecture stand-in)."""
+# ---------------------------------------------------------------------------
+# end-to-end detector + tracker
+# ---------------------------------------------------------------------------
+
+def _synthetic_frames(n, hw=FRAME_HW, seed=0):
+    from busca_tpu.eval.synthetic import SyntheticObject, SyntheticSequence
+
+    h, w = hw
+    objs = [
+        SyntheticObject(
+            color=np.array([40 + 20 * i, 200 - 15 * i, 60 + 25 * i],
+                           np.float64),
+            x0=60 + 170 * i, y0=80 + 60 * (i % 5),
+            vx=3.0 - 0.4 * i, vy=0.5 * ((-1) ** i),
+            w=60, h=140,
+        )
+        for i in range(10)
+    ]
+    seq = SyntheticSequence(objs, num_frames=n, height=h, width=w, seed=seed)
+    return [seq.frame(t) for t in range(n)]
+
+
+def bench_e2e(dtype="bfloat16"):
+    """Detector (device) + BYTE tracker (host) over 1080p frames."""
+    import jax
+
+    from busca_tpu.eval.detector import YoloxDetector, init_variables
+    from busca_tpu.models.yolox import YoloxConfig
+    from busca_tpu.trackers import ByteTracker, ByteTrackerConfig
+
+    config = YoloxConfig.size(DET_SIZE, num_classes=1, dtype=dtype)
+    variables = init_variables(config, TEST_SIZE)
+    detector = YoloxDetector(
+        config, variables, test_size=TEST_SIZE,
+        conf_thresh=0.05, nms_thresh=0.7, max_outputs=128, pre_nms_topk=512,
+    )
+    frames = _synthetic_frames(E2E_WARMUP + E2E_FRAMES)
+
+    # detector-only
+    for f in frames[:E2E_WARMUP]:
+        detector.detect(f)
+    t0 = time.perf_counter()
+    for f in frames[E2E_WARMUP:]:
+        detector.detect(f)
+    det_dt = (time.perf_counter() - t0) / E2E_FRAMES
+
+    # detector + tracker
+    tracker = ByteTracker(ByteTrackerConfig(track_thresh=0.5))
+    for f in frames[:E2E_WARMUP]:
+        d = detector.detect(f)
+        tracker.update(d.boxes_tlbr / d.scale, d.scores, d.scale, d.image)
+    t0 = time.perf_counter()
+    for f in frames[E2E_WARMUP:]:
+        d = detector.detect(f)
+        tracker.update(d.boxes_tlbr / d.scale, d.scores, d.scale, d.image)
+    e2e_dt = (time.perf_counter() - t0) / E2E_FRAMES
+
+    # MFU of the jitted detect step
+    key = (FRAME_HW[0], FRAME_HW[1])
+    step = detector._steps[key][0]
+    import jax.numpy as jnp
+
+    lowered = step.lower(detector.variables, jnp.asarray(frames[0]))
+    flops = _flops_of(lowered.compile())
+    return {
+        "det_ms": det_dt * 1e3,
+        "e2e_ms": e2e_dt * 1e3,
+        "tracker_ms": (e2e_dt - det_dt) * 1e3,
+        "det_fps": 1.0 / det_dt,
+        "e2e_fps": 1.0 / e2e_dt,
+        "det_flops": flops,
+    }
+
+
+def bench_torch_detector(depth=None, width=None, nc=1):
+    if depth is None:
+        depth, width = (0.33, 0.50) if os.environ.get("BENCH_SMOKE") else (1.33, 1.25)
+    """Equivalent torch YOLOX-X forward on host CPU (baseline stand-in);
+    the published graph (CSPDarknet + PAFPN + decoupled head), one timed
+    forward."""
     try:
         import torch
         import torch.nn as tnn
@@ -124,118 +258,190 @@ def bench_torch_cpu(batch):
         return None
 
     torch.set_num_threads(max(torch.get_num_threads(), 8))
+    d = lambda n: max(round(n * depth), 1)
+    w = lambda c: int(c * width)
 
-    class Bottleneck(tnn.Module):
-        def __init__(self, in_ch, planes, stride=1):
+    def conv(cin, cout, k=1, s=1):
+        return tnn.Sequential(
+            tnn.Conv2d(cin, cout, k, s, (k - 1) // 2, bias=False),
+            tnn.BatchNorm2d(cout, eps=1e-3),
+            tnn.SiLU(),
+        )
+
+    class Bottle(tnn.Module):
+        def __init__(self, c, shortcut=True):
             super().__init__()
-            out_ch = planes * 4
-            self.c1 = tnn.Conv2d(in_ch, planes, 1, bias=False)
-            self.b1 = tnn.BatchNorm2d(planes)
-            self.c2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
-            self.b2 = tnn.BatchNorm2d(planes)
-            self.c3 = tnn.Conv2d(planes, out_ch, 1, bias=False)
-            self.b3 = tnn.BatchNorm2d(out_ch)
-            self.r = tnn.ReLU()
-            self.ds = (
-                tnn.Sequential(
-                    tnn.Conv2d(in_ch, out_ch, 1, stride, bias=False),
-                    tnn.BatchNorm2d(out_ch),
-                )
-                if stride != 1 or in_ch != out_ch
-                else None
-            )
+            self.c1, self.c2 = conv(c, c, 1), conv(c, c, 3)
+            self.add = shortcut
 
         def forward(self, x):
-            i = x if self.ds is None else self.ds(x)
-            x = self.r(self.b1(self.c1(x)))
-            x = self.r(self.b2(self.c2(x)))
-            return self.r(self.b3(self.c3(x)) + i)
+            y = self.c2(self.c1(x))
+            return x + y if self.add else y
+
+    def csp(cin, cout, n, shortcut=True):
+        hidden = cout // 2
+
+        class CSP(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.a = conv(cin, hidden, 1)
+                self.b = conv(cin, hidden, 1)
+                self.m = tnn.Sequential(*[Bottle(hidden, shortcut)
+                                          for _ in range(n)])
+                self.out = conv(2 * hidden, cout, 1)
+
+            def forward(self, x):
+                return self.out(torch.cat([self.m(self.a(x)),
+                                           self.b(x)], 1))
+
+        return CSP()
+
+    class SPP(tnn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            h = cin // 2
+            self.c1 = conv(cin, h, 1)
+            self.m = tnn.ModuleList(
+                [tnn.MaxPool2d(k, 1, k // 2) for k in (5, 9, 13)]
+            )
+            self.c2 = conv(4 * h, cout, 1)
+
+        def forward(self, x):
+            x = self.c1(x)
+            return self.c2(torch.cat([x] + [m(x) for m in self.m], 1))
 
     class Net(tnn.Module):
         def __init__(self):
             super().__init__()
-            self.stem = tnn.Sequential(
-                tnn.Conv2d(3, 64, 7, 2, 3, bias=False),
-                tnn.BatchNorm2d(64),
-                tnn.ReLU(),
-                tnn.MaxPool2d(3, 2, 1),
-            )
-            blocks = []
-            in_ch = 64
-            for s, (p, n) in enumerate(zip((64, 128, 256, 512), (3, 4, 6, 3))):
-                for b in range(n):
-                    blocks.append(
-                        Bottleneck(in_ch, p, (1 if s == 0 else 2) if b == 0 else 1)
+            self.stem = conv(12, w(64), 3)  # focus = space-to-depth + conv
+            self.d2 = tnn.Sequential(conv(w(64), w(128), 3, 2),
+                                     csp(w(128), w(128), d(3)))
+            self.d3 = tnn.Sequential(conv(w(128), w(256), 3, 2),
+                                     csp(w(256), w(256), d(9)))
+            self.d4 = tnn.Sequential(conv(w(256), w(512), 3, 2),
+                                     csp(w(512), w(512), d(9)))
+            self.d5 = tnn.Sequential(conv(w(512), w(1024), 3, 2),
+                                     SPP(w(1024), w(1024)),
+                                     csp(w(1024), w(1024), d(3), False))
+            self.up = tnn.Upsample(scale_factor=2)
+            self.lat0 = conv(w(1024), w(512), 1)
+            self.p4 = csp(w(1024), w(512), d(3), False)
+            self.red1 = conv(w(512), w(256), 1)
+            self.p3 = csp(w(512), w(256), d(3), False)
+            self.bu2 = conv(w(256), w(256), 3, 2)
+            self.n3 = csp(w(512), w(512), d(3), False)
+            self.bu1 = conv(w(512), w(512), 3, 2)
+            self.n4 = csp(w(1024), w(1024), d(3), False)
+            hw = w(256)
+            self.heads = tnn.ModuleList()
+            for cin in (w(256), w(512), w(1024)):
+                self.heads.append(
+                    tnn.ModuleDict(
+                        dict(
+                            stem=conv(cin, hw, 1),
+                            cls=tnn.Sequential(conv(hw, hw, 3),
+                                               conv(hw, hw, 3),
+                                               tnn.Conv2d(hw, nc, 1)),
+                            reg=tnn.Sequential(conv(hw, hw, 3),
+                                               conv(hw, hw, 3)),
+                            regp=tnn.Conv2d(hw, 4, 1),
+                            objp=tnn.Conv2d(hw, 1, 1),
+                        )
                     )
-                    in_ch = p * 4
-            self.blocks = tnn.Sequential(*blocks)
-            self.red = tnn.Linear(2048, 512)
-            self.enc = tnn.Linear(512, 512)
-            layer = tnn.TransformerEncoderLayer(
-                512, 4, 1024, 0.0, "gelu", batch_first=True,
-                norm_first=False,
+                )
+
+        def forward(self, x):
+            x = torch.cat(
+                [x[..., ::2, ::2], x[..., 1::2, ::2],
+                 x[..., ::2, 1::2], x[..., 1::2, 1::2]], 1
             )
-            self.trans = tnn.TransformerEncoder(layer, 4)
-            self.dec = tnn.Sequential(tnn.LayerNorm(512), tnn.Linear(512, 1))
+            x = self.stem(x)
+            x = self.d2(x)
+            c3 = self.d3(x)
+            c4 = self.d4(c3)
+            c5 = self.d5(c4)
+            lat0 = self.lat0(c5)
+            p4 = self.p4(torch.cat([self.up(lat0), c4], 1))
+            red1 = self.red1(p4)
+            p3 = self.p3(torch.cat([self.up(red1), c3], 1))
+            n3 = self.n3(torch.cat([self.bu2(p3), red1], 1))
+            n4 = self.n4(torch.cat([self.bu1(n3), lat0], 1))
+            outs = []
+            for h, f in zip(self.heads, (p3, n3, n4)):
+                s = h["stem"](f)
+                r = h["reg"](s)
+                outs.append((h["regp"](r), h["objp"](r), h["cls"](s)))
+            return outs
 
-        @torch.no_grad()
-        def forward(self, mem, can, n_tokens=25):
-            def feats(x):
-                b, l = x.shape[:2]
-                x = x.reshape(b * l, *x.shape[2:])
-                x = self.blocks(self.stem(x))
-                x = torch.amax(x, dim=(2, 3))
-                f = torch.nn.functional.normalize(self.red(x), dim=-1)
-                return self.enc(f).reshape(b, l, -1) * np.sqrt(512)
-
-            m, c = feats(mem), feats(can)
-            seq = torch.cat([m, c.repeat(1, 2, 1), c[:, :4]], dim=1)[:, :n_tokens]
-            out = self.trans(seq)
-            return torch.softmax(self.dec(out[:, -7:])[..., 0], -1)
-
-    net = Net().train()  # BN batch stats like the reference
-    mem_crops, can_crops, _, _ = batch
-    mem = torch.from_numpy(
-        (mem_crops.astype(np.float32) / 255.0).transpose(0, 1, 4, 2, 3)
-    )
-    can = torch.from_numpy(
-        (can_crops.astype(np.float32) / 255.0).transpose(0, 1, 4, 2, 3)
+    net = Net().eval()
+    x = torch.from_numpy(
+        np.random.RandomState(0)
+        .randn(1, 3, TEST_SIZE[0], TEST_SIZE[1])
+        .astype(np.float32)
     )
     with torch.no_grad():
         t0 = time.perf_counter()
-        for _ in range(TORCH_ITERS):
-            net(mem, can)
-        return (time.perf_counter() - t0) / TORCH_ITERS
+        net(x)
+        return time.perf_counter() - t0
 
 
 def main():
-    rng = np.random.RandomState(0)
-    batch = _example_batch(rng)
-    tpu_dt, platform = bench_tpu(batch, "float32")
-    bf16_dt, _ = bench_tpu(batch, "bfloat16")
-    torch_dt = bench_torch_cpu(batch)
-    tracks_per_s = T / tpu_dt
-    vs = (torch_dt / tpu_dt) if torch_dt else None
+    import jax
+
+    device = jax.devices()[0]
+    peak = _peak_flops(device)
+
+    e2e = bench_e2e("bfloat16")
+    assoc_16_f32 = bench_association(16, "float32")
+    assoc_16_bf16 = bench_association(16, "bfloat16")
+    assoc_64_bf16 = bench_association(64, "bfloat16", iters=10)
+
+    torch_det_s = bench_torch_detector()
+    tracker_s = e2e["tracker_ms"] / 1e3
+    torch_e2e_fps = (
+        1.0 / (torch_det_s + tracker_s) if torch_det_s else None
+    )
+    vs = (e2e["e2e_fps"] / torch_e2e_fps) if torch_e2e_fps else None
+
+    det_mfu = e2e["det_flops"] / (e2e["det_ms"] / 1e3) / peak
+    assoc_mfu = (
+        assoc_64_bf16["flops"] / (assoc_64_bf16["ms"] / 1e3) / peak
+    )
+
     print(
         json.dumps(
             {
-                "metric": "busca_associate_tracks_per_s",
-                "value": round(tracks_per_s, 2),
-                "unit": "tracks/s",
-                "vs_baseline": round(vs, 2) if vs else None,
+                "metric": "e2e_frames_per_s",
+                "value": round(e2e["e2e_fps"], 2),
+                "unit": "frames/s",
+                "vs_baseline": round(vs, 1) if vs else None,
                 "detail": {
-                    "platform": platform,
-                    "tpu_ms_per_call_f32": round(tpu_dt * 1e3, 2),
-                    "tpu_ms_per_call_bf16": round(bf16_dt * 1e3, 2),
-                    "bf16_tracks_per_s": round(T / bf16_dt, 2),
-                    "torch_cpu_ms_per_call": round(torch_dt * 1e3, 2)
-                    if torch_dt
-                    else None,
-                    "tracks_per_call": T,
-                    "crops_per_call": T * (L_MEM + C),
-                    "note": "baseline = equivalent torch pipeline on this "
-                    "host's CPU (single core); reference publishes no "
-                    "latency numbers (BASELINE.md)",
+                    "platform": device.platform,
+                    "device_kind": str(getattr(device, "device_kind", "?")),
+                    "pipeline": "1080p -> preproc -> YOLOX-X bf16 (800x1440)"
+                                " -> NMS -> BYTE tracker",
+                    "det_ms_per_frame": round(e2e["det_ms"], 2),
+                    "e2e_ms_per_frame": round(e2e["e2e_ms"], 2),
+                    "host_tracker_ms_per_frame": round(e2e["tracker_ms"], 2),
+                    "detector_fps": round(e2e["det_fps"], 2),
+                    "detector_mfu_pct": round(det_mfu * 100, 1),
+                    "assoc_ms_T16_f32": round(assoc_16_f32["ms"], 2),
+                    "assoc_ms_T16_bf16": round(assoc_16_bf16["ms"], 2),
+                    "assoc_ms_T64_bf16": round(assoc_64_bf16["ms"], 2),
+                    "assoc_tracks_per_s_T16_f32":
+                        round(assoc_16_f32["tracks_per_s"], 1),
+                    "assoc_tracks_per_s_T64_bf16":
+                        round(assoc_64_bf16["tracks_per_s"], 1),
+                    "assoc_mfu_pct_T64_bf16": round(assoc_mfu * 100, 1),
+                    "torch_cpu_detector_s_per_frame":
+                        round(torch_det_s, 2) if torch_det_s else None,
+                    "baseline_e2e_fps":
+                        round(torch_e2e_fps, 4) if torch_e2e_fps else None,
+                    "peak_bf16_flops_assumed": peak,
+                    "note": "baseline = equivalent torch YOLOX-X on this "
+                            "host's CPU (single core) + the same measured "
+                            "host tracker cost; the reference publishes no "
+                            "latency numbers (BASELINE.md)",
                 },
             }
         )

@@ -68,6 +68,7 @@ class YoloxDetector:
         conf_thresh: float = 0.1,
         nms_thresh: float = 0.7,
         max_outputs: int = 256,
+        pre_nms_topk: int = 1024,
     ):
         from busca_tpu.models.yolox import YOLOX
 
@@ -78,6 +79,7 @@ class YoloxDetector:
         self.conf_thresh = float(conf_thresh)
         self.nms_thresh = float(nms_thresh)
         self.max_outputs = int(max_outputs)
+        self.pre_nms_topk = int(pre_nms_topk)
         self._steps = {}  # (frame_h, frame_w) -> jitted step
 
     # ------------------------------------------------------------ factory --
@@ -149,6 +151,7 @@ class YoloxDetector:
                 self.conf_thresh,
                 self.nms_thresh,
                 self.max_outputs,
+                pre_nms_topk=self.pre_nms_topk,
             )
             return out, valid, det_image_u8
 

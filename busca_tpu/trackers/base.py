@@ -252,15 +252,27 @@ KALMAN_CANDIDATE_CONF = 0.10000001
 def extract_uint8_crops(frame, boxes_tlbr, crop_hw) -> List[np.ndarray]:
     """Uint8 BGR ReID crops for a batch of boxes — one fused device call
     (ops/crop.py) replacing the reference's per-box cv2 loop.  Normalization
-    happens later in the association engine (normalize_ims=True path)."""
+    happens later in the association engine (normalize_ims=True path).
+
+    The box count is padded to the next power of two (degenerate zero boxes
+    produce zero crops) so the per-frame detection-count churn never
+    recompiles the crop kernel.
+    """
     if frame is None or len(boxes_tlbr) == 0:
         return []
     from busca_tpu.ops.crop import crop_resize_normalize
 
+    boxes = np.asarray(boxes_tlbr, dtype=np.float32).reshape(-1, 4)
+    n = len(boxes)
+    bucket = 1 << (n - 1).bit_length() if n > 1 else 1
+    if bucket > n:
+        boxes = np.concatenate(
+            [boxes, np.zeros((bucket - n, 4), np.float32)], axis=0
+        )
     crops = np.asarray(
         crop_resize_normalize(
             frame,
-            np.asarray(boxes_tlbr, dtype=np.float32).reshape(-1, 4),
+            boxes,
             crop_hw,
             normalize=False,
             bgr_input=True,
@@ -268,7 +280,7 @@ def extract_uint8_crops(frame, boxes_tlbr, crop_hw) -> List[np.ndarray]:
             quantize_uint8=True,
         )
     ).astype(np.uint8)
-    return list(crops)
+    return list(crops[:n])
 
 
 def run_third_round(

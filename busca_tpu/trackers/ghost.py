@@ -32,9 +32,9 @@ import numpy as np
 
 from busca_tpu.core import hostmath
 from busca_tpu.ops import lap
-from busca_tpu.ops.crop import crop_resize_normalize
 from busca_tpu.trackers.base import (
     KALMAN_CANDIDATE_CONF,
+    extract_uint8_crops,
     run_third_round,
 )
 
@@ -213,14 +213,7 @@ class GhostTracker:
 
         det_images = [None] * n
         if self.use_busca and frame is not None and n:
-            det_images = list(
-                np.asarray(
-                    crop_resize_normalize(
-                        frame, boxes_tlbr.astype(np.float32), cfg.crop_hw,
-                        normalize=False, rgb_output=False,
-                    )
-                ).astype(np.uint8)
-            )
+            det_images = extract_uint8_crops(frame, boxes_tlbr, cfg.crop_hw)
 
         curr_inactive = {
             k: t
@@ -427,12 +420,7 @@ class GhostTracker:
 
     def _kalman_candidates(self, pool, frame):
         boxes = np.array([t.pos for t in pool]).reshape(-1, 4)
-        crops = np.asarray(
-            crop_resize_normalize(
-                frame, boxes.astype(np.float32), self.cfg.crop_hw,
-                normalize=False, rgb_output=False,
-            )
-        ).astype(np.uint8)
+        crops = extract_uint8_crops(frame, boxes, self.cfg.crop_hw)
         if self.feature_extractor is not None and len(crops):
             fresh = np.asarray(self.feature_extractor(crops))
         else:

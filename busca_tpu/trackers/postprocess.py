@@ -10,9 +10,9 @@ tracking (adapters/StrongSORT/strong_sort.py:29-46).
   interpolation, smooth each coordinate with Gaussian-process regression
   (RBF kernel, length scale ``tau``), implemented here in closed form with
   numpy — no sklearn dependency.
-- AFLink requires its own trained link-prediction model, which the reference
-  repo does not ship either (it is downloaded from the StrongSORT release);
-  ``aflink`` raises with a pointer until a weights path is provided.
+- ``aflink``: appearance-free tracklet linking (models/aflink.py holds the
+  link model + a synthetic trainer, since the upstream trained weights are a
+  release download the reference does not vendor).
 """
 
 from __future__ import annotations
@@ -91,14 +91,103 @@ def gaussian_smoothed_interpolation(
     return merged[order]
 
 
-def aflink(*_args, **_kwargs):
-    """Appearance-free link (AFLink) post-processing.
+def aflink(
+    results: np.ndarray,
+    model=None,
+    params=None,
+    thrT: Tuple[int, int] = (0, 30),
+    thrS: float = 75.0,
+    thrP: float = 0.05,
+) -> np.ndarray:
+    """Appearance-free tracklet linking (AFLink) over MOT result rows.
 
-    Requires the trained AFLink model from the StrongSORT release, which the
-    reference repo itself does not vendor.  Provide weights and implement the
-    link scorer before use.
+    The reference applies this between tracking and GSI
+    (adapters/StrongSORT/strong_sort.py:29-38) with exactly these defaults:
+    candidate pairs are (tracklet i ends, tracklet j starts) with a temporal
+    gap in ``[thrT[0], thrT[1])`` and end/start centers closer than ``thrS``
+    px; the link model scores each pair; pairs are greedily linked by
+    descending probability above ``thrP`` (each tracklet links forward and
+    backward at most once); linked ids are merged by union-find and the rows
+    rewritten.
+
+    The published trained weights are a release download the reference does
+    not vendor; pass a (model, params) from
+    :func:`busca_tpu.models.aflink.train_aflink_synthetic` or converted
+    weights.
     """
-    raise NotImplementedError(
-        "AFLink needs its trained link model (not shipped with the reference "
-        "either); use linear_interpolation / gaussian_smoothed_interpolation."
+    from busca_tpu.models.aflink import (
+        AFLinkConfig,
+        make_score_fn,
+        normalize_segment,
     )
+
+    if model is None or params is None:
+        raise ValueError(
+            "aflink needs a trained link model: "
+            "model, params = train_aflink_synthetic(...) or load weights"
+        )
+    config = AFLinkConfig()
+    tracks = _split_tracks(results)
+    ids = sorted(tracks)
+    # candidate pairs by the temporal/spatial gates
+    cands = []
+    for i in ids:
+        ri = tracks[i]
+        for j in ids:
+            if i == j:
+                continue
+            rj = tracks[j]
+            gap = rj[0, 0] - ri[-1, 0]
+            if not (thrT[0] <= gap < thrT[1]):
+                continue
+            ci = ri[-1, 2:4] + ri[-1, 4:6] / 2.0
+            cj = rj[0, 2:4] + rj[0, 4:6] / 2.0
+            if np.hypot(*(ci - cj)) >= thrS:
+                continue
+            cands.append((i, j))
+    if not cands:
+        return results
+
+    seg1 = np.stack(
+        [
+            normalize_segment(tracks[i], tracks[i][-1, 0] + 1, config, True)
+            for i, _ in cands
+        ]
+    )
+    seg2 = np.stack(
+        [
+            normalize_segment(tracks[j], tracks[i][-1, 0] + 1, config, False)
+            for i, j in cands
+        ]
+    )
+    probs = np.asarray(make_score_fn(model, params)(seg1, seg2))
+
+    # greedy linking by descending probability; one forward link per source,
+    # one backward link per target
+    order = np.argsort(-probs)
+    used_src, used_dst = set(), set()
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for k in order:
+        if probs[k] < thrP:
+            break
+        i, j = cands[k]
+        if i in used_src or j in used_dst:
+            continue
+        used_src.add(i)
+        used_dst.add(j)
+        parent[find(j)] = find(i)
+
+    out = results.copy()
+    for i in ids:
+        root = find(i)
+        if root != i:
+            out[out[:, 1] == i, 1] = root
+    order = np.lexsort((out[:, 1], out[:, 0]))
+    return out[order]

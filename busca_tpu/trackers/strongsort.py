@@ -32,9 +32,9 @@ import numpy as np
 
 from busca_tpu.core import hostmath
 from busca_tpu.ops import lap
-from busca_tpu.ops.crop import crop_resize_normalize
 from busca_tpu.trackers.base import (
     KALMAN_CANDIDATE_CONF,
+    extract_uint8_crops,
     run_third_round,
 )
 
@@ -308,17 +308,7 @@ class StrongSortTracker:
         # BUSCA crops for all detections (one fused device call)
         det_images = [None] * n
         if self.use_busca and cfg.busca_thresh > 0 and frame is not None and n:
-            det_images = list(
-                np.asarray(
-                    crop_resize_normalize(
-                        frame,
-                        boxes_tlbr.astype(np.float32),
-                        cfg.crop_hw,
-                        normalize=False,
-                        rgb_output=False,
-                    )
-                ).astype(np.uint8)
-            )
+            det_images = extract_uint8_crops(frame, boxes_tlbr, cfg.crop_hw)
 
         # ---- BUSCA third round over unmatched confirmed age-1 tracks --------
         if self.use_busca and cfg.busca_thresh > 0 and frame is not None:
@@ -518,12 +508,7 @@ class StrongSortTracker:
     def _kalman_candidates(self, pool, frame):
         cands = []
         boxes = np.array([t.tlbr for t in pool]).reshape(-1, 4)
-        crops = np.asarray(
-            crop_resize_normalize(
-                frame, boxes.astype(np.float32), self.cfg.crop_hw,
-                normalize=False, rgb_output=False,
-            )
-        ).astype(np.uint8)
+        crops = extract_uint8_crops(frame, boxes, self.cfg.crop_hw)
         for t, im in zip(pool, crops):
             # admission conf = the track threshold (tracker.py:149-150)
             cands.append(

@@ -37,11 +37,17 @@ PAD_VALUE = 114.0
 
 @dataclasses.dataclass
 class DetectorOutput:
-    """One frame's detections, in detector (resized) coordinates."""
+    """One frame's detections, in detector (resized) coordinates.
+
+    ``image`` is intentionally left as a *device* array: the BUSCA crop op
+    consumes it on device, and trackers that never touch it (no BUSCA, no
+    camera-motion compensation) then never pay the device->host transfer.
+    Call ``np.asarray(out.image)`` where host pixels are genuinely needed.
+    """
 
     boxes_tlbr: np.ndarray  # [N, 4] detector coords
     scores: np.ndarray  # [N] obj_conf * cls_conf
-    image: np.ndarray  # [test_h, test_w, 3] uint8 BGR (the padded canvas)
+    image: "np.ndarray"  # [test_h, test_w, 3] uint8 BGR (device array)
     scale: float  # detector coords = original coords * scale
 
 
@@ -158,8 +164,17 @@ class YoloxDetector:
         return step, r
 
     # ----------------------------------------------------------------- api --
-    def detect(self, frame_bgr: np.ndarray) -> DetectorOutput:
-        """Run the detector on one uint8 BGR frame (original resolution)."""
+    def put_frame(self, frame_bgr: np.ndarray):
+        """Asynchronously upload a frame (prefetch: overlap the host->device
+        transfer of frame t+1 with the compute of frame t, SURVEY §7.3.4).
+        The returned device array can be passed straight to ``detect``."""
+        import jax
+
+        return jax.device_put(np.ascontiguousarray(frame_bgr))
+
+    def detect(self, frame_bgr) -> DetectorOutput:
+        """Run the detector on one uint8 BGR frame (original resolution);
+        accepts a host array or a ``put_frame`` device array."""
         import jax.numpy as jnp
 
         key = (int(frame_bgr.shape[0]), int(frame_bgr.shape[1]))
@@ -174,7 +189,7 @@ class YoloxDetector:
         return DetectorOutput(
             boxes_tlbr=rows[:, :4].astype(np.float64),
             scores=(rows[:, 4] * rows[:, 5]).astype(np.float64),
-            image=np.asarray(det_image),
+            image=det_image,  # device-resident; see DetectorOutput docstring
             scale=r,
         )
 
@@ -608,9 +623,21 @@ def track_frames_with_detector(
     feedback = getattr(detector, "uses_feedback", False) and hasattr(
         tracker, "get_detector_positions"
     )
+    can_prefetch = hasattr(detector, "put_frame")
     results = []
     t0 = time.perf_counter()
-    for idx, frame in enumerate(frames):
+    it = iter(frames)
+    pending = next(it, None)
+    if pending is not None and can_prefetch:
+        pending = detector.put_frame(pending)
+    idx = -1
+    while pending is not None:
+        idx += 1
+        frame = pending
+        # prefetch the next frame's upload behind this frame's compute
+        pending = next(it, None)
+        if pending is not None and can_prefetch:
+            pending = detector.put_frame(pending)
         if feedback:
             det = detector.detect(
                 frame, current_pos=tracker.get_detector_positions()

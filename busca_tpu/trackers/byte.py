@@ -266,7 +266,14 @@ class ByteTracker:
         ]
         self.tracked, self.lost = remove_duplicate_tracks(self.tracked, self.lost)
 
-        self.last_image = np.copy(frame) if frame is not None else None
+        # keep the frame only if next frame's CMC will read it — np.copy of
+        # a device array forces a device->host transfer we otherwise skip
+        keep_frame = (
+            frame is not None
+            and self.use_busca
+            and cfg.use_camera_motion_compensation
+        )
+        self.last_image = np.asarray(frame).copy() if keep_frame else None
         return [t for t in self.tracked if t.is_activated]
 
     # ------------------------------------------------------------ internals --

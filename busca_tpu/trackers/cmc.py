@@ -38,6 +38,9 @@ def ecc_align(
     """
     if cv2 is None:
         return 1.0, IDENTITY_2X3.copy()
+    # frames may be device arrays (DetectorOutput.image); cv2 needs host
+    prev_frame = np.asarray(prev_frame)
+    cur_frame = np.asarray(cur_frame)
     modes = {
         "MOTION_EUCLIDEAN": cv2.MOTION_EUCLIDEAN,
         "MOTION_AFFINE": cv2.MOTION_AFFINE,

@@ -125,6 +125,78 @@ def make_tracker(name: str, tracker_kwargs: dict, engine, crop_hw=(384, 128)):
     raise ValueError(f"unknown tracker: {name}")
 
 
+class FeatureShim:
+    """Adapt feature-consuming trackers (StrongSORT, GHOST) to the runner's
+    ``update(boxes, scores, scale, frame)`` protocol.
+
+    Features come from a :class:`busca_tpu.eval.features.ReidFeatureExtractor`
+    when given (the reference GHOST path, base_tracker.py:116); otherwise a
+    distinct-identity placeholder (synthetic/smoke runs).
+    """
+
+    def __init__(self, trk, feature_extractor=None, crop_hw=(384, 128),
+                 call_predict=False):
+        self.trk = trk
+        self.feat_fn = feature_extractor
+        self.crop_hw = crop_hw
+        self.call_predict = call_predict
+
+    def _features(self, boxes, scale, frame):
+        n = len(boxes)
+        if self.feat_fn is not None and frame is not None and n:
+            from busca_tpu.trackers.base import extract_uint8_crops
+
+            crops = extract_uint8_crops(
+                frame, np.asarray(boxes) * scale, self.crop_hw
+            )
+            return self.feat_fn(np.stack(crops))
+        return np.eye(max(n, 1), 16)[:n]
+
+    def update(self, boxes, scores, scale, frame):
+        if self.call_predict:
+            self.trk.predict()
+        feats = self._features(boxes, scale, frame)
+        return self.trk.update(boxes, scores, feats, frame)
+
+
+class CenterTrackShim:
+    """Adapt the dict-IO CenterTrack adapter to the runner protocol."""
+
+    def __init__(self, trk):
+        self.trk = trk
+
+    def update(self, boxes, scores, scale, frame):
+        dicts = [
+            {"bbox": b, "score": s, "class": 1}
+            for b, s in zip(boxes, scores)
+        ]
+        outs = self.trk.step(dicts, frame, scale)
+
+        class _T:  # minimal view for the runner
+            def __init__(self, d):
+                bb = d["bbox"]
+                self.tlwh = np.array(
+                    [bb[0], bb[1], bb[2] - bb[0], bb[3] - bb[1]]
+                )
+                self.track_id = d["tracking_id"]
+                self.score = d["score"]
+
+        return [_T(d) for d in outs]
+
+
+def shim_for_runner(name: str, tracker, feature_extractor=None,
+                    crop_hw=(384, 128)):
+    """Wrap a tracker for the runner protocol where its native IO differs."""
+    if name == "strongsort":
+        return FeatureShim(tracker, feature_extractor, crop_hw,
+                           call_predict=True)
+    if name == "ghost":
+        return FeatureShim(tracker, feature_extractor, crop_hw)
+    if name == "centertrack":
+        return CenterTrackShim(tracker)
+    return tracker
+
+
 def run_synthetic(args, engine, tracker_kwargs) -> dict:
     from busca_tpu.eval.metrics import evaluate_hota
     from busca_tpu.eval.runner import (
@@ -144,56 +216,8 @@ def run_synthetic(args, engine, tracker_kwargs) -> dict:
     for tag, eng in variants:
         tracker = make_tracker(args.tracker, tracker_kwargs, eng, args.crop_hw)
         frames = (seq.frame(t) for t in range(args.num_frames))
-        if args.tracker == "strongsort":
-            result_rows = []
-            import busca_tpu.eval.runner as runner_lib
-
-            class _SSShim:
-                def __init__(self, trk):
-                    self.trk = trk
-
-                def update(self, boxes, scores, scale, frame):
-                    self.trk.predict()
-                    n = len(boxes)
-                    feats = np.eye(max(n, 1), 16)[:n]
-                    return self.trk.update(boxes, scores, feats, frame)
-
-            tracker = _SSShim(tracker)
-        elif args.tracker == "ghost":
-            class _GShim:
-                def __init__(self, trk):
-                    self.trk = trk
-
-                def update(self, boxes, scores, scale, frame):
-                    n = len(boxes)
-                    feats = np.eye(max(n, 1), 16)[:n]
-                    return self.trk.update(boxes, scores, feats, frame)
-
-            tracker = _GShim(tracker)
-        elif args.tracker == "centertrack":
-            class _CShim:
-                def __init__(self, trk):
-                    self.trk = trk
-
-                def update(self, boxes, scores, scale, frame):
-                    dicts = [
-                        {"bbox": b, "score": s, "class": 1}
-                        for b, s in zip(boxes, scores)
-                    ]
-                    outs = self.trk.step(dicts, frame)
-
-                    class _T:  # minimal view for the runner
-                        def __init__(self, d):
-                            bb = d["bbox"]
-                            self.tlwh = np.array(
-                                [bb[0], bb[1], bb[2] - bb[0], bb[3] - bb[1]]
-                            )
-                            self.track_id = d["tracking_id"]
-                            self.score = d["score"]
-
-                    return [_T(d) for d in outs]
-
-            tracker = _CShim(tracker)
+        tracker = shim_for_runner(args.tracker, tracker,
+                                  crop_hw=args.crop_hw)
         res = run_sequence(tracker, frames, dets, name="synthetic")
         m = evaluate_sequence(res, gt)
         h = evaluate_hota(gt, results_to_pred(res))
@@ -256,6 +280,10 @@ def main(argv=None):
     parser.add_argument("--ecc-json", default=None,
                         help="per-video per-frame ECC warp matrices (JSON)")
     parser.add_argument("--min-confidence", type=float, default=0.6)
+    parser.add_argument("--reid-ckpt", default=None,
+                        help="GHOST ReID checkpoint (converted .npz or "
+                             "model_feats.pth) for live per-detection "
+                             "features (ghost/strongsort trackers)")
     args = parser.parse_args(argv)
     args.crop_hw = (args.crop_h, args.crop_w)
 
@@ -310,6 +338,14 @@ def main(argv=None):
                 test_size=(args.test_h, args.test_w),
                 conf_thresh=args.det_conf,
                 nms_thresh=args.det_nms,
+            )
+
+        feature_extractor = None
+        if args.reid_ckpt:
+            from busca_tpu.eval.features import ReidFeatureExtractor
+
+            feature_extractor = ReidFeatureExtractor.from_checkpoint(
+                args.reid_ckpt, crop_hw=args.crop_hw
             )
 
         per_seq = {}
@@ -370,13 +406,20 @@ def main(argv=None):
                         detector, tracker, frames(), name=info.name
                     )
                 else:
+                    shimmed = shim_for_runner(
+                        args.tracker, tracker, feature_extractor,
+                        args.crop_hw,
+                    )
                     res = track_frames_with_detector(
-                        detector, tracker, frames(), name=info.name
+                        detector, shimmed, frames(), name=info.name
                     )
                 os.makedirs(args.output_dir, exist_ok=True)
                 mot.write_results(out_path, res.results)
             else:
-                res = run_mot_sequence(seq_dir, tracker, output_path=out_path)
+                shimmed = shim_for_runner(
+                    args.tracker, tracker, feature_extractor, args.crop_hw
+                )
+                res = run_mot_sequence(seq_dir, shimmed, output_path=out_path)
             print(f"{name}: {res.num_frames} frames @ {res.fps:.1f} fps")
             gt_path = os.path.join(seq_dir, "gt", "gt.txt")
             if os.path.exists(gt_path):

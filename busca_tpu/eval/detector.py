@@ -163,6 +163,78 @@ class YoloxDetector:
 
         return step, r
 
+    def _make_batch_step(self, frame_hw: Tuple[int, int], batch: int):
+        import jax
+        import jax.numpy as jnp
+
+        from busca_tpu.ops.crop import crop_resize_normalize
+        from busca_tpu.ops.nms import yolox_postprocess
+
+        fh, fw = frame_hw
+        th, tw = self.test_size
+        r = min(th / fh, tw / fw)
+        rh, rw = int(fh * r), int(fw * r)
+        mean = jnp.asarray(IMAGENET_MEAN_RGB, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD_RGB, jnp.float32)
+
+        @jax.jit
+        def step(variables, frames_bgr_u8):  # [B, fh, fw, 3]
+            box = jnp.asarray([[0.0, 0.0, float(fw), float(fh)]])
+
+            def one_canvas(f):
+                resized = crop_resize_normalize(
+                    f, box, out_hw=(rh, rw), normalize=False,
+                    bgr_input=True, rgb_output=False, quantize_uint8=True,
+                )[0]
+                canvas = jnp.full((th, tw, 3), PAD_VALUE, jnp.float32)
+                canvas = canvas.at[:rh, :rw].set(resized)
+                return jnp.clip(jnp.round(canvas), 0, 255).astype(jnp.uint8)
+
+            canvases = jax.vmap(one_canvas)(frames_bgr_u8)
+            x = (canvases[..., ::-1].astype(jnp.float32) / 255.0 - mean) / std
+            preds = self.model.apply(variables, x)  # [B, N, 5+C]
+            outs, valids = jax.vmap(
+                lambda p: yolox_postprocess(
+                    p, self.config.num_classes, self.conf_thresh,
+                    self.nms_thresh, self.max_outputs,
+                    pre_nms_topk=self.pre_nms_topk,
+                )
+            )(preds)
+            return outs, valids, canvases
+
+        return step, r
+
+    def detect_batch(self, frames_bgr) -> list:
+        """Run the detector on a BATCH of same-resolution frames (one per
+        concurrently-tracked sequence) in one device call — the lockstep
+        evaluation mode that keeps the MXU busy where per-frame batch-1
+        underutilizes it.  Returns one :class:`DetectorOutput` per frame."""
+        import jax.numpy as jnp
+
+        frames = np.asarray(frames_bgr)
+        b = frames.shape[0]
+        key = ("batch", int(frames.shape[1]), int(frames.shape[2]), b)
+        if key not in self._steps:
+            self._steps[key] = self._make_batch_step(
+                (int(frames.shape[1]), int(frames.shape[2])), b
+            )
+        step, r = self._steps[key]
+        outs, valids, canvases = step(self.variables, jnp.asarray(frames))
+        outs = np.asarray(outs)
+        valids = np.asarray(valids)
+        results = []
+        for i in range(b):
+            rows = outs[i][valids[i]]
+            results.append(
+                DetectorOutput(
+                    boxes_tlbr=rows[:, :4].astype(np.float64),
+                    scores=(rows[:, 4] * rows[:, 5]).astype(np.float64),
+                    image=canvases[i],
+                    scale=r,
+                )
+            )
+        return results
+
     # ----------------------------------------------------------------- api --
     def put_frame(self, frame_bgr: np.ndarray):
         """Asynchronously upload a frame (prefetch: overlap the host->device
@@ -580,6 +652,80 @@ def track_frames_centertrack(
         results.append((idx + 1, tlwhs, ids, confs))
     dt = time.perf_counter() - t0
     return SequenceResult(name, len(results), results, dt)
+
+
+def track_sequences_lockstep(
+    detector: YoloxDetector,
+    trackers,
+    frame_iters,
+    names=None,
+    min_box_area: float = 100.0,
+    vertical_thresh: Optional[float] = 1.6,
+):
+    """Track B sequences in lockstep, batching the detector across them.
+
+    Online tracking is causally batch-1 per sequence, but *across* sequences
+    the detector batches freely — the TPU-native throughput mode for offline
+    evaluation (one frame from each sequence per device call; SURVEY §2.5:
+    "shard sequences across hosts/chips and batch across tracks within a
+    chip").  Sequences may have different lengths; finished sequences are
+    padded with their last frame and their outputs discarded.  All sequences
+    must share one resolution (MOT17 sequences per-resolution group).
+
+    Returns one :class:`~busca_tpu.eval.runner.SequenceResult` per sequence.
+    """
+    import time
+
+    from busca_tpu.eval.runner import SequenceResult
+
+    iters = [iter(f) for f in frame_iters]
+    b = len(iters)
+    names = names or [f"seq{i}" for i in range(b)]
+    current = [next(it, None) for it in iters]
+    if any(f is None for f in current):
+        raise ValueError("every sequence needs at least one frame")
+    active = [True] * b
+    results = [[] for _ in range(b)]
+    frame_ids = [0] * b
+    t0 = time.perf_counter()
+    while any(active):
+        dets = detector.detect_batch(np.stack(current))
+        for i in range(b):
+            if not active[i]:
+                continue
+            d = dets[i]
+            frame_ids[i] += 1
+            online = trackers[i].update(
+                d.boxes_tlbr / d.scale, d.scores, d.scale, d.image
+            )
+            tlwhs, ids, confs = [], [], []
+            for t in online:
+                tlwh = t.tlwh
+                vertical = (
+                    vertical_thresh is not None
+                    and tlwh[3] > 0
+                    and tlwh[2] / tlwh[3] > vertical_thresh
+                )
+                if tlwh[2] * tlwh[3] > min_box_area and not vertical:
+                    tlwhs.append(tlwh)
+                    ids.append(t.track_id)
+                    confs.append(t.score)
+            results[i].append((frame_ids[i], tlwhs, ids, confs))
+        # advance; finished sequences keep feeding their last frame so the
+        # batch shape stays static (their outputs are skipped above)
+        for i in range(b):
+            if not active[i]:
+                continue
+            nxt = next(iters[i], None)
+            if nxt is None:
+                active[i] = False
+            else:
+                current[i] = nxt
+    dt = time.perf_counter() - t0
+    return [
+        SequenceResult(names[i], len(results[i]), results[i], dt)
+        for i in range(b)
+    ]
 
 
 def init_variables(config, test_size=(800, 1440)):

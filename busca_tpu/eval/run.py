@@ -233,6 +233,66 @@ def run_synthetic(args, engine, tracker_kwargs) -> dict:
     return out
 
 
+def _run_lockstep(args, detector, engine, seq_tracker_kwargs,
+                  feature_extractor):
+    """Batched-across-sequences evaluation: sequences grouped by resolution,
+    one detector call per lockstep frame (eval/detector.py
+    track_sequences_lockstep)."""
+    import collections
+
+    import cv2
+
+    from busca_tpu.eval import mot
+    from busca_tpu.eval.detector import track_sequences_lockstep
+    from busca_tpu.eval.metrics import evaluate_clear
+    from busca_tpu.eval.runner import global_metrics, results_to_pred
+
+    infos = {d: mot.load_seqinfo(d) for d in args.mot_dir}
+    groups = collections.defaultdict(list)
+    for d, info in infos.items():
+        groups[(info.im_height, info.im_width)].append(d)
+
+    per_seq = {}
+    for (h, w), dirs in groups.items():
+        trackers, frame_iters, names = [], [], []
+        for d in dirs:
+            info = infos[d]
+            names.append(info.name)
+            tracker = make_tracker(
+                args.tracker, seq_tracker_kwargs(info.name), engine,
+                args.crop_hw,
+            )
+            trackers.append(
+                shim_for_runner(args.tracker, tracker, feature_extractor,
+                                args.crop_hw)
+            )
+
+            def frames(info=info):
+                for f in range(1, info.seq_length + 1):
+                    yield cv2.imread(info.frame_path(f))
+
+            frame_iters.append(frames())
+        results = track_sequences_lockstep(
+            detector, trackers, frame_iters, names=names
+        )
+        os.makedirs(args.output_dir, exist_ok=True)
+        for d, res in zip(dirs, results):
+            mot.write_results(
+                os.path.join(args.output_dir, f"{res.name}.txt"), res.results
+            )
+            print(f"{res.name}: {res.num_frames} frames (lockstep group "
+                  f"{len(dirs)} @ {h}x{w})")
+            gt_path = os.path.join(d, "gt", "gt.txt")
+            if os.path.exists(gt_path):
+                per_seq[res.name] = evaluate_clear(
+                    mot.read_gt(gt_path), results_to_pred(res)
+                )
+    if per_seq:
+        agg = global_metrics(per_seq)
+        print(json.dumps(agg.as_dict(), indent=2))
+    return per_seq
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--tracker", default="byte",
@@ -284,6 +344,10 @@ def main(argv=None):
                         help="GHOST ReID checkpoint (converted .npz or "
                              "model_feats.pth) for live per-detection "
                              "features (ghost/strongsort trackers)")
+    parser.add_argument("--lockstep", action="store_true",
+                        help="batch the detector across sequences of the "
+                             "same resolution (TPU throughput mode; "
+                             "yolox detectors only)")
     args = parser.parse_args(argv)
     args.crop_hw = (args.crop_h, args.crop_w)
 
@@ -347,6 +411,26 @@ def main(argv=None):
             feature_extractor = ReidFeatureExtractor.from_checkpoint(
                 args.reid_ckpt, crop_hw=args.crop_hw
             )
+
+        def seq_tracker_kwargs(name):
+            seq_kwargs = dict(tracker_kwargs)
+            if args.tracker in ("byte", "centertrack", "transcenter"):
+                seq_kwargs.update(
+                    custom_byte_thresholds(
+                        name,
+                        seq_kwargs.get("track_thresh", 0.6),
+                        seq_kwargs.get("track_buffer", 30),
+                        ignore=args.ignore_custom_byte_thresholds,
+                    )
+                )
+            return seq_kwargs
+
+        if args.lockstep:
+            if detector is None or args.detector in ("transcenter",
+                                                     "centertrack"):
+                parser.error("--lockstep needs a yolox --detector")
+            return _run_lockstep(args, detector, engine, seq_tracker_kwargs,
+                                 feature_extractor)
 
         per_seq = {}
         for seq_dir in args.mot_dir:

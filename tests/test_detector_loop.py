@@ -150,3 +150,42 @@ def test_golden_diff_report():
     assert rep["mota"]["diff"] == 0.0
     assert rep["hota"]["diff"] == pytest.approx(-0.392)
     assert rep["ids"]["want"] == 219
+
+
+@pytest.mark.slow
+def test_detect_batch_matches_single(tiny_detector, rng):
+    """Batched detection == per-frame detection (same weights, same frames)."""
+    frames = [_frame(rng) for _ in range(3)]
+    batched = tiny_detector.detect_batch(np.stack(frames))
+    for f, db in zip(frames, batched):
+        ds = tiny_detector.detect(f)
+        assert db.scale == pytest.approx(ds.scale)
+        np.testing.assert_allclose(
+            np.asarray(db.image), np.asarray(ds.image)
+        )
+        assert len(db.scores) == len(ds.scores)
+        if len(ds.scores):
+            np.testing.assert_allclose(db.boxes_tlbr, ds.boxes_tlbr,
+                                       rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_lockstep_sequences(tiny_detector, rng):
+    """B sequences of different lengths tracked in lockstep produce the same
+    per-frame structure as independent runs, with static batch shapes."""
+    from busca_tpu.eval.detector import track_sequences_lockstep
+    from busca_tpu.trackers import ByteTracker, ByteTrackerConfig
+
+    seq_a = [_frame(rng) for _ in range(4)]
+    seq_b = [_frame(rng) for _ in range(2)]  # shorter: padding path
+    trackers = [ByteTracker(ByteTrackerConfig(track_thresh=0.5))
+                for _ in range(2)]
+    res = track_sequences_lockstep(
+        tiny_detector, trackers, [iter(seq_a), iter(seq_b)],
+        names=["a", "b"], min_box_area=0.0,
+    )
+    assert res[0].num_frames == 4
+    assert res[1].num_frames == 2
+    for r in res:
+        for frame_id, tlwhs, ids, confs in r.results:
+            assert len(tlwhs) == len(ids) == len(confs)

@@ -189,3 +189,48 @@ def test_lockstep_sequences(tiny_detector, rng):
     for r in res:
         for frame_id, tlwhs, ids, confs in r.results:
             assert len(tlwhs) == len(ids) == len(confs)
+
+
+@pytest.mark.slow
+def test_live_detector_with_busca_engine(tiny_detector, rng):
+    """Detector-in-the-loop WITH the BUSCA engine attached: crops must come
+    off the device-resident detector image and the third round must execute
+    (the full reference call stack 3.1 + 3.2 combined, live)."""
+    import jax
+
+    from busca_tpu.assoc.engine import AssociationEngine
+    from busca_tpu.models.busca import BuscaConfig, BuscaModel
+    from busca_tpu.trackers import ByteTracker, ByteTrackerConfig
+
+    h, w = 32, 16
+    cfg = BuscaConfig(num_layer=1, reid_num_classes=5,
+                      reid_layers=(1, 1, 1, 1))
+    model = BuscaModel(cfg)
+    seq_len, num_can = 3, 2
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        np.zeros((1, seq_len, h, w, 3), np.float32),
+        np.zeros((1, num_can, h, w, 3), np.float32),
+        np.zeros((1, seq_len, 4), np.float32),
+        np.zeros((1, num_can, 4), np.float32),
+    )
+    engine = AssociationEngine(
+        cfg, {"params": variables["params"]}, seq_len=seq_len,
+        num_candidates=num_can, crop_hw=(h, w), buckets=(1, 2, 4),
+    )
+    tcfg = ByteTrackerConfig(
+        track_thresh=0.0, use_busca=True, busca_thresh=0.01,
+        seq_len=seq_len, num_candidates=num_can, crop_hw=(h, w),
+        use_camera_motion_compensation=False,
+    )
+    tracker = ByteTracker(tcfg, engine)
+    res = track_frames_with_detector(
+        tiny_detector, tracker, [_frame(rng) for _ in range(4)],
+        min_box_area=0.0,
+    )
+    assert res.num_frames == 4
+    # device-image crops reached the track memories (uint8 host crops)
+    mems = [t for t in tracker.tracked + tracker.lost if t.images_mem]
+    for t in mems:
+        for im in t.images_mem:
+            assert im.shape == (h, w, 3) and im.dtype == np.uint8

@@ -251,11 +251,19 @@ def bench_e2e(dtype="bfloat16"):
     def _probe(x):
         return x[0, 0, 0].astype(jnp.float32)
 
-    np.asarray(_probe(fd))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        np.asarray(_probe(fd))
-    rtt_ms = (time.perf_counter() - t0) / 5 * 1e3
+    def timed_fetch(fn, *a, n=5):
+        np.asarray(fn(*a))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            np.asarray(fn(*a))
+        return (time.perf_counter() - t0) / n * 1e3
+
+    def device_time(fn, *a):
+        """Loop time minus a freshly-measured RTT (the tunnel RTT drifts
+        with host load, so it is re-sampled per measurement)."""
+        rtt = timed_fetch(_probe, fd)
+        total = timed_fetch(fn, *a)
+        return max(total - rtt, 0.05), rtt
 
     key = (FRAME_HW[0], FRAME_HW[1])
     step = detector._steps[key][0]
@@ -265,11 +273,7 @@ def bench_e2e(dtype="bfloat16"):
         out, valid, img = step(variables, f)
         return (out.sum() + valid.sum()).astype(jnp.float32)
 
-    np.asarray(step_sum(detector.variables, fd))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        np.asarray(step_sum(detector.variables, fd))
-    device_ms = max((time.perf_counter() - t0) / 5 * 1e3 - rtt_ms, 1e-3)
+    device_ms, rtt_ms = device_time(step_sum, detector.variables, fd)
 
     # lockstep batched detection (B sequences share one device call): the
     # MXU-utilization mode for offline eval
@@ -285,13 +289,8 @@ def bench_e2e(dtype="bfloat16"):
         outs, valids, canv = bstep(variables, f)
         return (outs.sum() + valids.sum()).astype(jnp.float32)
 
-    np.asarray(bstep_sum(detector.variables, bframes_dev))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        np.asarray(bstep_sum(detector.variables, bframes_dev))
-    bdevice_ms = max(
-        ((time.perf_counter() - t0) / 5 * 1e3 - rtt_ms) / bsz, 1e-3
-    )
+    btotal_ms, _ = device_time(bstep_sum, detector.variables, bframes_dev)
+    bdevice_ms = btotal_ms / bsz
 
     lowered = step.lower(detector.variables, fd)
     flops = _flops_of(lowered.compile())

@@ -97,14 +97,20 @@ def read_gt(
     path: str,
     min_visibility: float = -1.0,
     pedestrian_classes: Sequence[int] = (1,),
+    zero_based: bool = False,
 ) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
     """MOT ground truth -> {frame: (tlwh [N,4], ids [N])}.
 
     Keeps only `considered` rows (conf field != 0) whose class is a
     pedestrian class, above the visibility floor — the standard MOT17/MOT20
-    evaluation filter.
+    evaluation filter.  ``zero_based`` shifts the 1-based MOTChallenge pixel
+    coordinates like the GHOST parser (MOT17_parser.py:72-73,105-106); the
+    ByteTrack-family paths keep raw coordinates.
     """
     data = read_mot_file(path)
+    if zero_based and data.size:
+        data = data.copy()
+        data[:, 2:4] -= 1.0
     out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
     if data.size == 0:
         return out
@@ -120,9 +126,18 @@ def read_gt(
     return out
 
 
-def read_detections(path: str) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
-    """Detection file -> {frame: (tlbr [N,4], scores [N])}."""
+def read_detections(
+    path: str, zero_based: bool = False
+) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+    """Detection file -> {frame: (tlbr [N,4], scores [N])}.
+
+    ``zero_based``: the GHOST parser's 1-based -> 0-based shift
+    (MOT17_parser.py:105-106).
+    """
     data = read_mot_file(path)
+    if zero_based and data.size:
+        data = data.copy()
+        data[:, 2:4] -= 1.0
     out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
     if data.size == 0:
         return out

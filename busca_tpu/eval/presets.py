@@ -58,6 +58,46 @@ def custom_byte_thresholds(
     return {"track_thresh": thresh, "track_buffer": buf}
 
 
+# ---------------------------------------------------------------------------
+# dataset splits (adapters/GHOST/data/splits.py) — encoded as data; the
+# BDD100k/DanceTrack entries are directory listings there, so they take a
+# root path here instead of hard-coding paths
+# ---------------------------------------------------------------------------
+
+_MOT17_TRAIN = (2, 4, 5, 9, 10, 11, 13)
+_MOT17_TEST = (1, 3, 6, 7, 8, 12, 14)
+_MOT20_TRAIN = (1, 2, 3, 5)
+_MOT20_TEST = (4, 6, 7, 8)
+
+DATASET_SPLITS = {
+    "mot17_train": {"seq": [f"MOT17-{n:02}" for n in _MOT17_TRAIN],
+                    "dir": "train"},
+    "mot17_test": {"seq": [f"MOT17-{n:02}" for n in _MOT17_TEST],
+                   "dir": "test"},
+    "mot20_train": {"seq": [f"MOT20-{n:02}" for n in _MOT20_TRAIN],
+                    "dir": "train"},
+    "mot20_test": {"seq": [f"MOT20-{n:02}" for n in _MOT20_TEST],
+                   "dir": "test"},
+    # GHOST's cross-validation splits (splits.py:17-26)
+    "mot17_split_1": {"train": (2, 5, 9, 10, 13), "test": (4, 11)},
+    "mot17_split_2": {"train": (2, 4, 11, 10, 13), "test": (5, 9)},
+    "mot17_split_3": {"train": (4, 5, 9, 11), "test": (2, 10, 13)},
+}
+
+
+def listdir_split(root: str, subdir: str) -> Dict[str, object]:
+    """BDD100k / DanceTrack style split: every sequence directory under
+    ``root/subdir`` (splits.py:48-68), empty when the dataset is absent."""
+    import os
+
+    path = os.path.join(root, subdir)
+    try:
+        seqs = sorted(os.listdir(path))
+    except FileNotFoundError:
+        seqs = []
+    return {"seq": seqs, "dir": subdir}
+
+
 # README.md:126-131 — the published MOT17-val StrongSORT golden table
 # (BoT + ECC + NSA + EMA + MC + woC, seq_len 11, 5 candidates, thresh 0.5).
 GOLDEN_MOT17_VAL = {

@@ -240,8 +240,6 @@ def _run_lockstep(args, detector, engine, seq_tracker_kwargs,
     track_sequences_lockstep)."""
     import collections
 
-    import cv2
-
     from busca_tpu.eval import mot
     from busca_tpu.eval.detector import track_sequences_lockstep
     from busca_tpu.eval.metrics import evaluate_clear
@@ -267,11 +265,9 @@ def _run_lockstep(args, detector, engine, seq_tracker_kwargs,
                                 args.crop_hw)
             )
 
-            def frames(info=info):
-                for f in range(1, info.seq_length + 1):
-                    yield cv2.imread(info.frame_path(f))
+            from busca_tpu.eval.loader import sequence_frames
 
-            frame_iters.append(frames())
+            frame_iters.append(iter(sequence_frames(info)))
         results = track_sequences_lockstep(
             detector, trackers, frame_iters, names=names
         )
@@ -476,10 +472,9 @@ def main(argv=None):
                 info = mot.load_seqinfo(seq_dir)
 
                 def frames():
-                    import cv2
+                    from busca_tpu.eval.loader import sequence_frames
 
-                    for f in range(1, info.seq_length + 1):
-                        yield cv2.imread(info.frame_path(f))
+                    yield from sequence_frames(info)
 
                 if args.detector == "centertrack":
                     from busca_tpu.eval.detector import (

@@ -233,6 +233,62 @@ def run_synthetic(args, engine, tracker_kwargs) -> dict:
     return out
 
 
+_AFLINK_CACHE = {}
+
+
+def _postprocess_result(args, res, out_path):
+    """AFLink + GSI over the written result rows, exactly the reference's
+    post-tracking order (strong_sort.py:29-46: link first, then smooth);
+    rewrites the txt and returns an updated SequenceResult."""
+    from busca_tpu.eval import mot
+    from busca_tpu.eval.runner import SequenceResult
+    from busca_tpu.trackers.postprocess import (
+        aflink,
+        gaussian_smoothed_interpolation,
+    )
+
+    rows = mot.read_mot_file(out_path)
+    if rows.size == 0:
+        return res
+    if args.aflink:
+        if "model" not in _AFLINK_CACHE:
+            from busca_tpu.models.aflink import (
+                AFLinkModel,
+                train_aflink_synthetic,
+            )
+
+            if args.aflink == "synthetic":
+                model, params, acc = train_aflink_synthetic(steps=200)
+                print(f"aflink: synthetic-trained link model (acc {acc:.2f})")
+            else:
+                import jax
+
+                from busca_tpu.models.checkpoint import load_params_npz
+
+                model = AFLinkModel()
+                params = load_params_npz(args.aflink)
+                params = params.get("params", params)
+            _AFLINK_CACHE["model"] = (model, params)
+        model, params = _AFLINK_CACHE["model"]
+        rows = aflink(rows, model=model, params=params)
+    if args.gsi:
+        rows = gaussian_smoothed_interpolation(rows)
+    # rewrite txt from the processed rows
+    by_frame = {}
+    for r in rows:
+        by_frame.setdefault(int(r[0]), []).append(r)
+    results = []
+    for f in sorted(by_frame):
+        rs = np.asarray(by_frame[f])
+        results.append(
+            (f, list(rs[:, 2:6]), rs[:, 1].astype(int).tolist(),
+             rs[:, 6].tolist() if rs.shape[1] > 6 else [1.0] * len(rs))
+        )
+    mot.write_results(out_path, results)
+    return SequenceResult(res.name, res.num_frames, results,
+                          res.track_time_s)
+
+
 def _run_lockstep(args, detector, engine, seq_tracker_kwargs,
                   feature_extractor):
     """Batched-across-sequences evaluation: sequences grouped by resolution,
@@ -344,6 +400,14 @@ def main(argv=None):
                         help="batch the detector across sequences of the "
                              "same resolution (TPU throughput mode; "
                              "yolox detectors only)")
+    # offline post-processing (strong_sort.py:29-46)
+    parser.add_argument("--gsi", action="store_true",
+                        help="Gaussian-smoothed interpolation of the output "
+                             "trajectories")
+    parser.add_argument("--aflink", default=None, metavar="CKPT|synthetic",
+                        help="appearance-free tracklet linking: a params "
+                             ".npz, or 'synthetic' to train the link model "
+                             "on synthetic continuity data first")
     args = parser.parse_args(argv)
     args.crop_hw = (args.crop_h, args.crop_w)
 
@@ -499,6 +563,8 @@ def main(argv=None):
                     args.tracker, tracker, feature_extractor, args.crop_hw
                 )
                 res = run_mot_sequence(seq_dir, shimmed, output_path=out_path)
+            if args.gsi or args.aflink:
+                res = _postprocess_result(args, res, out_path)
             print(f"{name}: {res.num_frames} frames @ {res.fps:.1f} fps")
             gt_path = os.path.join(seq_dir, "gt", "gt.txt")
             if os.path.exists(gt_path):

@@ -25,9 +25,27 @@ from busca_tpu.parallel import mesh as meshlib
 
 
 def make_optimizer(
-    learning_rate: float = 1e-4, weight_decay: float = 1e-4
+    learning_rate: float = 1e-4,
+    weight_decay: float = 1e-4,
+    warmup_steps: int = 0,
+    total_steps: Optional[int] = None,
+    grad_clip: Optional[float] = 1.0,
 ) -> optax.GradientTransformation:
-    return optax.adamw(learning_rate, weight_decay=weight_decay)
+    """AdamW, optionally with linear warmup + cosine decay and global-norm
+    gradient clipping (the standard large-batch TPU training recipe)."""
+    if total_steps is not None:
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=learning_rate,
+            warmup_steps=max(warmup_steps, 1),
+            decay_steps=max(total_steps, warmup_steps + 1),
+        )
+    else:
+        schedule = learning_rate
+    tx = optax.adamw(schedule, weight_decay=weight_decay)
+    if grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx
 
 
 def loss_fn(model: BuscaModel, params, batch, rng) -> jnp.ndarray:

@@ -87,3 +87,21 @@ def test_sharded_step_matches_unsharded_numerics():
                                rtol=2e-4)
     np.testing.assert_allclose(m_sharded["accuracy"], m_single["accuracy"],
                                atol=1e-6)
+
+
+def test_optimizer_schedule_and_clipping():
+    """Warmup-cosine + grad clipping compose and step without breaking the
+    smoke trainer contract."""
+    import optax
+
+    from busca_tpu.train.trainer import make_optimizer
+
+    tx = make_optimizer(1e-3, warmup_steps=2, total_steps=10, grad_clip=0.5)
+    params = {"w": np.ones((3,), np.float32)}
+    state = tx.init(params)
+    big_grads = {"w": np.full((3,), 100.0, np.float32)}
+    updates, state = tx.update(big_grads, state, params)
+    # clipped to global norm 0.5, warmup step 0 -> lr 0: update ~ 0
+    assert np.all(np.abs(np.asarray(updates["w"])) < 1e-6)
+    updates, state = tx.update(big_grads, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()

@@ -251,3 +251,23 @@ def test_transcenter_feedback_two_frame_loop(tiny_tc, rng):
     assert res.num_frames == 2
     assert len(calls) == 2
     assert calls[0] is not None  # the seeded track was exported
+
+
+@pytest.mark.slow
+def test_transcenter_mot20_clip_preset(rng):
+    """MOT20 preset (K=500, clip=True, transcenter.py:42-48): output boxes
+    are clamped to the input plane."""
+    cfg17 = TransCenterConfig.for_dataset("mot17")
+    cfg20 = TransCenterConfig.for_dataset("MOT20")
+    assert (cfg17.K, cfg17.clip) == (300, False)
+    assert (cfg20.K, cfg20.clip) == (500, True)
+
+    tiny_clip = TransCenterConfig.tiny(clip=True)
+    det = TransCenterDetector(tiny_clip, test_size=TEST_SIZE, out_thresh=0.0)
+    out = det.detect(_frame(rng))
+    th, tw = TEST_SIZE
+    if len(out.boxes_tlbr):
+        assert (out.boxes_tlbr[:, 0] >= 0).all()
+        assert (out.boxes_tlbr[:, 2] <= tw - 1 + 1e-6).all()
+        assert (out.boxes_tlbr[:, 1] >= 0).all()
+        assert (out.boxes_tlbr[:, 3] <= th - 1 + 1e-6).all()

@@ -15,6 +15,7 @@ from the BN statistics by the sample mask (the §7.3.2 parity trap).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -66,8 +67,6 @@ class ReidFeatureExtractor:
         mean = jnp.asarray(INPUT_PIXEL_MEAN_BGR)
         std = jnp.asarray(INPUT_PIXEL_STD_BGR)
         option = output_option
-
-        import functools
 
         @functools.partial(jax.jit, static_argnames=())
         def run(variables, crops_u8, mask):

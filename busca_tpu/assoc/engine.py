@@ -76,6 +76,7 @@ class AssociationEngine:
         num_candidates: int = 5,
         crop_hw: Tuple[int, int] = (384, 128),
         buckets: Sequence[int] = DEFAULT_BUCKETS,
+        debug_dir: Optional[str] = None,
     ):
         self.config = config
         self.model = BuscaModel(config)
@@ -84,6 +85,11 @@ class AssociationEngine:
         self.num_candidates = num_candidates
         self.crop_hw = crop_hw
         self.buckets = tuple(sorted(buckets))
+        # decision-montage debugging (reference network.py:234-242 renders
+        # the memory/candidate montage with predicted probabilities when
+        # visualization is enabled)
+        self.debug_dir = debug_dir
+        self._debug_count = 0
 
         mean = jnp.asarray(INPUT_PIXEL_MEAN_BGR)
         std = jnp.asarray(INPUT_PIXEL_STD_BGR)
@@ -188,6 +194,9 @@ class AssociationEngine:
             mem_crops, can_crops, mem_boxes, can_boxes, normalize_ims
         )  # [T, c + extras]
 
+        if self.debug_dir is not None:
+            self._write_debug_montage(mem_crops, can_crops, probs)
+
         num_dets_total = d_count + len(extra_kalman_candidates)
         probs_matrix = np.zeros((t_count, num_dets_total))
         for ti in range(t_count):
@@ -203,6 +212,23 @@ class AssociationEngine:
             inds = det_inds[ti][:num_available]
             probs_matrix[ti, inds] = track_probs[:num_available]
         return probs_matrix, reliable
+
+    def _write_debug_montage(self, mem_crops, can_crops, probs):
+        """Dump the decision montage for this association call
+        (network.py:234-242 / visualization.py create_batch_image)."""
+        import os
+
+        import cv2
+
+        from busca_tpu.viz import create_batch_image
+
+        montage = create_batch_image(mem_crops, can_crops, probs)
+        os.makedirs(self.debug_dir, exist_ok=True)
+        path = os.path.join(
+            self.debug_dir, f"decision_{self._debug_count:06d}.jpg"
+        )
+        cv2.imwrite(path, montage)
+        self._debug_count += 1
 
     def center_distances(self, tracks, dets) -> np.ndarray:
         """Center-distance matrix from track/det current boxes

@@ -240,12 +240,83 @@ class DeformableCrossAttention(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
+class LocalMultiScaleAttention(nn.Module):
+    """TPU-native multi-scale attention over a FIXED dilated local support.
+
+    Free-form deformable sampling is gather-bound and catastrophically slow
+    on TPU (measured: one full-scale MSDA call = ~620 ms device time; the
+    12 calls of the decoder = ~7.6 s/frame — random fine-grained gathers
+    defeat the memory system).  The TPU-first redesign keeps deformable
+    attention's *role* — content-dependent multi-scale local aggregation
+    around each dense query — but fixes the sampling pattern to a 3x3
+    neighborhood per level (9 taps = the reference's ``dec_n_points``),
+    which turns every sample into a dense shifted view:
+
+    - each level's values are bilinearly upsampled to the query grid once
+      (a dense resize, conv-like);
+    - the 3x3 level-space neighborhood becomes 9 shifts with dilation equal
+      to the level's stride ratio (pure padding/slicing, zero gathers);
+    - per-query attention weights over (level, tap, head) stay learned and
+      content-dependent, softmaxed over level x tap like MSDA.
+
+    No trained weights exist to convert (the reference's TransCenter
+    submodule is empty), so the architecture swap is free; the exact MSDA op
+    remains available via ``TransCenterConfig(sampling="deformable")``.
+    """
+
+    dim: int
+    heads: int = 8
+    levels: int = 4
+    taps: int = 9  # 3x3 fixed support per level
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, queries, level_maps):
+        """queries [B, H4, W4, C]; level_maps: list of [B, h_l, w_l, C]."""
+        b, h4, w4, _ = queries.shape
+        lq = h4 * w4
+        head_dim = self.dim // self.heads
+        n_weights = self.heads * self.levels * self.taps
+        w = nn.Dense(
+            n_weights, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros, name="weights",
+        )(queries).reshape(b, lq, self.heads, self.levels * self.taps)
+        w = jax.nn.softmax(w, axis=-1).reshape(
+            b, lq, self.heads, self.levels, self.taps
+        )
+
+        acc = jnp.zeros((b, lq, self.heads, head_dim), jnp.float32)
+        for lvl, fmap in enumerate(level_maps):
+            v = nn.Dense(self.dim, dtype=self.dtype,
+                         name=f"value_{lvl}")(fmap)
+            if v.shape[1] != h4 or v.shape[2] != w4:
+                v = jax.image.resize(
+                    v, (b, h4, w4, self.dim), method="bilinear"
+                )
+            dil = max(h4 // max(level_maps[lvl].shape[1], 1), 1)
+            pad = dil
+            vp = jnp.pad(v, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+            tap = 0
+            for dy in (-dil, 0, dil):
+                for dx in (-dil, 0, dil):
+                    shifted = jax.lax.dynamic_slice(
+                        vp, (0, pad + dy, pad + dx, 0), (b, h4, w4, self.dim)
+                    ).reshape(b, lq, self.heads, head_dim)
+                    acc = acc + shifted * w[:, :, :, lvl, tap, None]
+                    tap += 1
+        out = acc.reshape(b, lq, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
 class DecoderLayer(nn.Module):
-    """Dual deformable cross-attention (current + previous frame) + FFN.
+    """Dual cross-attention (current + previous frame) + FFN.
 
     Dense queries make quadratic self-attention infeasible (and TransCenter's
     published design omits it for exactly that reason); each layer is
-    cur-frame MSDA -> pre-frame MSDA -> FFN with pre-LN residuals.
+    cur-frame attention -> pre-frame attention -> FFN with pre-LN residuals.
+    ``sampling`` picks free-form deformable (MSDA, exact but gather-bound on
+    TPU) or the fixed-support local attention (TPU-native; see
+    :class:`LocalMultiScaleAttention`).
     """
 
     dim: int
@@ -254,17 +325,39 @@ class DecoderLayer(nn.Module):
     levels: int
     ffn_ratio: int = 4
     dtype: jnp.dtype = jnp.float32
+    sampling: str = "deformable"
 
     @nn.compact
     def __call__(self, q, ref, mem_cur, mem_pre, shapes):
-        q = q + DeformableCrossAttention(
-            self.dim, self.heads, self.points, self.levels, self.dtype,
-            name="cross_cur",
-        )(nn.LayerNorm(dtype=self.dtype, name="ln1")(q), ref, mem_cur, shapes)
-        q = q + DeformableCrossAttention(
-            self.dim, self.heads, self.points, self.levels, self.dtype,
-            name="cross_pre",
-        )(nn.LayerNorm(dtype=self.dtype, name="ln2")(q), ref, mem_pre, shapes)
+        if self.sampling == "local":
+            b, lq, c = q.shape
+            h4, w4 = shapes[0]
+
+            def attend(x, maps, name):
+                return LocalMultiScaleAttention(
+                    self.dim, self.heads, self.levels,
+                    dtype=self.dtype, name=name,
+                )(x.reshape(b, h4, w4, c), maps)
+
+            q = q + attend(
+                nn.LayerNorm(dtype=self.dtype, name="ln1")(q), mem_cur,
+                "cross_cur",
+            )
+            q = q + attend(
+                nn.LayerNorm(dtype=self.dtype, name="ln2")(q), mem_pre,
+                "cross_pre",
+            )
+        else:
+            q = q + DeformableCrossAttention(
+                self.dim, self.heads, self.points, self.levels, self.dtype,
+                name="cross_cur",
+            )(nn.LayerNorm(dtype=self.dtype, name="ln1")(q), ref, mem_cur,
+              shapes)
+            q = q + DeformableCrossAttention(
+                self.dim, self.heads, self.points, self.levels, self.dtype,
+                name="cross_pre",
+            )(nn.LayerNorm(dtype=self.dtype, name="ln2")(q), ref, mem_pre,
+              shapes)
         h = nn.LayerNorm(dtype=self.dtype, name="ln3")(q)
         h = nn.Dense(self.dim * self.ffn_ratio, dtype=self.dtype, name="fc1")(h)
         h = nn.gelu(h, approximate=False)
@@ -300,6 +393,10 @@ class TransCenterConfig:
     clip: bool = False
     reid_dim: int = 64
     dtype: str = "float32"
+    # "local": fixed-support multi-scale attention (TPU-native, default;
+    # ~100x faster than free-form gathers at full scale).  "deformable":
+    # exact MSDA sampling (the published GPU design).
+    sampling: str = "local"
 
     @classmethod
     def for_dataset(cls, name: str, **kw) -> "TransCenterConfig":
@@ -352,34 +449,41 @@ class TransCenterDETR(nn.Module):
         feats_cur = backbone(curr)
         feats_pre = backbone(pre)  # shared weights (same module instance)
 
-        # project pyramids to hidden_dim + learned level embedding (the
-        # projections are shared between the two frames, like the backbone)
+        # project pyramids to hidden_dim (the projections are shared between
+        # the two frames, like the backbone)
         projs = [
             nn.Conv(cfg.hidden_dim, (1, 1), dtype=dtype,
                     name=f"input_proj_{lvl}")
             for lvl in range(4)
         ]
-        lvl_embeds = [
-            self.param(
-                f"level_embed_{lvl}", nn.initializers.normal(0.02),
-                (cfg.hidden_dim,),
-            )
-            for lvl in range(4)
-        ]
+        shapes = [(f.shape[1], f.shape[2]) for f in feats_cur]
 
-        def project(feats):
-            mem, shapes = [], []
-            for lvl, f in enumerate(feats):
-                p = projs[lvl](f)
-                b, h, w, _ = p.shape
-                mem.append(
-                    p.reshape(b, h * w, cfg.hidden_dim) + lvl_embeds[lvl]
+        if cfg.sampling == "local":
+            # local attention consumes the level maps directly (per-level
+            # value projections inside make level embeddings redundant)
+            mem_cur = [projs[lvl](f) for lvl, f in enumerate(feats_cur)]
+            mem_pre = [projs[lvl](f) for lvl, f in enumerate(feats_pre)]
+        else:
+            lvl_embeds = [
+                self.param(
+                    f"level_embed_{lvl}", nn.initializers.normal(0.02),
+                    (cfg.hidden_dim,),
                 )
-                shapes.append((h, w))
-            return jnp.concatenate(mem, axis=1), shapes
+                for lvl in range(4)
+            ]
 
-        mem_cur, shapes = project(feats_cur)
-        mem_pre, _ = project(feats_pre)
+            def project(feats):
+                mem = []
+                for lvl, f in enumerate(feats):
+                    p = projs[lvl](f)
+                    b, h, w, _ = p.shape
+                    mem.append(
+                        p.reshape(b, h * w, cfg.hidden_dim) + lvl_embeds[lvl]
+                    )
+                return jnp.concatenate(mem, axis=1)
+
+            mem_cur = project(feats_cur)
+            mem_pre = project(feats_pre)
 
         # dense queries = stride-4 current features + prior-heatmap embedding
         b, h4, w4, _ = feats_cur[0].shape
@@ -402,7 +506,7 @@ class TransCenterDETR(nn.Module):
         for i in range(cfg.num_decoder_layers):
             q = DecoderLayer(
                 cfg.hidden_dim, cfg.dec_heads, cfg.dec_n_points, 4,
-                dtype=dtype, name=f"dec_{i}",
+                dtype=dtype, sampling=cfg.sampling, name=f"dec_{i}",
             )(q, ref, mem_cur, mem_pre, shapes)
         q = nn.LayerNorm(dtype=dtype, name="dec_norm")(q)
         fmap = q.reshape(b, h4, w4, cfg.hidden_dim)

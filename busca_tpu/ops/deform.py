@@ -77,7 +77,13 @@ def multi_scale_deformable_attention(
       ``[B, Len_q, H * D]``.
     """
     b, _, n_heads, d = value.shape
-    outputs = []
+    lq = sampling_locations.shape[1]
+    # accumulate the weighted samples level by level: stacking all levels
+    # before the reduction peaks at L x [B, H, Lq, P, D] (gigabytes for
+    # TransCenter's dense queries at full resolution); the accumulator keeps
+    # peak memory at one level's samples
+    acc = jnp.zeros((b, n_heads, lq, d), jnp.float32)
+    weights = attention_weights.transpose(0, 2, 1, 3, 4)  # [B, H, Lq, L, P]
     start = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
         v = value[:, start : start + h * w]  # [B, h*w, H, D]
@@ -98,13 +104,12 @@ def multi_scale_deformable_attention(
         sampled = jax.vmap(jax.vmap(sample_one))(
             v_heads, x_heads, y_heads
         )  # [B, H, Lq, P, D]
-        outputs.append(sampled)
+        acc = acc + jnp.einsum(
+            "bhqpd,bhqp->bhqd", sampled, weights[:, :, :, lvl]
+        )
 
-    sampled = jnp.stack(outputs, axis=3)  # [B, H, Lq, L, P, D]
-    weights = attention_weights.transpose(0, 2, 1, 3, 4)  # [B, H, Lq, L, P]
-    out = jnp.einsum("bhqlpd,bhqlp->bhqd", sampled, weights)
-    out = out.transpose(0, 2, 1, 3)  # [B, Lq, H, D]
-    return out.reshape(b, out.shape[1], n_heads * d)
+    out = acc.transpose(0, 2, 1, 3)  # [B, Lq, H, D]
+    return out.reshape(b, lq, n_heads * d)
 
 
 @functools.partial(jax.jit, static_argnames=("stride", "padding"))

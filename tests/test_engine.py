@@ -192,3 +192,17 @@ def test_more_dets_than_candidate_slots(rng):
     nonzero_cols = np.where(probs[0] > 0)[0]
     assert len(nonzero_cols) <= 3
     assert 6 in nonzero_cols or probs[0, 6] >= 0  # kalman col = D + 0 = 6
+
+
+def test_debug_montage_written(rng, tmp_path):
+    """debug_dir dumps a decision montage per associate call
+    (reference network.py:234-242)."""
+    import os
+
+    eng = _engine(rng)
+    eng.debug_dir = str(tmp_path / "montages")
+    tracks = [_track(rng, SEQ_LEN)]
+    dets = [_det(rng, (12, 10))]
+    eng.associate(tracks, dets)
+    files = os.listdir(eng.debug_dir)
+    assert len(files) == 1 and files[0].endswith(".jpg")

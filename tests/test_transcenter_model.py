@@ -271,3 +271,21 @@ def test_transcenter_mot20_clip_preset(rng):
         assert (out.boxes_tlbr[:, 2] <= tw - 1 + 1e-6).all()
         assert (out.boxes_tlbr[:, 1] >= 0).all()
         assert (out.boxes_tlbr[:, 3] <= th - 1 + 1e-6).all()
+
+
+@pytest.mark.slow
+def test_sampling_modes_share_contract(rng):
+    """Both decoder sampling modes (TPU-native local, exact deformable)
+    produce the same output contract from the same inputs."""
+    import jax as _jax
+
+    h, w = 32, 48
+    x = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32))
+    hm = jnp.zeros((1, h // 4, w // 4, 1), jnp.float32)
+    for mode in ("local", "deformable"):
+        cfg = TransCenterConfig.tiny(sampling=mode)
+        model = TransCenterDETR(cfg)
+        variables = _jax.jit(model.init)(_jax.random.PRNGKey(0), x, x, hm)
+        out = model.apply(variables, x, x, hm)
+        assert out["hm"].shape == (1, h // 4, w // 4, 1), mode
+        assert np.isfinite(np.asarray(out["wh"])).all(), mode

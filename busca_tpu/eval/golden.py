@@ -104,6 +104,10 @@ def run_golden(args) -> dict:
               f"MOTA {per_seq[seq].mota * 100:.3f}")
 
     agg = global_metrics(per_seq)
+    # NOTE: TrackEval accumulates HOTA's match counts globally across
+    # sequences; the gt-weighted mean of per-sequence HOTA used here is a
+    # close approximation (exact when per-sequence alphas behave similarly),
+    # adequate for the parity diff this harness reports.
     hota = (
         sum(h * w for h, w in hota_acc) / sum(w for _, w in hota_acc)
         if hota_acc

@@ -401,6 +401,9 @@ def main(argv=None):
                              "same resolution (TPU throughput mode; "
                              "yolox detectors only)")
     # offline post-processing (strong_sort.py:29-46)
+    parser.add_argument("--hota", action="store_true",
+                        help="also print per-sequence HOTA/DetA/AssA (the "
+                             "GHOST path's TrackEval role)")
     parser.add_argument("--gsi", action="store_true",
                         help="Gaussian-smoothed interpolation of the output "
                              "trajectories")
@@ -569,7 +572,15 @@ def main(argv=None):
             gt_path = os.path.join(seq_dir, "gt", "gt.txt")
             if os.path.exists(gt_path):
                 gt = mot.read_gt(gt_path)
-                per_seq[name] = evaluate_clear(gt, results_to_pred(res))
+                pred = results_to_pred(res)
+                per_seq[name] = evaluate_clear(gt, pred)
+                if args.hota:
+                    from busca_tpu.eval.metrics import evaluate_hota
+
+                    h = evaluate_hota(gt, pred)
+                    print(f"  HOTA {h['hota'] * 100:.3f}  "
+                          f"DetA {h['deta'] * 100:.3f}  "
+                          f"AssA {h['assa'] * 100:.3f}")
         if per_seq:
             # multi-host-safe aggregation (rank-local tallies allgathered
             # over jax.process_count(); == accumulate() single-process)

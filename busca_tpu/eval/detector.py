@@ -771,6 +771,7 @@ def track_frames_with_detector(
     )
     can_prefetch = hasattr(detector, "put_frame")
     results = []
+    det_s = trk_s = 0.0
     t0 = time.perf_counter()
     it = iter(frames)
     pending = next(it, None)
@@ -784,15 +785,19 @@ def track_frames_with_detector(
         pending = next(it, None)
         if pending is not None and can_prefetch:
             pending = detector.put_frame(pending)
+        t_det = time.perf_counter()
         if feedback:
             det = detector.detect(
                 frame, current_pos=tracker.get_detector_positions()
             )
         else:
             det = detector.detect(frame)
+        t_trk = time.perf_counter()
+        det_s += t_trk - t_det
         online = tracker.update(
             det.boxes_tlbr / det.scale, det.scores, det.scale, det.image
         )
+        trk_s += time.perf_counter() - t_trk
         tlwhs, ids, confs = [], [], []
         for t in online:
             tlwh = t.tlwh
@@ -807,4 +812,7 @@ def track_frames_with_detector(
                 confs.append(t.score)
         results.append((idx + 1, tlwhs, ids, confs))
     dt = time.perf_counter() - t0
-    return SequenceResult(name, len(results), results, dt)
+    return SequenceResult(
+        name, len(results), results, dt,
+        stage_times={"detector_s": det_s, "tracker_s": trk_s},
+    )

@@ -568,7 +568,14 @@ def main(argv=None):
                 res = run_mot_sequence(seq_dir, shimmed, output_path=out_path)
             if args.gsi or args.aflink:
                 res = _postprocess_result(args, res, out_path)
-            print(f"{name}: {res.num_frames} frames @ {res.fps:.1f} fps")
+            stage = ""
+            if res.stage_times:
+                stage = "  (" + ", ".join(
+                    f"{k.rstrip('_s')} {v / max(res.num_frames, 1) * 1e3:.1f}"
+                    " ms/frame"
+                    for k, v in res.stage_times.items()
+                ) + ")"
+            print(f"{name}: {res.num_frames} frames @ {res.fps:.1f} fps{stage}")
             gt_path = os.path.join(seq_dir, "gt", "gt.txt")
             if os.path.exists(gt_path):
                 gt = mot.read_gt(gt_path)

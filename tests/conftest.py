@@ -18,6 +18,13 @@ import jax  # noqa: E402
 # The env vars alone are not honored under the axon TPU plugin, so force the
 # config directly (must happen before any backend initialization).
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the expensive graphs (DLA-34 init, the bucketed
+# association scorer, oracle-parity forwards) compile once per machine instead
+# of once per pytest invocation.
+_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # x64 stays off globally (2x compile/runtime cost); tests needing f64 oracles
 # use the `x64` fixture below.
 

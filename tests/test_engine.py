@@ -38,6 +38,11 @@ def _det(rng, xy):
     )
 
 
+@pytest.fixture(scope="module", name="engine")
+def _engine_fixture():
+    return _engine(np.random.RandomState(7))
+
+
 def _engine(rng):
     cfg = BuscaConfig(num_layer=1, reid_num_classes=5, reid_layers=(1, 1, 1, 1))
     model = BuscaModel(cfg)
@@ -45,7 +50,9 @@ def _engine(rng):
     can = np.zeros((1, NUM_CAN, H, W, 3), np.float32)
     boxes_m = np.tile(np.array([0, 0, 10, 10], np.float32), (1, SEQ_LEN, 1))
     boxes_c = np.tile(np.array([0, 0, 10, 10], np.float32), (1, NUM_CAN, 1))
-    variables = model.init(jax.random.PRNGKey(0), mem, can, boxes_m, boxes_c)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), mem, can, boxes_m, boxes_c
+    )
     return AssociationEngine(
         cfg,
         {"params": variables["params"]},
@@ -97,8 +104,8 @@ def test_associate_shapes_and_reliability(rng):
     assert probs[0, len(dets) + 0] > 0 or probs[0].sum() > 0
 
 
-def test_associate_empty_inputs(rng):
-    eng = _engine(rng)
+def test_associate_empty_inputs(rng, engine):
+    eng = engine
     assert eng.associate([], [], np.zeros((0, 0))) == (None, None)
     t = _track(rng, SEQ_LEN)
     assert eng.associate([t], [], np.zeros((1, 0))) == (None, None)
@@ -176,9 +183,9 @@ def test_bucketing_invariance(rng):
     np.testing.assert_allclose(p_pad4, p_pad8, rtol=1e-3, atol=1e-5)
 
 
-def test_more_dets_than_candidate_slots(rng):
+def test_more_dets_than_candidate_slots(rng, engine):
     """Kalman replaces the last slot when detections overflow the slots."""
-    eng = _engine(rng)
+    eng = engine
     tracks = [_track(rng, SEQ_LEN + 1)]
     dets = [_det(rng, (52 + 5 * i, 60)) for i in range(6)]  # 6 > NUM_CAN=3
     kal = [Track(tracks[0].tlwh, 0.1, rng.randint(0, 255, (H, W, 3), np.uint8), 1.0)]

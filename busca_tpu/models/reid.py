@@ -36,9 +36,21 @@ class BatchNorm(nn.Module):
 
     In ``use_batch_stats`` mode (the default — GHOST domain adaptation), the
     normalization statistics are the *biased* mean/var of the current batch;
-    ``sample_mask`` ([N] weights in {0,1}) excludes padded samples from the
-    statistics while still normalizing them.  With ``use_batch_stats=False``
-    the stored running statistics are used (torch eval mode).
+    ``sample_mask`` excludes padded samples from the statistics while still
+    normalizing them.  With ``use_batch_stats=False`` the stored running
+    statistics are used (torch eval mode).
+
+    ``sample_mask`` shapes:
+      - ``[N]`` weights in {0,1}: one statistics group over the real samples.
+      - ``[N, G]`` one-hot group weights (zero rows = padded): statistics are
+        computed *per group* and each sample is normalized with its own
+        group's statistics.  This lets one conv pass serve batches that the
+        reference normalizes separately (e.g. memory vs candidate crops,
+        busca/network.py:192-193) with identical numerics.
+
+    Stats are computed as per-sample spatial partial sums reduced in f32,
+    then combined across the batch with the mask weights — one fused pass
+    over the activations, no full-tensor mask broadcast.
     """
 
     features: int
@@ -51,6 +63,7 @@ class BatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
         reduce_axes = tuple(range(x.ndim - 1))  # all but channel
+        mean = var = None
         if not self.use_batch_stats:
             # torch eval mode: stored running statistics (only declared when
             # needed so batch-stat checkpoints don't have to carry them).
@@ -69,16 +82,39 @@ class BatchNorm(nn.Module):
             var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
         else:
             xf = x.astype(jnp.float32)
-            w = sample_mask.astype(jnp.float32)
-            w_full = w.reshape(w.shape + (1,) * (x.ndim - 1))
-            # per-sample spatial size
+            spatial_axes = tuple(range(1, x.ndim - 1))
             spatial = 1
             for s in x.shape[1:-1]:
                 spatial *= s
-            denom = jnp.maximum(jnp.sum(w) * spatial, 1.0)
-            mean = jnp.sum(xf * w_full, axis=reduce_axes) / denom
-            ex2 = jnp.sum(jnp.square(xf) * w_full, axis=reduce_axes) / denom
-            var = ex2 - jnp.square(mean)
+            s1 = jnp.sum(xf, axis=spatial_axes)  # [N, C]
+            s2 = jnp.sum(jnp.square(xf), axis=spatial_axes)  # [N, C]
+            w = sample_mask.astype(jnp.float32)
+            if w.ndim == 1:
+                denom = jnp.maximum(jnp.sum(w) * spatial, 1.0)
+                mean = (w @ s1) / denom  # [C]
+                ex2 = (w @ s2) / denom
+                var = ex2 - jnp.square(mean)
+            else:
+                # grouped: [N, G] one-hot weights -> per-group stats, then
+                # each sample selects its group's statistics.
+                denom_g = jnp.maximum(
+                    jnp.sum(w, axis=0) * spatial, 1.0
+                )  # [G]
+                mean_g = (w.T @ s1) / denom_g[:, None]  # [G, C]
+                ex2_g = (w.T @ s2) / denom_g[:, None]
+                var_g = jnp.maximum(ex2_g - jnp.square(mean_g), 0.0)
+                inv_g = jnp.reciprocal(jnp.sqrt(var_g + self.eps))
+                # padded rows (all-zero w) fall back to group 0's statistics
+                sel = jnp.where(
+                    jnp.sum(w, axis=-1, keepdims=True) > 0,
+                    w,
+                    jnp.zeros_like(w).at[:, 0].set(1.0),
+                )
+                shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (self.features,)
+                mean_n = (sel @ mean_g).reshape(shape)
+                inv_n = (sel @ inv_g).reshape(shape)
+                y = (x.astype(jnp.float32) - mean_n) * inv_n * scale + bias
+                return y.astype(x.dtype)
         var = jnp.maximum(var, 0.0)
         inv = jnp.reciprocal(jnp.sqrt(var + self.eps))
         y = (x.astype(jnp.float32) - mean) * inv * scale + bias

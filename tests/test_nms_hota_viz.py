@@ -54,6 +54,21 @@ def test_nms_matches_greedy_oracle(rng):
         assert got == want
 
 
+def test_nms_fixed_point_deep_chains(rng):
+    """Dense clusters create deep suppression chains — the fixed-point
+    iteration must still reproduce the sequential greedy solution exactly."""
+    n = 300
+    xy = rng.uniform(0, 80, (n, 2))
+    wh = rng.uniform(20, 60, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    for thr in (0.3, 0.5, 0.7):
+        idx, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), thr, n)
+        got = [int(i) for i, v in zip(np.asarray(idx), np.asarray(valid)) if v]
+        want = _greedy_nms_oracle(boxes, scores, thr)
+        assert got == want, f"thr={thr}"
+
+
 def test_nms_respects_max_outputs(rng):
     boxes = np.array([[i * 100.0, 0, i * 100 + 10, 10] for i in range(8)],
                      np.float32)

@@ -35,8 +35,13 @@ import numpy as np
 
 
 def build_engine(busca_config_path: str, ckpt_path: Optional[str],
-                 crop_hw=(384, 128)):
-    """Materialize an AssociationEngine from YAML + checkpoint."""
+                 crop_hw=(384, 128), dtype: Optional[str] = None):
+    """Materialize an AssociationEngine from YAML + checkpoint.
+
+    ``dtype`` overrides the YAML's compute dtype; the production default is
+    bfloat16 (MXU-native, agreement-tested vs float32 in tests/test_bf16.py).
+    Pass ``float32`` for bit-faithful reference-parity runs.
+    """
     import jax
 
     from busca_tpu.assoc.engine import AssociationEngine
@@ -50,6 +55,10 @@ def build_engine(busca_config_path: str, ckpt_path: Optional[str],
     )
 
     args, busca_cfg, tracker_kwargs = load_tracker_bundle(busca_config_path)
+    if dtype is not None:
+        import dataclasses
+
+        busca_cfg = dataclasses.replace(busca_cfg, dtype=dtype)
     model = BuscaModel(busca_cfg)
     seq_len = tracker_kwargs.get("seq_len", 11)
     num_candidates = tracker_kwargs.get("num_candidates", 5)
@@ -355,6 +364,11 @@ def main(argv=None):
                         help="BUSCA YAML (reference configs load unchanged)")
     parser.add_argument("--busca-ckpt", default=None,
                         help="converted .npz or reference .pth weights")
+    parser.add_argument("--busca-dtype", default="bfloat16",
+                        choices=["bfloat16", "float32"],
+                        help="BUSCA compute dtype: bfloat16 (MXU-native "
+                             "production default, ~1.8x faster, agreement-"
+                             "tested) or float32 for bit-faithful parity")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--num-frames", type=int, default=40)
     parser.add_argument("--mot-dir", nargs="*", default=[],
@@ -419,7 +433,8 @@ def main(argv=None):
         if not args.busca_config:
             parser.error("--use-busca requires --busca-config")
         engine, tracker_kwargs = build_engine(
-            args.busca_config, args.busca_ckpt, args.crop_hw
+            args.busca_config, args.busca_ckpt, args.crop_hw,
+            dtype=args.busca_dtype,
         )
         tracker_kwargs["use_busca"] = True
 

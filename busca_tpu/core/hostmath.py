@@ -83,6 +83,29 @@ def iou_matrix(atlbr: np.ndarray, btlbr: np.ndarray) -> np.ndarray:
     return np.where(union > 0, inter / union, 0.0)
 
 
+def iou_matrix_std(atlbr: np.ndarray, btlbr: np.ndarray) -> np.ndarray:
+    """Pairwise IoU, standard convention (no +1) — torchvision/SORT style."""
+    atlbr = np.asarray(atlbr, dtype=np.float64)
+    btlbr = np.asarray(btlbr, dtype=np.float64)
+    if atlbr.shape[0] == 0 or btlbr.shape[0] == 0:
+        return np.zeros((atlbr.shape[0], btlbr.shape[0]))
+    a = atlbr[:, None, :]
+    b = btlbr[None, :, :]
+    iw = np.maximum(
+        np.minimum(a[..., 2], b[..., 2]) - np.maximum(a[..., 0], b[..., 0]),
+        0.0,
+    )
+    ih = np.maximum(
+        np.minimum(a[..., 3], b[..., 3]) - np.maximum(a[..., 1], b[..., 1]),
+        0.0,
+    )
+    inter = iw * ih
+    area_a = (a[..., 2] - a[..., 0]) * (a[..., 3] - a[..., 1])
+    area_b = (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
+    union = area_a + area_b - inter
+    return np.where(union > 0, inter / union, 0.0)
+
+
 def iou_distance(atlbr, btlbr) -> np.ndarray:
     return 1.0 - iou_matrix(atlbr, btlbr)
 

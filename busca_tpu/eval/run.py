@@ -98,10 +98,23 @@ def make_tracker(name: str, tracker_kwargs: dict, engine, crop_hw=(384, 128)):
         CenterTrackAdapter,
         GhostConfig,
         GhostTracker,
+        SortConfig,
+        SortTracker,
         StrongSortConfig,
         StrongSortTracker,
         TransCenterByteTracker,
     )
+
+    if name == "sort":
+        # the reference's evaluate_sort alternate: Sort(track_thresh)
+        # (mot_evaluator.py:307-308,322-323); SORT has no BUSCA hook
+        known = {f.name for f in SortConfig.__dataclass_fields__.values()}
+        cfg = SortConfig(
+            **{k: v for k, v in tracker_kwargs.items() if k in known}
+        )
+        if "track_thresh" in tracker_kwargs:
+            cfg.det_thresh = tracker_kwargs["track_thresh"]
+        return SortTracker(cfg)
 
     if name in ("byte", "bytetrack", "centertrack", "transcenter"):
         known = {f.name for f in ByteTrackerConfig.__dataclass_fields__.values()}
@@ -358,7 +371,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--tracker", default="byte",
                         choices=["byte", "strongsort", "ghost", "centertrack",
-                                 "transcenter"])
+                                 "transcenter", "sort"])
     parser.add_argument("--use-busca", action="store_true")
     parser.add_argument("--busca-config", default=None,
                         help="BUSCA YAML (reference configs load unchanged)")

@@ -4,8 +4,11 @@ from busca_tpu.trackers.strongsort import StrongSortConfig, StrongSortTracker
 from busca_tpu.trackers.ghost import GhostConfig, GhostTracker
 from busca_tpu.trackers.centertrack import CenterTrackAdapter
 from busca_tpu.trackers.transcenter import TransCenterByteTracker
+from busca_tpu.trackers.sort import SortConfig, SortTracker
 
 __all__ = [
+    "SortConfig",
+    "SortTracker",
     "Track",
     "TrackState",
     "ByteTracker",

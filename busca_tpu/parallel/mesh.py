@@ -57,7 +57,7 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P("dp", *([None] * (ndim - 1))))
 
 
-def _spec_for_param(path: Tuple[str, ...], value) -> P:
+def _spec_for_param(path: Tuple[str, ...], value, tp_size: int = 2) -> P:
     """Megatron-style partition spec for one parameter.
 
     torch-layout linears (``weight [out, in]``):
@@ -65,9 +65,11 @@ def _spec_for_param(path: Tuple[str, ...], value) -> P:
       (column parallel);
     - attention out_proj / FF linear2: split the *in* dim over tp
       (row parallel);
-    - everything else (ReID convs, norms, tokens, decoder): replicated —
-      the ResNet is activation-dominated; its weights are small enough that
-      replication beats the resharding traffic at this scale.
+    - ReID conv kernels (``[kh, kw, cin, cout]``): split the *output
+      channel* dim over tp, with the matching BN scale/bias split the same
+      way — batch-stat BN is per-channel, so its reductions stay local to
+      the shard (no collective inside the BN);
+    - norms, special tokens, the decoder head: replicated (tiny).
     """
     names = [str(p) for p in path]
     joined = "/".join(names)
@@ -77,6 +79,18 @@ def _spec_for_param(path: Tuple[str, ...], value) -> P:
         return P("tp")
     if "out_proj/weight" in joined or "linear2/weight" in joined:
         return P(None, "tp")
+    if "reid_encoder" in joined and value.ndim == 4:
+        # conv kernel [kh, kw, cin, cout] — column (output-channel) parallel
+        if value.shape[3] % tp_size == 0:
+            return P(None, None, None, "tp")
+        return P(None, None, None, None)
+    if (
+        "reid_encoder" in joined
+        and ("/bn" in joined or "downsample_bn" in joined)
+        and value.ndim == 1
+        and value.shape[0] % tp_size == 0
+    ):
+        return P("tp")
     return P(*([None] * value.ndim))
 
 
@@ -87,7 +101,9 @@ def param_shardings(params, mesh: Mesh):
         names = tuple(
             p.key if hasattr(p, "key") else str(p) for p in path
         )
-        return NamedSharding(mesh, _spec_for_param(names, value))
+        return NamedSharding(
+            mesh, _spec_for_param(names, value, mesh.shape.get("tp", 1))
+        )
 
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 

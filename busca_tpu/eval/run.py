@@ -98,12 +98,25 @@ def make_tracker(name: str, tracker_kwargs: dict, engine, crop_hw=(384, 128)):
         CenterTrackAdapter,
         GhostConfig,
         GhostTracker,
+        MotdtConfig,
+        MotdtTracker,
         SortConfig,
         SortTracker,
         StrongSortConfig,
         StrongSortTracker,
         TransCenterByteTracker,
     )
+
+    if name == "motdt":
+        # the reference's evaluate_motdt alternate:
+        # OnlineTracker(min_cls_score=track_thresh) (mot_evaluator.py:553)
+        known = {f.name for f in MotdtConfig.__dataclass_fields__.values()}
+        cfg = MotdtConfig(
+            **{k: v for k, v in tracker_kwargs.items() if k in known}
+        )
+        if "track_thresh" in tracker_kwargs:
+            cfg.min_cls_score = tracker_kwargs["track_thresh"]
+        return MotdtTracker(cfg)
 
     if name == "sort":
         # the reference's evaluate_sort alternate: Sort(track_thresh)
@@ -212,7 +225,7 @@ def shim_for_runner(name: str, tracker, feature_extractor=None,
     if name == "strongsort":
         return FeatureShim(tracker, feature_extractor, crop_hw,
                            call_predict=True)
-    if name == "ghost":
+    if name in ("ghost", "motdt"):
         return FeatureShim(tracker, feature_extractor, crop_hw)
     if name == "centertrack":
         return CenterTrackShim(tracker)
@@ -371,7 +384,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--tracker", default="byte",
                         choices=["byte", "strongsort", "ghost", "centertrack",
-                                 "transcenter", "sort"])
+                                 "transcenter", "sort", "motdt"])
     parser.add_argument("--use-busca", action="store_true")
     parser.add_argument("--busca-config", default=None,
                         help="BUSCA YAML (reference configs load unchanged)")

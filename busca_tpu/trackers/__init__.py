@@ -5,8 +5,11 @@ from busca_tpu.trackers.ghost import GhostConfig, GhostTracker
 from busca_tpu.trackers.centertrack import CenterTrackAdapter
 from busca_tpu.trackers.transcenter import TransCenterByteTracker
 from busca_tpu.trackers.sort import SortConfig, SortTracker
+from busca_tpu.trackers.motdt import MotdtConfig, MotdtTracker
 
 __all__ = [
+    "MotdtConfig",
+    "MotdtTracker",
     "SortConfig",
     "SortTracker",
     "Track",

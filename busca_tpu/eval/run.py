@@ -141,11 +141,20 @@ def make_tracker(name: str, tracker_kwargs: dict, engine, crop_hw=(384, 128)):
         if name == "transcenter":
             return TransCenterByteTracker(cfg, engine)
         return ByteTracker(cfg, engine)
-    if name == "strongsort":
+    if name in ("strongsort", "deepsort"):
         known = {f.name for f in StrongSortConfig.__dataclass_fields__.values()}
-        cfg = StrongSortConfig(
-            **{k: v for k, v in tracker_kwargs.items() if k in known}
-        )
+        kw = {k: v for k, v in tracker_kwargs.items() if k in known}
+        if name == "deepsort":
+            # the reference's evaluate_deepsort alternate = vanilla DeepSORT:
+            # cascade matching, feature gallery, plain Kalman — the
+            # StrongSORT upgrades (NSA/EMA/MC/woC) toggled off
+            kw.setdefault("nsa", False)
+            kw.setdefault("ema", False)
+            kw.setdefault("mc", False)
+            kw.setdefault("woc", False)
+            kw.setdefault("max_cosine_distance", 0.2)
+            kw.setdefault("nn_budget", 100)
+        cfg = StrongSortConfig(**kw)
         cfg.crop_hw = crop_hw
         cfg.use_busca = engine is not None
         return StrongSortTracker(cfg, engine)
@@ -222,7 +231,7 @@ class CenterTrackShim:
 def shim_for_runner(name: str, tracker, feature_extractor=None,
                     crop_hw=(384, 128)):
     """Wrap a tracker for the runner protocol where its native IO differs."""
-    if name == "strongsort":
+    if name in ("strongsort", "deepsort"):
         return FeatureShim(tracker, feature_extractor, crop_hw,
                            call_predict=True)
     if name in ("ghost", "motdt"):
@@ -384,7 +393,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--tracker", default="byte",
                         choices=["byte", "strongsort", "ghost", "centertrack",
-                                 "transcenter", "sort", "motdt"])
+                                 "transcenter", "sort", "motdt",
+                                 "deepsort"])
     parser.add_argument("--use-busca", action="store_true")
     parser.add_argument("--busca-config", default=None,
                         help="BUSCA YAML (reference configs load unchanged)")

@@ -144,12 +144,14 @@ class SSTrack:
         w, h = p2[0] - p1[0], p2[1] - p1[1]
         self.mean[:4] = [p1[0] + w / 2, p1[1] + h / 2, w / h, h]
 
-    def update(self, xyah, confidence, feature, image, save_memory=False):
+    def update(self, xyah, confidence, feature, image, save_memory=False,
+               nsa=True):
         m, c = _KF.update(
             self.mean[None],
             self.covariance[None],
             np.asarray(xyah)[None],
-            confidence=np.array([confidence]),
+            # NSA Kalman (track.py:242) — off = vanilla DeepSORT noise
+            confidence=np.array([confidence]) if nsa else None,
         )
         self.mean, self.covariance = m[0], c[0]
         if feature is not None:
@@ -228,6 +230,7 @@ class StrongSortConfig:
     max_cosine_distance: float = 0.45
     nn_budget: Optional[int] = 1
     min_confidence: float = 0.6
+    nsa: bool = True  # confidence-scaled measurement noise (NSA Kalman)
     ema: bool = True
     ema_alpha: float = 0.9
     mc: bool = True  # motion-cost fusion
@@ -344,7 +347,7 @@ class StrongSortTracker:
                         new_conf = det.score
                     track.update(
                         det.xyah, new_conf, new_feat, new_img,
-                        save_memory=cfg.avoid_memory_leak,
+                        save_memory=cfg.avoid_memory_leak, nsa=cfg.nsa,
                     )
                     unmatched_tracks.remove(third_idx[it])
 
@@ -356,6 +359,7 @@ class StrongSortTracker:
                 features[di] if features is not None else None,
                 det_images[di],
                 save_memory=cfg.avoid_memory_leak,
+                nsa=cfg.nsa,
             )
         for ti in unmatched_tracks:
             self.tracks[ti].mark_missed()

@@ -103,3 +103,17 @@ def test_busca_skips_old_tracks():
     outs = _run(trk, 10, dropout=range(5, 10))
     # with short memory (< seq_len) rescue is impossible -> track coasted out
     assert len(outs[7]) == 1
+
+
+def test_deepsort_alias_vanilla_flags():
+    """--tracker deepsort = vanilla DeepSORT: cascade, gallery, plain Kalman
+    (the reference's evaluate_deepsort alternate, mot_evaluator.py:380-502)."""
+    from busca_tpu.eval.run import make_tracker
+
+    trk = make_tracker("deepsort", {}, engine=None)
+    cfg = trk.cfg
+    assert not cfg.nsa and not cfg.ema and not cfg.mc and not cfg.woc
+    assert cfg.max_cosine_distance == 0.2 and cfg.nn_budget == 100
+    # explicit kwargs still win
+    trk2 = make_tracker("deepsort", {"nsa": True}, engine=None)
+    assert trk2.cfg.nsa

@@ -1,0 +1,100 @@
+"""BDD100k output conversion — MOTChallenge result txts -> BDD json.
+
+Rebuilds the GHOST manager's ``MOT2BDD``/``MOT2BDDTest`` converters
+(adapters/GHOST/src/manager.py:217-305): per sequence, the MOT rows are
+grouped by frame into ``{"name": "<seq>-<frame:07d>.jpg", "labels": [...]}``
+dicts with ``box2d`` corners and the BDD category names; categories outside
+the evaluated set are dropped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import numpy as np
+
+# manager.py:276-278 (1-based label ids -> BDD category names)
+BDD_NAME_MAPPING: Dict[int, str] = {
+    1: "pedestrian",
+    2: "rider",
+    3: "car",
+    4: "truck",
+    5: "bus",
+    6: "train",
+    7: "motorcycle",
+    8: "bicycle",
+}
+
+
+def mot_rows_to_bdd(
+    seq_name: str,
+    rows: np.ndarray,
+    classes: Optional[Dict[int, str]] = None,
+    classes_for_eval: Optional[Sequence[str]] = None,
+) -> List[dict]:
+    """Convert MOT rows ``[frame, id, left, top, w, h, conf, ?, label, vis]``
+    (label column optional — missing/-1 labels map to pedestrian) to the BDD
+    frame-dict list (manager.py:231-253)."""
+    classes = classes or BDD_NAME_MAPPING
+    rows = np.asarray(rows, dtype=np.float64)
+    if rows.size == 0:
+        return []
+    if rows.ndim == 1:
+        rows = rows[None]
+    out = []
+    for frame in np.unique(rows[:, 0]).astype(int):
+        frame_rows = rows[rows[:, 0].astype(int) == frame]
+        labels_list = []
+        for r in frame_rows:
+            label = int(r[8]) if rows.shape[1] > 8 and r[8] > 0 else 1
+            category = classes.get(label)
+            if category is None:
+                continue
+            if classes_for_eval is not None and category not in classes_for_eval:
+                continue
+            labels_list.append(
+                {
+                    "id": int(r[1]),
+                    "category": category,
+                    "box2d": {
+                        "x1": float(r[2]),
+                        "y1": float(r[3]),
+                        "x2": float(r[2] + r[4]),
+                        "y2": float(r[3] + r[5]),
+                    },
+                }
+            )
+        out.append(
+            {"name": f"{seq_name}-{frame:07d}.jpg", "labels": labels_list}
+        )
+    return out
+
+
+def convert_results_dir(
+    results_dir: str,
+    out_dir: Optional[str] = None,
+    classes: Optional[Dict[int, str]] = None,
+    classes_for_eval: Optional[Sequence[str]] = None,
+) -> List[str]:
+    """Convert every MOT ``<seq>.txt`` in a results directory to
+    ``<seq>.json`` in BDD format (manager.py:218-259).  Returns the written
+    paths."""
+    out_dir = out_dir or results_dir
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for fname in sorted(os.listdir(results_dir)):
+        if not fname.endswith(".txt"):
+            continue
+        seq = fname[:-4]
+        path = os.path.join(results_dir, fname)
+        rows = np.loadtxt(path, delimiter=",", ndmin=2) if os.path.getsize(
+            path
+        ) else np.zeros((0, 10))
+        bdd = mot_rows_to_bdd(seq, rows, classes, classes_for_eval)
+        out_path = os.path.join(out_dir, seq + ".json")
+        with open(out_path, "w") as f:
+            json.dump(bdd, f)
+        written.append(out_path)
+    return written

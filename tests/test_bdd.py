@@ -1,0 +1,56 @@
+"""BDD output conversion (GHOST manager.py:217-305 MOT2BDD semantics)."""
+
+import json
+import os
+
+import numpy as np
+
+from busca_tpu.eval.bdd import (
+    BDD_NAME_MAPPING,
+    convert_results_dir,
+    mot_rows_to_bdd,
+)
+
+
+def test_rows_grouped_by_frame_with_box2d_corners():
+    rows = np.array([
+        [1, 5, 10, 20, 30, 40, 0.9, -1, 3, -1],   # car
+        [1, 6, 50, 60, 10, 10, 0.8, -1, 1, -1],   # pedestrian
+        [2, 5, 12, 22, 30, 40, 0.9, -1, 3, -1],
+    ])
+    out = mot_rows_to_bdd("seq01", rows)
+    assert [d["name"] for d in out] == [
+        "seq01-0000001.jpg", "seq01-0000002.jpg"
+    ]
+    f1 = out[0]["labels"]
+    assert {l["category"] for l in f1} == {"car", "pedestrian"}
+    car = next(l for l in f1 if l["category"] == "car")
+    assert car["id"] == 5
+    assert car["box2d"] == {"x1": 10.0, "y1": 20.0, "x2": 40.0, "y2": 60.0}
+
+
+def test_eval_class_filter_and_unknown_labels():
+    rows = np.array([
+        [1, 1, 0, 0, 5, 5, 1.0, -1, 6, -1],   # train
+        [1, 2, 0, 0, 5, 5, 1.0, -1, 99, -1],  # unknown -> dropped
+        [1, 3, 0, 0, 5, 5, 1.0, -1, -1, -1],  # missing -> pedestrian
+    ])
+    out = mot_rows_to_bdd("s", rows, classes_for_eval=["pedestrian"])
+    assert len(out) == 1
+    assert [l["category"] for l in out[0]["labels"]] == ["pedestrian"]
+
+
+def test_convert_results_dir(tmp_path):
+    d = tmp_path / "out"
+    d.mkdir()
+    (d / "MOT-01.txt").write_text("1,7,10,20,30,40,0.9,-1,-1,-1\n")
+    (d / "empty.txt").write_text("")
+    written = convert_results_dir(str(d))
+    assert sorted(os.path.basename(p) for p in written) == [
+        "MOT-01.json", "empty.json"
+    ]
+    data = json.loads((d / "MOT-01.json").read_text())
+    assert data[0]["name"] == "MOT-01-0000001.jpg"
+    assert data[0]["labels"][0]["id"] == 7
+    assert json.loads((d / "empty.json").read_text()) == []
+    assert set(BDD_NAME_MAPPING.values()) >= {"car", "bus", "rider"}

@@ -256,10 +256,104 @@ class IDAUp(nn.Module):
         return n
 
 
+class InvertedResidual(nn.Module):
+    """MobileNetV2 inverted residual (expand 1x1 -> depthwise 3x3 -> linear
+    1x1), ReLU6 activations — the published block the reference's mobilenet
+    backbone compatibility file wraps
+    (adapters/CenterTrack/src/lib/model/networks/backbones/mobilenet.py:56-83).
+    """
+
+    features: int
+    stride: int = 1
+    expand: int = 6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        hidden = in_ch * self.expand
+        y = x
+        if self.expand != 1:
+            y = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="expand_conv")(y)
+            y = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+                             name="expand_bn")(y)
+            y = jnp.minimum(nn.relu(y), 6.0)
+        y = nn.Conv(
+            hidden, (3, 3), strides=(self.stride, self.stride),
+            padding=[(1, 1), (1, 1)], feature_group_count=hidden,
+            use_bias=False, dtype=self.dtype, name="dw_conv",
+        )(y)
+        y = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+                         name="dw_bn")(y)
+        y = jnp.minimum(nn.relu(y), 6.0)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="project_conv")(y)
+        y = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+                         name="project_bn")(y)
+        if self.stride == 1 and in_ch == self.features:
+            y = y + x
+        return y
+
+
+class MobileNetV2Backbone(nn.Module):
+    """MobileNetV2 feature pyramid (strides 4/8/16/32) with the CenterTrack
+    pre_img/pre_hm stem fusion — the alternate backbone the reference adapter
+    patches in (backbones/mobilenet.py:85-183; inverted-residual settings
+    t,c,n,s per the published table)."""
+
+    width_mult: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pre_img=None, pre_hm=None):
+        def c(ch):
+            return max(int(ch * self.width_mult + 0.5), 4)
+
+        def stem(inp, name):
+            y = nn.Conv(c(32), (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)], use_bias=False,
+                        dtype=self.dtype, name=f"{name}_conv")(inp)
+            y = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+                             name=f"{name}_bn")(y)
+            return jnp.minimum(nn.relu(y), 6.0)
+
+        y = stem(x, "stem")
+        if pre_img is not None:
+            y = y + stem(pre_img, "pre_img_stem")
+        if pre_hm is not None:
+            y = y + stem(pre_hm, "pre_hm_stem")
+
+        # (expand t, channels c, repeats n, stride s) — published V2 table
+        settings = [
+            (1, 16, 1, 1),
+            (6, 24, 2, 2),   # -> stride 4
+            (6, 32, 3, 2),   # -> stride 8
+            (6, 64, 4, 2),
+            (6, 96, 3, 1),   # -> stride 16
+            (6, 160, 3, 2),
+            (6, 320, 1, 1),  # -> stride 32
+        ]
+        outs = []
+        idx = 0
+        for si, (t, ch, n, s) in enumerate(settings):
+            for i in range(n):
+                y = InvertedResidual(
+                    c(ch), s if i == 0 else 1, t, self.dtype,
+                    name=f"block{idx}",
+                )(y)
+                idx += 1
+            if si in (1, 2, 4, 6):
+                outs.append(y)
+        return outs  # strides 4, 8, 16, 32
+
+
 @dataclasses.dataclass(frozen=True)
 class CenterTrackConfig:
+    backbone: str = "dla"  # "dla" (DLA-34) or "mobilenet" (MobileNetV2)
     channels: Tuple[int, ...] = (16, 32, 64, 128, 256, 512)
     levels: Tuple[int, ...] = (1, 1, 1, 2, 2, 1)
+    width_mult: float = 1.0  # mobilenet width multiplier
     head_dim: int = 256
     down_ratio: int = 4
     num_classes: int = 1
@@ -271,6 +365,7 @@ class CenterTrackConfig:
         defaults = dict(
             channels=(4, 8, 8, 16, 16, 32),
             levels=(1, 1, 1, 1, 1, 1),
+            width_mult=0.125,
             head_dim=16,
             K=8,
         )
@@ -287,16 +382,22 @@ class CenterTrackNet(nn.Module):
     def __call__(self, x, pre_img=None, pre_hm=None):
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
-        feats = DLABase(cfg.channels, cfg.levels, dtype, name="base")(
-            x, pre_img, pre_hm
-        )
-        # DLAUp over strides 4..32 down to stride 4 (down_ratio 4 -> first
-        # level index 2)
-        first = 2
-        out_ch = cfg.channels[first]
+        if cfg.backbone == "mobilenet":
+            pyramid = MobileNetV2Backbone(
+                cfg.width_mult, dtype, name="base"
+            )(x, pre_img, pre_hm)  # strides 4, 8, 16, 32
+            out_ch = pyramid[0].shape[-1]
+        else:
+            feats = DLABase(cfg.channels, cfg.levels, dtype, name="base")(
+                x, pre_img, pre_hm
+            )
+            # DLAUp over strides 4..32 down to stride 4 (down_ratio 4 ->
+            # first level index 2)
+            pyramid = feats[2:]
+            out_ch = cfg.channels[2]
         fused = IDAUp(
-            out_ch, len(feats) - first, dtype, name="dla_up"
-        )(feats[first:])
+            out_ch, len(pyramid), dtype, name="dla_up"
+        )(pyramid)
 
         def head(out_d, name, bias_init=0.0):
             h = nn.Conv(

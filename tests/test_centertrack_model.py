@@ -124,3 +124,24 @@ def test_render_pre_hm_empty_and_degenerate(tiny_ct):
     assert (tiny_ct._render_pre_hm([], 1.0) == 0).all()
     degen = [{"bbox": np.array([5.0, 5.0, 5.0, 5.0]), "score": 1.0}]
     assert (tiny_ct._render_pre_hm(degen, 1.0) == 0).all()
+
+
+@pytest.mark.slow
+def test_mobilenet_backbone_output_contract(rng):
+    """MobileNetV2 backbone option (the reference adapter's mobilenet
+    compatibility file, backbones/mobilenet.py) drives the same heads."""
+    cfg = CenterTrackConfig.tiny(backbone="mobilenet")
+    model = CenterTrackNet(cfg)
+    h, w = 32, 64
+    x = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32))
+    hm_in = jnp.zeros((1, h, w, 1), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, x, hm_in)
+    out = model.apply(variables, x, x, hm_in)
+    d = cfg.down_ratio
+    assert out["hm"].shape == (1, h // d, w // d, 1)
+    assert out["tracking"].shape == (1, h // d, w // d, 2)
+    for v in out.values():
+        assert np.isfinite(np.asarray(v)).all()
+    # the prior-frame stems change the output (input fusion wired through)
+    out2 = model.apply(variables, x, x * 0.5, hm_in)
+    assert not np.allclose(np.asarray(out2["hm"]), np.asarray(out["hm"]))

@@ -132,3 +132,56 @@ def golden_diff(
             "diff": None if got is None else round(got - v, 3),
         }
     return report
+
+
+# ---------------------------------------------------------------------------
+# TransCenter experiment presets (adapters/TransCenter/exps/*.py) — the Exp
+# classes are dataset/threshold settings over a shared base; encoded as data.
+# The commented-out full sizes in the reference files are kept under
+# ``full_size`` (ablation runs the half-resolution setting).
+# ---------------------------------------------------------------------------
+
+TRANSCENTER_EXPS = {
+    # exps/transcenterdetr_ablation.py:13-32 (MOT17 val_half)
+    "ablation": {
+        "dataset": "MOT17",
+        "val_ann": "val_half.json",
+        "test_size": (640, 1088),
+        "full_size": (800, 1440),
+        "random_size": (18, 32),
+        "test_conf": 0.1,
+        "nmsthre": 0.7,
+        "track_thresh": 0.4,
+    },
+    # exps/transcenterdetr_mot20.py (MOT20 test)
+    "mot20": {
+        "dataset": "MOT20",
+        "val_ann": "test.json",
+        "test_size": (640, 1088),
+        "full_size": (896, 1600),
+        "random_size": (20, 36),
+        "test_conf": 0.001,
+        "nmsthre": 0.7,
+        "track_thresh": 0.4,
+    },
+    # exps/transcenterdetr_mix_det.py (MOT17 test, mixed detection train set)
+    "mix_det": {
+        "dataset": "MOT17",
+        "val_ann": "test.json",
+        "test_size": (640, 1088),
+        "full_size": (800, 1440),
+        "random_size": (18, 32),
+        "test_conf": 0.001,
+        "nmsthre": 0.7,
+        "track_thresh": 0.4,
+    },
+}
+
+
+def transcenter_exp(name: str) -> Dict[str, object]:
+    """Experiment preset by name ('ablation', 'mot20', 'mix_det')."""
+    if name not in TRANSCENTER_EXPS:
+        raise KeyError(
+            f"unknown TransCenter exp {name!r}; have {sorted(TRANSCENTER_EXPS)}"
+        )
+    return dict(TRANSCENTER_EXPS[name])

@@ -77,6 +77,7 @@ class AssociationEngine:
         crop_hw: Tuple[int, int] = (384, 128),
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         debug_dir: Optional[str] = None,
+        dedup_candidates: bool = True,
     ):
         self.config = config
         self.model = BuscaModel(config)
@@ -85,6 +86,12 @@ class AssociationEngine:
         self.num_candidates = num_candidates
         self.crop_hw = crop_hw
         self.buckets = tuple(sorted(buckets))
+        # Deduplicated candidate ReID: tracks share one detection pool, so
+        # the [T, C] candidate batch is mostly repeats — run ReID once per
+        # unique crop with multiplicity-weighted BN statistics (numerics
+        # equal to the duplicated batch; see BuscaModel docstring).  The
+        # duplicated path is kept for the A/B test and the debug montage.
+        self.dedup_candidates = dedup_candidates
         # decision-montage debugging (reference network.py:234-242 renders
         # the memory/candidate montage with predicted probabilities when
         # visualization is enabled)
@@ -96,21 +103,20 @@ class AssociationEngine:
 
         model = self.model
 
+        def prep(x, normalize_ims):
+            x = x.astype(jnp.float32)
+            if normalize_ims:
+                x = (x / 255.0 - mean) / std
+            return x[..., ::-1]  # BGR -> RGB (network.py:396-398)
+
         @functools.partial(jax.jit, static_argnames=("normalize_ims",))
         def _score(variables, mem_crops, can_crops, mem_boxes, can_boxes,
                    mask, normalize_ims=True):
             """crops: uint8 (or float) BGR HWC; boxes: ltrb f32; mask: [T]."""
-
-            def prep(x):
-                x = x.astype(jnp.float32)
-                if normalize_ims:
-                    x = (x / 255.0 - mean) / std
-                return x[..., ::-1]  # BGR -> RGB (network.py:396-398)
-
             logits = model.apply(
                 {"params": variables["params"]},
-                prep(mem_crops),
-                prep(can_crops),
+                prep(mem_crops, normalize_ims),
+                prep(can_crops, normalize_ims),
                 mem_boxes,
                 can_boxes,
                 mask,
@@ -118,6 +124,26 @@ class AssociationEngine:
             return jax.nn.softmax(logits, axis=-1)
 
         self._score = _score
+
+        @functools.partial(jax.jit, static_argnames=("normalize_ims",))
+        def _score_unique(variables, mem_crops, uniq_can_crops, can_weights,
+                          can_gather, mem_boxes, can_boxes, mask,
+                          normalize_ims=True):
+            """Dedup mode: unique candidate crops [U] + occurrence weights +
+            per-slot gather indices [T, C]."""
+            logits = model.apply(
+                {"params": variables["params"]},
+                prep(mem_crops, normalize_ims),
+                prep(uniq_can_crops, normalize_ims),
+                mem_boxes,
+                can_boxes,
+                mask,
+                can_weights=can_weights,
+                can_gather=can_gather,
+            )
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._score_unique = _score_unique
 
     # ------------------------------------------------------------------ api --
     def associate(
@@ -159,7 +185,6 @@ class AssociationEngine:
             else:
                 mem_boxes[ti] = INCOMPLETE_MEM_BBOX_TLWH  # zero crops stay
 
-        can_crops = np.zeros((t_count, c, h, w, 3), dtype=np.uint8)
         can_boxes = np.tile(
             encodings.missing_candidate_bbox("ltwh"), (t_count, c, 1)
         )
@@ -173,7 +198,6 @@ class AssociationEngine:
                 if di is None:
                     continue
                 det = dets[di]
-                can_crops[ti, ci] = det.images_mem[-1]
                 can_boxes[ti, ci] = (
                     np.asarray(det.tlwh_mem[-1], dtype=np.float64) * det.scale
                 )
@@ -183,19 +207,34 @@ class AssociationEngine:
             k_slot = min(d_count, c - 1)
             for ti, kdet in enumerate(extra_kalman_candidates):
                 det_inds[ti][k_slot] = d_count + ti
-                can_crops[ti, k_slot] = kdet.images_mem[-1]
                 can_boxes[ti, k_slot] = np.asarray(kdet.tlwh) * kdet.scale
+
+        def unit_crop(idx: int) -> np.ndarray:
+            """Candidate-unit crop: detection index or d_count+ti = Kalman."""
+            if idx < d_count:
+                return dets[idx].images_mem[-1]
+            return extra_kalman_candidates[idx - d_count].images_mem[-1]
 
         # tlwh -> ltrb (network.py:391-394)
         mem_boxes = hostmath.tlwh_to_tlbr(mem_boxes).astype(np.float32)
         can_boxes = hostmath.tlwh_to_tlbr(can_boxes).astype(np.float32)
 
-        probs = self._score_bucketed(
-            mem_crops, can_crops, mem_boxes, can_boxes, normalize_ims
-        )  # [T, c + extras]
-
-        if self.debug_dir is not None:
-            self._write_debug_montage(mem_crops, can_crops, probs)
+        if self.dedup_candidates and self.debug_dir is None:
+            probs = self._score_bucketed_unique(
+                mem_crops, det_inds, unit_crop, mem_boxes, can_boxes,
+                normalize_ims,
+            )  # [T, c + extras]
+        else:
+            can_crops = np.zeros((t_count, c, h, w, 3), dtype=np.uint8)
+            for ti in range(t_count):
+                for ci, di in enumerate(det_inds[ti]):
+                    if di is not None:
+                        can_crops[ti, ci] = unit_crop(di)
+            probs = self._score_bucketed(
+                mem_crops, can_crops, mem_boxes, can_boxes, normalize_ims
+            )
+            if self.debug_dir is not None:
+                self._write_debug_montage(mem_crops, can_crops, probs)
 
         num_dets_total = d_count + len(extra_kalman_candidates)
         probs_matrix = np.zeros((t_count, num_dets_total))
@@ -248,6 +287,80 @@ class AssociationEngine:
             if t <= b:
                 return b
         return self.buckets[-1]
+
+    def _score_bucketed_unique(
+        self, mem_crops, det_inds, unit_crop, mem_boxes, can_boxes,
+        normalize_ims,
+    ) -> np.ndarray:
+        """Dedup scoring: per chunk, gather the chunk's unique candidate
+        units once, count slot occurrences as BN weights, and hand the
+        jitted scorer [U_pad] unique crops + a [B, C] gather map.
+
+        Index 0 of the unique array is the all-zero "missing slot" crop (the
+        reference feeds a zero image for empty slots, network.py:352-355) —
+        its weight is the number of missing slots so BN statistics equal the
+        duplicated batch's exactly.
+        """
+        t_count = mem_crops.shape[0]
+        c = can_boxes.shape[1]
+        h, w = self.crop_hw
+        max_b = self.buckets[-1]
+        out = []
+        for start in range(0, t_count, max_b):
+            end = min(start + max_b, t_count)
+            n = end - start
+            b = self._bucket(n)
+            pad = b - n
+
+            # unique candidate units of this chunk
+            unit_to_idx = {}
+            gather = np.zeros((b, c), dtype=np.int32)  # 0 = zero crop
+            weights = [0.0]  # slot-occurrence counts; [0] = missing slots
+            crops_list = [None]  # zero crop materialized later
+            for ti in range(start, end):
+                for ci, di in enumerate(det_inds[ti]):
+                    if di is None:
+                        weights[0] += 1.0
+                        continue
+                    if di not in unit_to_idx:
+                        unit_to_idx[di] = len(crops_list)
+                        crops_list.append(unit_crop(di))
+                        weights.append(0.0)
+                    ui = unit_to_idx[di]
+                    gather[ti - start, ci] = ui
+                    weights[ui] += 1.0
+
+            u = len(crops_list)
+            u_pad = 8
+            while u_pad < u:
+                u_pad *= 2
+            uniq = np.zeros((u_pad, h, w, 3), dtype=np.uint8)
+            for ui, crop in enumerate(crops_list[1:], start=1):
+                uniq[ui] = crop
+            w_arr = np.zeros(u_pad, dtype=np.float32)
+            w_arr[:u] = weights
+
+            def padded(x):
+                if pad == 0:
+                    return x[start:end]
+                widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+                return np.pad(x[start:end], widths)
+
+            mask = np.zeros(b, dtype=np.float32)
+            mask[:n] = 1.0
+            probs = self._score_unique(
+                self.variables,
+                jnp.asarray(padded(mem_crops)),
+                jnp.asarray(uniq),
+                jnp.asarray(w_arr),
+                jnp.asarray(gather),
+                jnp.asarray(padded(mem_boxes)),
+                jnp.asarray(padded(can_boxes)),
+                jnp.asarray(mask),
+                normalize_ims=normalize_ims,
+            )
+            out.append(np.asarray(probs)[:n])
+        return np.concatenate(out, axis=0)
 
     def _score_bucketed(
         self, mem_crops, can_crops, mem_boxes, can_boxes, normalize_ims

@@ -114,18 +114,30 @@ class BuscaModel(nn.Module):
         sample_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         return_att: bool = False,
+        can_weights: Optional[jnp.ndarray] = None,
+        can_gather: Optional[jnp.ndarray] = None,
     ):
         """Score candidates for a batch of tracks.
 
         Args:
           mem_crops: ``[B, L_mem, H, W, 3]`` normalized RGB memory crops.
-          can_crops: ``[B, C, H, W, 3]`` normalized RGB candidate crops.
+          can_crops: ``[B, C, H, W, 3]`` normalized RGB candidate crops — OR,
+            in deduplicated mode, ``[U, H, W, 3]`` *unique* candidate crops.
           mem_bboxes: ``[B, L_mem, 4]`` ltrb boxes (detector coordinates).
           can_bboxes: ``[B, C, 4]`` ltrb candidate boxes.
           sample_mask: ``[B]`` 1 for real tracks, 0 for padded lanes — padded
             lanes are excluded from ReID BN statistics.
           deterministic: disables dropout.
           return_att: also return per-layer attention maps.
+          can_weights / can_gather: deduplicated-candidate mode.  Tracks
+            share one detection pool, so the per-track candidate batch is
+            mostly duplicates; passing the unique crops ``[U]`` with their
+            occurrence counts ``can_weights [U]`` and the per-slot index map
+            ``can_gather [B, C]`` runs ReID once per unique crop.  The
+            multiplicity-weighted BN statistics equal the duplicated batch's
+            statistics exactly, so this is numerics-preserving (the
+            reference's T x C duplicated forward, network.py:193, computed
+            with U unique crops).
 
         Returns:
           logits ``[B, C + extras]`` (softmax upstream), and attention list if
@@ -133,7 +145,7 @@ class BuscaModel(nn.Module):
         """
         cfg = self.config
         b, l_mem = mem_crops.shape[0], mem_crops.shape[1]
-        c = can_crops.shape[1]
+        c = can_bboxes.shape[1]
         d_model = cfg.trans_dim
         dtype = jnp.dtype(cfg.dtype)
 
@@ -146,35 +158,42 @@ class BuscaModel(nn.Module):
 
         # ONE ReID pass over memory + candidate crops.  The reference runs
         # two forwards so BN statistics stay per-group (network.py:192-193);
-        # here the grouped ``sample_mask`` ([N, 2] one-hot: group 0 = memory,
+        # here the grouped ``sample_mask`` ([N, 2] weights: group 0 = memory,
         # group 1 = candidates, zero rows = padded lanes) reproduces those
         # numerics inside a single conv pass — ~8% faster at T=64 on v5e.
-        n_mem, n_can = b * l_mem, b * c
+        n_mem = b * l_mem
+        if can_gather is not None:
+            n_can = can_crops.shape[0]  # unique candidate crops
+            can_flat = can_crops
+            w_can = can_weights.astype(jnp.float32)
+        else:
+            n_can = b * c
+            can_flat = can_crops.reshape((n_can,) + can_crops.shape[2:])
+            if sample_mask is not None:
+                w_can = jnp.repeat(sample_mask.astype(jnp.float32), c)
+            else:
+                w_can = jnp.ones((n_can,), jnp.float32)
         flat = jnp.concatenate(
-            [
-                mem_crops.reshape((n_mem,) + mem_crops.shape[2:]),
-                can_crops.reshape((n_can,) + can_crops.shape[2:]),
-            ],
+            [mem_crops.reshape((n_mem,) + mem_crops.shape[2:]), can_flat],
             axis=0,
         )
         if sample_mask is not None:
             w_mem = jnp.repeat(sample_mask.astype(jnp.float32), l_mem)
-            w_can = jnp.repeat(sample_mask.astype(jnp.float32), c)
         else:
             w_mem = jnp.ones((n_mem,), jnp.float32)
-            w_can = jnp.ones((n_can,), jnp.float32)
-        zero_m = jnp.zeros_like(w_mem)
-        zero_c = jnp.zeros_like(w_can)
         group_mask = jnp.concatenate(
             [
-                jnp.stack([w_mem, zero_m], axis=-1),
-                jnp.stack([zero_c, w_can], axis=-1),
+                jnp.stack([w_mem, jnp.zeros_like(w_mem)], axis=-1),
+                jnp.stack([jnp.zeros_like(w_can), w_can], axis=-1),
             ],
             axis=0,
         )  # [n_mem + n_can, 2]
         _, feats = reid(flat, group_mask)
         mem_feats = feats[:n_mem].reshape(b, l_mem, -1)
-        can_feats = feats[n_mem:].reshape(b, c, -1)
+        if can_gather is not None:
+            can_feats = feats[n_mem:][can_gather]  # [B, C, F]
+        else:
+            can_feats = feats[n_mem:].reshape(b, c, -1)
 
         enc = TorchLinear(cfg.dim_embedding, d_model, name="encoder")
         scale = jnp.sqrt(jnp.asarray(d_model, jnp.float32))

@@ -104,10 +104,13 @@ class BatchNorm(nn.Module):
                 ex2_g = (w.T @ s2) / denom_g[:, None]
                 var_g = jnp.maximum(ex2_g - jnp.square(mean_g), 0.0)
                 inv_g = jnp.reciprocal(jnp.sqrt(var_g + self.eps))
+                # selection = row-normalized weights (weights can be > 1:
+                # multiplicity-weighted statistics for deduplicated crops);
                 # padded rows (all-zero w) fall back to group 0's statistics
+                row_sum = jnp.sum(w, axis=-1, keepdims=True)
                 sel = jnp.where(
-                    jnp.sum(w, axis=-1, keepdims=True) > 0,
-                    w,
+                    row_sum > 0,
+                    w / jnp.maximum(row_sum, 1e-12),
                     jnp.zeros_like(w).at[:, 0].set(1.0),
                 )
                 shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (self.features,)

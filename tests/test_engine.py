@@ -213,3 +213,26 @@ def test_debug_montage_written(rng, tmp_path):
     eng.associate(tracks, dets)
     files = os.listdir(eng.debug_dir)
     assert len(files) == 1 and files[0].endswith(".jpg")
+
+
+@pytest.mark.slow
+def test_dedup_candidates_matches_duplicated_path(rng):
+    """Deduplicated candidate ReID (unique crops + multiplicity-weighted BN
+    stats) must reproduce the duplicated [T, C] batch's probabilities."""
+    eng = _engine(rng)
+    tracks = [_track(rng, SEQ_LEN + i, base_xy=(40 + 30 * i, 60))
+              for i in range(3)]
+    dets = [_det(rng, (52, 60)), _det(rng, (90, 62))]  # shared det pool
+    kal = [
+        Track(t.tlwh, 0.1, rng.randint(0, 255, (H, W, 3), np.uint8), 1.0)
+        for t in tracks
+    ]
+    kwargs = dict(extra_kalman_candidates=kal, select_highest_candidate=False)
+
+    eng.dedup_candidates = False
+    p_dup, r_dup = eng.associate(tracks, dets, **kwargs)
+    eng.dedup_candidates = True
+    p_ded, r_ded = eng.associate(tracks, dets, **kwargs)
+
+    np.testing.assert_array_equal(r_dup, r_ded)
+    np.testing.assert_allclose(p_ded, p_dup, rtol=2e-4, atol=2e-6)

@@ -113,6 +113,85 @@ def _assoc_batch(rng, t):
     return mem_crops, can_crops, boxes(L_MEM), boxes(C)
 
 
+def bench_association_dedup(t, d, dtype, iters=10, warmup=2):
+    """The production third-round workload: ``t`` tracks sharing a pool of
+    ``d`` detections — deduplicated candidate ReID (unique crops +
+    multiplicity-weighted BN statistics; engine default)."""
+    import jax
+    import jax.numpy as jnp
+
+    from busca_tpu.models.busca import (
+        BuscaConfig,
+        BuscaModel,
+        INPUT_PIXEL_MEAN_BGR,
+        INPUT_PIXEL_STD_BGR,
+    )
+
+    rng = np.random.RandomState(0)
+    config = BuscaConfig(dtype=dtype, **ASSOC_KW)
+    model = BuscaModel(config)
+    mean = jnp.asarray(INPUT_PIXEL_MEAN_BGR)
+    std = jnp.asarray(INPUT_PIXEL_STD_BGR)
+
+    mem_crops = rng.randint(0, 256, (t, L_MEM, H, W, 3)).astype(np.uint8)
+
+    def boxes(n):
+        xy = rng.uniform(0, 800, (t, n, 2))
+        wh = rng.uniform(20, 200, (t, n, 2))
+        return np.concatenate([xy, xy + wh], axis=-1).astype(np.float32)
+
+    mem_boxes, can_boxes = boxes(L_MEM), boxes(C)
+    # unique units: zero crop + d det crops + t kalman crops
+    u = 1 + d + t
+    u_pad = 8
+    while u_pad < u:
+        u_pad *= 2
+    uniq = np.zeros((u_pad, H, W, 3), np.uint8)
+    uniq[1:u] = rng.randint(0, 256, (d + t, H, W, 3)).astype(np.uint8)
+    gather = np.zeros((t, C), np.int32)
+    weights = np.zeros(u_pad, np.float32)
+    for ti in range(t):
+        picks = rng.choice(d, C - 1, replace=False)
+        for ci, di in enumerate(picks):
+            gather[ti, ci] = 1 + di
+            weights[1 + di] += 1
+        gather[ti, C - 1] = 1 + d + ti
+        weights[1 + d + ti] += 1
+
+    @jax.jit
+    def associate(params, mem_crops, uniq, w, g, mem_boxes, can_boxes, mask):
+        def prep(x):
+            x = x.astype(jnp.float32)
+            return ((x / 255.0 - mean) / std)[..., ::-1]
+
+        logits = model.apply(
+            {"params": params}, prep(mem_crops), prep(uniq),
+            mem_boxes, can_boxes, mask, can_weights=w, can_gather=g,
+        )
+        return jax.nn.softmax(logits, axis=-1)
+
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, L_MEM, H, W, 3), jnp.float32),
+        jnp.zeros((1, C, H, W, 3), jnp.float32),
+        jnp.zeros((1, L_MEM, 4), jnp.float32),
+        jnp.zeros((1, C, 4), jnp.float32),
+    )
+    args = (
+        variables["params"], jnp.asarray(mem_crops), jnp.asarray(uniq),
+        jnp.asarray(weights), jnp.asarray(gather), jnp.asarray(mem_boxes),
+        jnp.asarray(can_boxes), jnp.ones((t,), jnp.float32),
+    )
+    for _ in range(warmup):
+        associate(*args).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = associate(*args)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return {"ms": dt * 1e3, "tracks_per_s": t / dt}
+
+
 def bench_association(t, dtype, iters=20, warmup=3):
     import jax
     import jax.numpy as jnp
@@ -459,6 +538,7 @@ def main():
     assoc_16_f32 = bench_association(16, "float32")
     assoc_16_bf16 = bench_association(16, "bfloat16")
     assoc_64_bf16 = bench_association(64, "bfloat16", iters=10)
+    assoc_64_dedup = bench_association_dedup(64, 30, "bfloat16")
 
     torch_det_s = bench_torch_detector()
     tracker_s = e2e["tracker_ms"] / 1e3
@@ -504,6 +584,12 @@ def main():
                     "assoc_ms_T16_f32": round(assoc_16_f32["ms"], 2),
                     "assoc_ms_T16_bf16": round(assoc_16_bf16["ms"], 2),
                     "assoc_ms_T64_bf16": round(assoc_64_bf16["ms"], 2),
+                    # production engine mode: T tracks sharing D=30 dets,
+                    # deduplicated candidate ReID
+                    "assoc_ms_T64_D30_dedup_bf16":
+                        round(assoc_64_dedup["ms"], 2),
+                    "assoc_tracks_per_s_T64_dedup_bf16":
+                        round(assoc_64_dedup["tracks_per_s"], 1),
                     "assoc_tracks_per_s_T16_f32":
                         round(assoc_16_f32["tracks_per_s"], 1),
                     "assoc_tracks_per_s_T64_bf16":

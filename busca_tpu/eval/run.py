@@ -431,6 +431,11 @@ def main(argv=None):
                         help="exp.test_conf (BYTE consumes low-conf dets)")
     parser.add_argument("--det-nms", type=float, default=0.7,
                         help="exp.nmsthre")
+    parser.add_argument("--online-visualization", action="store_true",
+                        help="write per-frame annotated images (the headless "
+                             "equivalent of the reference's live display, "
+                             "byte_tracker.py:535-572) to "
+                             "<output-dir>/<seq>_viz/")
     parser.add_argument("--ignore-custom-byte-thresholds", action="store_true",
                         help="disable the per-video BYTE threshold table "
                              "(mot_evaluator.py:141-164)")
@@ -616,7 +621,12 @@ def main(argv=None):
                 shimmed = shim_for_runner(
                     args.tracker, tracker, feature_extractor, args.crop_hw
                 )
-                res = run_mot_sequence(seq_dir, shimmed, output_path=out_path)
+                viz_dir = (
+                    os.path.join(args.output_dir, f"{name}_viz")
+                    if args.online_visualization else None
+                )
+                res = run_mot_sequence(seq_dir, shimmed, output_path=out_path,
+                                       viz_dir=viz_dir)
             if args.gsi or args.aflink:
                 res = _postprocess_result(args, res, out_path)
             stage = ""

@@ -48,6 +48,7 @@ def run_sequence(
     scale: float = 1.0,
     min_box_area: float = 100.0,
     vertical_thresh: Optional[float] = 1.6,
+    viz_dir: Optional[str] = None,
 ) -> SequenceResult:
     """Drive one tracker instance over a sequence.
 
@@ -61,6 +62,9 @@ def run_sequence(
       tracker: object with ``update(bboxes_tlbr, scores, scale, frame)``.
       frames: per-frame images (uint8 BGR) or None (cached-detection mode).
       detections: per-frame (tlbr [N, 4], scores [N]).
+      viz_dir: online visualization (reference byte_tracker.py:535-572 draws
+        tracked boxes live; headless equivalent: annotated frames written as
+        ``<viz_dir>/<frame:06d>.jpg``).
     """
     results = []
     t0 = time.perf_counter()
@@ -79,6 +83,22 @@ def run_sequence(
                 ids.append(t.track_id)
                 confs.append(t.score)
         results.append((idx + 1, tlwhs, ids, confs))
+        if viz_dir is not None and frame is not None:
+            import os
+
+            import cv2
+
+            from busca_tpu.viz import plot_box
+
+            canvas = np.ascontiguousarray(frame).copy()
+            for tlwh, tid in zip(tlwhs, ids):
+                plot_box(
+                    canvas, tid,
+                    [tlwh[0], tlwh[1], tlwh[0] + tlwh[2], tlwh[1] + tlwh[3]],
+                    display_id=True,
+                )
+            os.makedirs(viz_dir, exist_ok=True)
+            cv2.imwrite(os.path.join(viz_dir, f"{idx + 1:06d}.jpg"), canvas)
     dt = time.perf_counter() - t0
     return SequenceResult(name, len(results), results, dt)
 
@@ -269,6 +289,7 @@ def run_mot_sequence(
     det_path: Optional[str] = None,
     output_path: Optional[str] = None,
     max_frames: Optional[int] = None,
+    viz_dir: Optional[str] = None,
 ) -> SequenceResult:
     """Run a tracker over an on-disk MOTChallenge sequence.
 
@@ -294,7 +315,8 @@ def run_mot_sequence(
         dets_by_frame.get(f, (np.zeros((0, 4)), np.zeros(0)))
         for f in range(1, n + 1)
     ]
-    result = run_sequence(tracker, frames(), detections, name=info.name)
+    result = run_sequence(tracker, frames(), detections, name=info.name,
+                          viz_dir=viz_dir)
     if output_path:
         mot.write_results(output_path, result.results)
     return result

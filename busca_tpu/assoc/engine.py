@@ -145,6 +145,32 @@ class AssociationEngine:
 
         self._score_unique = _score_unique
 
+        @functools.partial(
+            jax.jit, static_argnames=("normalize_ims", "num_groups")
+        )
+        def _score_unique_grouped(variables, mem_crops, uniq_can_crops,
+                                  can_weights, can_gather, mem_boxes,
+                                  can_boxes, mask, mem_group, can_group,
+                                  num_groups, normalize_ims=True):
+            """Multi-request batch: several independent association calls
+            in one forward, BN statistics per (request, mem|can) group."""
+            logits = model.apply(
+                {"params": variables["params"]},
+                prep(mem_crops, normalize_ims),
+                prep(uniq_can_crops, normalize_ims),
+                mem_boxes,
+                can_boxes,
+                mask,
+                can_weights=can_weights,
+                can_gather=can_gather,
+                mem_group=mem_group,
+                can_group=can_group,
+                num_groups=num_groups,
+            )
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._score_unique_grouped = _score_unique_grouped
+
     # ------------------------------------------------------------------ api --
     def associate(
         self,
@@ -160,10 +186,205 @@ class AssociationEngine:
         normalize_ims: bool = True,
     ):
         """Returns (probs_matrix [T, D(+T)], reliable [T]) or (None, None)."""
+        req = self._prep_request(
+            tracks, dets, dists_matrix,
+            use_broader_memory=use_broader_memory,
+            extra_kalman_candidates=extra_kalman_candidates,
+        )
+        if req is None:
+            return None, None
+        (mem_crops, mem_boxes, reliable, det_inds, can_boxes, unit_crop,
+         num_available, d_count, t_count) = req
+
+        if self.dedup_candidates and self.debug_dir is None:
+            probs = self._score_bucketed_unique(
+                mem_crops, det_inds, unit_crop, mem_boxes, can_boxes,
+                normalize_ims,
+            )  # [T, c + extras]
+        else:
+            c = self.num_candidates
+            h, w = self.crop_hw
+            can_crops = np.zeros((t_count, c, h, w, 3), dtype=np.uint8)
+            for ti in range(t_count):
+                for ci, di in enumerate(det_inds[ti]):
+                    if di is not None:
+                        can_crops[ti, ci] = unit_crop(di)
+            probs = self._score_bucketed(
+                mem_crops, can_crops, mem_boxes, can_boxes, normalize_ims
+            )
+            if self.debug_dir is not None:
+                self._write_debug_montage(mem_crops, can_crops, probs)
+
+        return self._postprocess(
+            probs, reliable, det_inds, num_available,
+            d_count + len(extra_kalman_candidates),
+            select_highest_candidate=select_highest_candidate,
+            highest_candidate_minimum_thresh=highest_candidate_minimum_thresh,
+            keep_highest_value=keep_highest_value,
+        )
+
+    def associate_many(
+        self,
+        requests: Sequence,
+        *,
+        use_broader_memory: bool = True,
+        select_highest_candidate: bool = True,
+        highest_candidate_minimum_thresh: Optional[float] = None,
+        keep_highest_value: bool = False,
+        normalize_ims: bool = True,
+    ):
+        """Batch several INDEPENDENT association calls into one forward.
+
+        ``requests``: sequence of ``(tracks, dets, dists_matrix_or_None,
+        extra_kalman_candidates)`` — e.g. one request per lockstep sequence.
+        Per-request BN groups keep every request's numerics equal to its own
+        standalone :meth:`associate` call (see BuscaModel ``mem_group``).
+
+        Returns one ``(probs_matrix, reliable)`` (or ``(None, None)``) per
+        request, in order.
+        """
+        results = [(None, None)] * len(requests)
+        preps = []
+        for i, (tracks, dets, dists, kal) in enumerate(requests):
+            req = self._prep_request(
+                tracks, dets, dists,
+                use_broader_memory=use_broader_memory,
+                extra_kalman_candidates=kal,
+            )
+            if req is not None:
+                preps.append((i, req, len(dets) + len(kal)))
+        if not preps:
+            return results
+
+        post_kw = dict(
+            select_highest_candidate=select_highest_candidate,
+            highest_candidate_minimum_thresh=highest_candidate_minimum_thresh,
+            keep_highest_value=keep_highest_value,
+        )
+        t_total = sum(p[1][8] for p in preps)
+        if (
+            len(preps) == 1
+            or t_total > self.buckets[-1]
+            or not self.dedup_candidates
+            or self.debug_dir is not None
+        ):
+            # one live request / oversized batch / non-dedup mode: per-request
+            for i, (tracks, dets, dists, kal) in enumerate(requests):
+                results[i] = self.associate(
+                    tracks, dets, dists,
+                    use_broader_memory=use_broader_memory,
+                    extra_kalman_candidates=kal,
+                    normalize_ims=normalize_ims,
+                    **post_kw,
+                )
+            return results
+
+        seq_len, c = self.seq_len, self.num_candidates
+        h, w = self.crop_hw
+        b = self._bucket(t_total)
+        r = len(preps)
+        r_pad = 1
+        while r_pad < r:
+            r_pad *= 2
+
+        mem_crops = np.zeros((b, seq_len, h, w, 3), np.uint8)
+        mem_boxes = np.zeros((b, seq_len, 4), np.float32)
+        can_boxes_all = np.zeros((b, c, 4), np.float32)
+        mask = np.zeros(b, np.float32)
+        mem_group = np.zeros(b, np.int32)
+        gather = np.zeros((b, c), np.int32)
+
+        # per-request unique candidate units; every request gets its OWN
+        # zero "missing slot" entry so its weight lands in that request's
+        # BN group
+        uniq_crops: List[np.ndarray] = []
+        uniq_weights: List[float] = []
+        uniq_group: List[int] = []
+        row = 0
+        spans = []
+        for slot, (i, req, ndt) in enumerate(preps):
+            (m_crops, m_boxes, reliable, det_inds, can_boxes, unit_crop,
+             num_available, d_count, t_count) = req
+            zero_idx = len(uniq_crops)
+            uniq_crops.append(np.zeros((h, w, 3), np.uint8))
+            uniq_weights.append(0.0)
+            uniq_group.append(slot)
+            unit_to_idx = {}
+            for ti in range(t_count):
+                for ci, di in enumerate(det_inds[ti]):
+                    if di is None:
+                        uniq_weights[zero_idx] += 1.0
+                        gather[row + ti, ci] = zero_idx
+                        continue
+                    if di not in unit_to_idx:
+                        unit_to_idx[di] = len(uniq_crops)
+                        uniq_crops.append(unit_crop(di))
+                        uniq_weights.append(0.0)
+                        uniq_group.append(slot)
+                    ui = unit_to_idx[di]
+                    gather[row + ti, ci] = ui
+                    uniq_weights[ui] += 1.0
+            mem_crops[row:row + t_count] = m_crops
+            mem_boxes[row:row + t_count] = m_boxes
+            can_boxes_all[row:row + t_count] = can_boxes
+            mask[row:row + t_count] = 1.0
+            mem_group[row:row + t_count] = slot
+            spans.append((i, row, t_count, reliable, det_inds,
+                          num_available, ndt))
+            row += t_count
+
+        u = len(uniq_crops)
+        u_pad = 8
+        while u_pad < u:
+            u_pad *= 2
+        uniq = np.zeros((u_pad, h, w, 3), np.uint8)
+        uniq[:u] = np.stack(uniq_crops)
+        w_arr = np.zeros(u_pad, np.float32)
+        w_arr[:u] = uniq_weights
+        g_arr = np.zeros(u_pad, np.int32)
+        g_arr[:u] = uniq_group
+
+        probs = np.asarray(
+            self._score_unique_grouped(
+                self.variables,
+                jnp.asarray(mem_crops),
+                jnp.asarray(uniq),
+                jnp.asarray(w_arr),
+                jnp.asarray(gather),
+                jnp.asarray(mem_boxes),
+                jnp.asarray(can_boxes_all),
+                jnp.asarray(mask),
+                jnp.asarray(mem_group),
+                jnp.asarray(g_arr),
+                num_groups=r_pad,
+                normalize_ims=normalize_ims,
+            )
+        )
+        for i, row0, t_count, reliable, det_inds, num_available, ndt in spans:
+            results[i] = self._postprocess(
+                probs[row0:row0 + t_count], reliable, det_inds,
+                num_available, ndt, **post_kw,
+            )
+        return results
+
+    def _prep_request(
+        self,
+        tracks: Sequence,
+        dets: Sequence,
+        dists_matrix: Optional[np.ndarray] = None,
+        *,
+        use_broader_memory: bool = True,
+        extra_kalman_candidates: Sequence = (),
+    ):
+        """Host-side request prep shared by associate/associate_many.
+
+        Returns (mem_crops, mem_boxes, reliable, det_inds, can_boxes,
+        unit_crop, num_available, d_count, t_count) or None for an empty
+        request."""
         if len(tracks) == 0:
-            return None, None
+            return None
         if len(dets) == 0 and len(extra_kalman_candidates) == 0:
-            return None, None
+            return None
 
         if dists_matrix is None:
             dists_matrix = self._center_distances(tracks, dets)
@@ -218,25 +439,20 @@ class AssociationEngine:
         # tlwh -> ltrb (network.py:391-394)
         mem_boxes = hostmath.tlwh_to_tlbr(mem_boxes).astype(np.float32)
         can_boxes = hostmath.tlwh_to_tlbr(can_boxes).astype(np.float32)
+        return (mem_crops, mem_boxes, reliable, det_inds, can_boxes,
+                unit_crop, num_available, d_count, t_count)
 
-        if self.dedup_candidates and self.debug_dir is None:
-            probs = self._score_bucketed_unique(
-                mem_crops, det_inds, unit_crop, mem_boxes, can_boxes,
-                normalize_ims,
-            )  # [T, c + extras]
-        else:
-            can_crops = np.zeros((t_count, c, h, w, 3), dtype=np.uint8)
-            for ti in range(t_count):
-                for ci, di in enumerate(det_inds[ti]):
-                    if di is not None:
-                        can_crops[ti, ci] = unit_crop(di)
-            probs = self._score_bucketed(
-                mem_crops, can_crops, mem_boxes, can_boxes, normalize_ims
-            )
-            if self.debug_dir is not None:
-                self._write_debug_montage(mem_crops, can_crops, probs)
-
-        num_dets_total = d_count + len(extra_kalman_candidates)
+    @staticmethod
+    def _postprocess(
+        probs, reliable, det_inds, num_available, num_dets_total,
+        *,
+        select_highest_candidate: bool = True,
+        highest_candidate_minimum_thresh: Optional[float] = None,
+        keep_highest_value: bool = False,
+    ):
+        """Scatter per-track probabilities into the global [T, D(+T)]
+        matrix with the one-hot post-processing (network.py:407-429)."""
+        t_count = probs.shape[0]
         probs_matrix = np.zeros((t_count, num_dets_total))
         for ti in range(t_count):
             track_probs = probs[ti]

@@ -690,14 +690,50 @@ def track_sequences_lockstep(
     t0 = time.perf_counter()
     while any(active):
         dets = detector.detect_batch(np.stack(current))
+        # phase 1: run every tracker's update up to its (optional) BUSCA
+        # third round; collect the suspended requests
+        onlines = [None] * b
+        pending = []  # (i, generator, ThirdRoundRequest)
         for i in range(b):
             if not active[i]:
                 continue
             d = dets[i]
             frame_ids[i] += 1
-            online = trackers[i].update(
-                d.boxes_tlbr / d.scale, d.scores, d.scale, d.image
-            )
+            args = (d.boxes_tlbr / d.scale, d.scores, d.scale, d.image)
+            if hasattr(trackers[i], "update_deferred"):
+                gen = trackers[i].update_deferred(*args)
+                try:
+                    req = next(gen)
+                    pending.append((i, gen, req))
+                except StopIteration as e:
+                    onlines[i] = e.value
+            else:
+                onlines[i] = trackers[i].update(*args)
+        # phase 2: ONE batched association serves every sequence's third
+        # round (engine.associate_many, per-request BN groups keep each
+        # sequence's numerics identical to a standalone call)
+        if pending:
+            from busca_tpu.trackers.base import run_third_round_many
+
+            # batch per engine instance (one shared engine in production;
+            # grouping keeps per-tracker engines correct too)
+            by_engine = {}
+            for p in pending:
+                by_engine.setdefault(id(p[2].engine), []).append(p)
+            for group in by_engine.values():
+                outs = run_third_round_many(
+                    group[0][2].engine, [p[2] for p in group]
+                )
+                for (i, gen, _), res in zip(group, outs):
+                    try:
+                        gen.send(res)
+                        raise RuntimeError("tracker yielded twice")
+                    except StopIteration as e:
+                        onlines[i] = e.value
+        for i in range(b):
+            if not active[i]:
+                continue
+            online = onlines[i]
             tlwhs, ids, confs = [], [], []
             for t in online:
                 tlwh = t.tlwh

@@ -100,7 +100,8 @@ class SyntheticSequence:
         return gt
 
 
-def default_dropout_sequence(num_frames: int = 40) -> SyntheticSequence:
+def default_dropout_sequence(num_frames: int = 40,
+                             seed: int = 0) -> SyntheticSequence:
     """Two well-separated objects; object 1 has a mid-sequence dropout."""
     objs = [
         SyntheticObject(
@@ -113,4 +114,4 @@ def default_dropout_sequence(num_frames: int = 40) -> SyntheticSequence:
             x0=280, y0=150, vx=-2.0, vy=-0.8, w=40, h=80,
         ),
     ]
-    return SyntheticSequence(objs, num_frames=num_frames)
+    return SyntheticSequence(objs, num_frames=num_frames, seed=seed)

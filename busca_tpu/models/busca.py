@@ -32,6 +32,7 @@ import dataclasses
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -116,6 +117,9 @@ class BuscaModel(nn.Module):
         return_att: bool = False,
         can_weights: Optional[jnp.ndarray] = None,
         can_gather: Optional[jnp.ndarray] = None,
+        mem_group: Optional[jnp.ndarray] = None,
+        can_group: Optional[jnp.ndarray] = None,
+        num_groups: int = 1,
     ):
         """Score candidates for a batch of tracks.
 
@@ -138,6 +142,13 @@ class BuscaModel(nn.Module):
             statistics exactly, so this is numerics-preserving (the
             reference's T x C duplicated forward, network.py:193, computed
             with U unique crops).
+          mem_group / can_group / num_groups: multi-request batching —
+            several *independent* association calls (e.g. one per lockstep
+            sequence) computed in ONE forward.  ``mem_group [B]`` /
+            ``can_group [U or B]`` assign every track / candidate crop to
+            its originating request r < ``num_groups``; BN statistics are
+            computed per (request, mem|can) group, so each request's
+            numerics equal its own standalone call.
 
         Returns:
           logits ``[B, C + extras]`` (softmax upstream), and attention list if
@@ -181,13 +192,30 @@ class BuscaModel(nn.Module):
             w_mem = jnp.repeat(sample_mask.astype(jnp.float32), l_mem)
         else:
             w_mem = jnp.ones((n_mem,), jnp.float32)
+        r = int(num_groups)
+        if mem_group is None:
+            mem_cols = jnp.zeros((n_mem,), jnp.int32)
+        else:
+            mem_cols = jnp.repeat(mem_group.astype(jnp.int32), l_mem)
+        if can_group is not None:
+            can_src = can_group
+        elif mem_group is not None and can_gather is None:
+            can_src = mem_group
+        else:
+            can_src = jnp.zeros((n_can,), jnp.int32)
+        if can_gather is None and can_src.shape[0] == b:
+            can_cols = jnp.repeat(can_src.astype(jnp.int32), c)
+        else:
+            can_cols = can_src.astype(jnp.int32)
         group_mask = jnp.concatenate(
             [
-                jnp.stack([w_mem, jnp.zeros_like(w_mem)], axis=-1),
-                jnp.stack([jnp.zeros_like(w_can), w_can], axis=-1),
+                jax.nn.one_hot(mem_cols, 2 * r, dtype=jnp.float32)
+                * w_mem[:, None],
+                jax.nn.one_hot(can_cols + r, 2 * r, dtype=jnp.float32)
+                * w_can[:, None],
             ],
             axis=0,
-        )  # [n_mem + n_can, 2]
+        )  # [n_mem + n_can, 2 * num_groups]
         _, feats = reid(flat, group_mask)
         mem_feats = feats[:n_mem].reshape(b, l_mem, -1)
         if can_gather is not None:

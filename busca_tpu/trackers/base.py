@@ -19,6 +19,7 @@ Behavioral contract follows the canonical ByteTrack adapter
 
 from __future__ import annotations
 
+import dataclasses as _dataclasses
 import itertools
 from typing import List, Optional
 
@@ -319,14 +320,83 @@ def run_third_round(
         keep_highest_value=keep_highest_value,
         extra_kalman_candidates=kalman_cands,
     )
+    return select_third_round_matches(probs, reliable, len(considered),
+                                      len(pool), thresh)
+
+
+def select_third_round_matches(probs, reliable, n_dets, n_pool, thresh):
+    """Third-round tail: a track survives iff its own Kalman candidate's
+    probability (column ``n_dets + i``) clears ``thresh`` and the track's
+    memory is reliable (byte_tracker.py:505-529)."""
     if probs is None:
-        return [], list(range(len(pool)))
-    n_dets = len(considered)
+        return [], list(range(n_pool))
     matches, u_track = [], []
-    for i in range(len(pool)):
+    for i in range(n_pool):
         p = probs[i, n_dets + i]
         if reliable[i] and p > thresh:
             matches.append([i, p])
         else:
             u_track.append(i)
     return matches, u_track
+
+
+@_dataclasses.dataclass
+class ThirdRoundRequest:
+    """A suspended third-round association (deferred mode).
+
+    A tracker's ``update_deferred`` generator yields one of these at its
+    Step-3b point; the lockstep driver batches every sequence's request into
+    ONE device call (engine.associate_many, per-request BN groups) and sends
+    ``(matches, u_track)`` back into the generator.
+    """
+
+    pool: list
+    considered: list
+    kalman_cands: list
+    thresh: float
+    engine_kwargs: dict
+    engine: object = None  # the yielding tracker's association engine
+
+
+def run_third_round_many(engine, requests):
+    """Service a batch of ThirdRoundRequests with one batched association.
+
+    All requests must share identical ``engine_kwargs`` (lockstep sequences
+    share one tracker config).  Returns ``(matches, u_track)`` per request.
+    """
+    if not requests:
+        return []
+    if not hasattr(engine, "associate_many"):
+        # stub/minimal engines: service per request
+        return [
+            run_third_round(engine, r.pool, r.considered, r.kalman_cands,
+                            r.thresh, **r.engine_kwargs)
+            for r in requests
+        ]
+    kw = requests[0].engine_kwargs
+    for r in requests[1:]:
+        if r.engine_kwargs != kw:
+            raise ValueError("batched third round needs uniform engine kwargs")
+    assoc_reqs = []
+    for r in requests:
+        dist_fn = getattr(engine, "center_distances", None) or getattr(
+            engine, "_center_distances"
+        )
+        dists = (
+            dist_fn(r.pool, r.considered)
+            if (r.pool and (r.considered or r.kalman_cands))
+            else None
+        )
+        assoc_reqs.append((r.pool, r.considered, dists, r.kalman_cands))
+    outs = engine.associate_many(assoc_reqs, **kw)
+    results = []
+    for r, (probs, reliable) in zip(requests, outs):
+        if r.thresh <= 0.0 or not r.pool:
+            results.append(([], list(range(len(r.pool)))))
+        else:
+            results.append(
+                select_third_round_matches(
+                    probs, reliable, len(r.considered), len(r.pool), r.thresh
+                )
+            )
+    return results

@@ -37,6 +37,7 @@ from busca_tpu.trackers.base import (
     joint_tracks,
     remove_duplicate_tracks,
     run_third_round,
+    ThirdRoundRequest,
     sub_tracks,
 )
 
@@ -101,6 +102,47 @@ class ByteTracker:
         Returns:
           the activated output tracks.
         """
+        gen = self._update_gen(bboxes_tlbr, scores, scale, frame)
+        try:
+            req = next(gen)
+            while True:
+                res = self._third_round(
+                    req.pool, req.considered, req.kalman_cands, req.thresh
+                )
+                req = gen.send(res)
+        except StopIteration as e:
+            return e.value
+
+    def update_deferred(
+        self,
+        bboxes_tlbr: np.ndarray,
+        scores: np.ndarray,
+        scale: float = 1.0,
+        frame: Optional[np.ndarray] = None,
+    ):
+        """Deferred-third-round mode (lockstep batching): returns the update
+        generator; it yields at most one :class:`ThirdRoundRequest` (serviced
+        by the caller via ``gen.send((matches, u_track))``) and returns the
+        output tracks via ``StopIteration.value``."""
+        return self._update_gen(bboxes_tlbr, scores, scale, frame)
+
+    def _engine_kwargs(self) -> dict:
+        """The engine kwargs _third_round passes (for batched servicing)."""
+        return dict(
+            use_broader_memory=self.cfg.use_broader_memory,
+            select_highest_candidate=self.cfg.select_highest_candidate,
+            highest_candidate_minimum_thresh=(
+                self.cfg.highest_candidate_minimum_thresh
+            ),
+        )
+
+    def _update_gen(
+        self,
+        bboxes_tlbr: np.ndarray,
+        scores: np.ndarray,
+        scale: float = 1.0,
+        frame: Optional[np.ndarray] = None,
+    ):
         self.frame_id += 1
         cfg = self.cfg
         activated, refind, lost, removed = [], [], [], []
@@ -202,8 +244,9 @@ class ByteTracker:
                 if cfg.use_camera_motion_compensation and self.frame_id > 1:
                     cmc.compensate_tracks(third_pool, self.last_image, frame)
                 kalman_cands = self._kalman_candidates(third_pool, frame)
-                third_matches, u_track = self._third_round(
-                    third_pool, considered_dets, kalman_cands, cfg.busca_thresh
+                third_matches, u_track = yield ThirdRoundRequest(
+                    third_pool, considered_dets, kalman_cands,
+                    cfg.busca_thresh, self._engine_kwargs(), self.engine,
                 )
                 for it, _prob in third_matches:
                     track = third_pool[it]

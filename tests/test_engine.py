@@ -236,3 +236,33 @@ def test_dedup_candidates_matches_duplicated_path(rng):
 
     np.testing.assert_array_equal(r_dup, r_ded)
     np.testing.assert_allclose(p_ded, p_dup, rtol=2e-4, atol=2e-6)
+
+
+def test_associate_many_matches_individual_calls(rng, engine):
+    """Batched multi-request association (per-request BN groups) must
+    reproduce each request's standalone associate() call; empty requests
+    yield (None, None)."""
+    eng = engine
+
+    def make_req(seed, n_tracks, n_dets):
+        r = np.random.RandomState(seed)
+        tracks = [_track(r, SEQ_LEN + i, base_xy=(40 + 25 * i, 60))
+                  for i in range(n_tracks)]
+        dets = [_det(r, (50 + 20 * j, 60)) for j in range(n_dets)]
+        kal = [Track(t.tlwh, 0.1, r.randint(0, 255, (H, W, 3), np.uint8), 1.0)
+               for t in tracks]
+        return (tracks, dets, None, kal)
+
+    requests = [make_req(1, 2, 2), ([], [], None, []), make_req(2, 1, 3)]
+    kw = dict(select_highest_candidate=False)
+    batched = eng.associate_many(requests, **kw)
+
+    assert batched[1] == (None, None)
+    for idx in (0, 2):
+        tracks, dets, _, kal = requests[idx]
+        p_solo, r_solo = eng.associate(
+            tracks, dets, extra_kalman_candidates=kal, **kw
+        )
+        p_b, r_b = batched[idx]
+        np.testing.assert_array_equal(r_b, r_solo)
+        np.testing.assert_allclose(p_b, p_solo, rtol=2e-4, atol=2e-6)

@@ -1,0 +1,114 @@
+"""Lockstep third-round batching: B sequences' BUSCA rounds serviced by ONE
+batched association must reproduce the per-sequence loop exactly."""
+
+import numpy as np
+import pytest
+
+from busca_tpu.eval.detector import track_sequences_lockstep
+from busca_tpu.eval.synthetic import default_dropout_sequence
+from busca_tpu.trackers.base import Track
+from busca_tpu.trackers.byte import ByteTracker, ByteTrackerConfig
+
+from test_byte_tracker import StubEngine
+
+
+class _StubBatchDetector:
+    """detect_batch stand-in: frames are ignored, detections come from
+    precomputed per-sequence lists (incl. their dropout windows)."""
+
+    def __init__(self, dets_per_seq):
+        self.dets = dets_per_seq
+        self.t = -1
+
+    def detect_batch(self, frames):
+        self.t += 1
+
+        class Out:
+            pass
+
+        outs = []
+        for i, d in enumerate(self.dets):
+            boxes, scores = d[min(self.t, len(d) - 1)]
+            o = Out()
+            o.boxes_tlbr = boxes
+            o.scores = scores
+            o.scale = 1.0
+            o.image = np.asarray(frames[i])
+            outs.append(o)
+        return outs
+
+
+def _mk_tracker():
+    return ByteTracker(
+        ByteTrackerConfig(use_busca=True),
+        assoc_engine=StubEngine(kalman_prob=1.0),
+    )
+
+
+def _frames(frames_list):
+    return iter(frames_list)
+
+
+def test_lockstep_batched_third_round_matches_sequential():
+    n = 24
+    seqs = [default_dropout_sequence(n, seed=s) for s in (0, 3)]
+    dets = [[s.detections(t) for t in range(n)] for s in seqs]
+    frames = [[s.frame(t) for t in range(n)] for s in seqs]
+
+    # lockstep (deferred, batched third rounds)
+    Track.reset_id_counter()
+    det = _StubBatchDetector(dets)
+    lock = track_sequences_lockstep(
+        det, [_mk_tracker() for _ in seqs],
+        [_frames(f) for f in frames], names=["a", "b"],
+    )
+
+    # sequential reference: same trackers driven frame by frame
+    Track.reset_id_counter()
+    seq_results = []
+    for si, s in enumerate(seqs):
+        trk = _mk_tracker()
+        rows = []
+        for t in range(n):
+            boxes, scores = dets[si][t]
+            online = trk.update(boxes, scores, 1.0, frames[si][t])
+            rows.append(
+                sorted(
+                    (round(float(o.tlwh[0]), 6), round(float(o.tlwh[1]), 6))
+                    for o in online
+                    if o.tlwh[2] * o.tlwh[3] > 100
+                )
+            )
+        seq_results.append(rows)
+
+    # sequential runs allocate ids per sequence in isolation; compare
+    # per-frame box sets + track counts, which pin the association outcome
+    for i, res in enumerate(lock):
+        assert res.num_frames == n
+        for (fid, tlwhs, ids, confs), want in zip(res.results,
+                                                  seq_results[i]):
+            got = sorted(
+                (round(float(t[0]), 6), round(float(t[1]), 6))
+                for t in tlwhs
+            )
+            assert got == want, f"seq {i} frame {fid}"
+
+
+def test_lockstep_rescues_through_dropout():
+    """The batched third round actually fires: the dropout object survives."""
+    n = 24
+    seqs = [default_dropout_sequence(n, seed=s) for s in (0, 1)]
+    dets = [[s.detections(t) for t in range(n)] for s in seqs]
+    frames = [[s.frame(t) for t in range(n)] for s in seqs]
+    Track.reset_id_counter()
+    det = _StubBatchDetector(dets)
+    trackers = [_mk_tracker() for _ in seqs]
+    lock = track_sequences_lockstep(
+        det, trackers, [_frames(f) for f in frames]
+    )
+    for trk in trackers:
+        assert trk.engine.calls > 0  # third round fired
+    for res in lock:
+        counts = [len(ids) for _, _, ids, _ in res.results]
+        # through the dropout window every object stays tracked
+        assert min(counts[3:]) >= 2

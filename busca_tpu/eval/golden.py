@@ -81,18 +81,53 @@ def run_golden(args) -> dict:
     ecc_all = load_ecc_warps(args.ecc_json) if args.ecc_json else None
     per_seq = {}
     hota_acc = []
+    seq_results = {}
+    if getattr(args, "lockstep", False) and not args.max_frames:
+        # frame-synchronized multi-sequence run: every sequence's BUSCA
+        # third round batches into one association call (numerics identical
+        # to standalone runs — per-request BN groups)
+        from busca_tpu.eval import mot as _mot
+        from busca_tpu.eval.strongsort_io import (
+            run_cached_sequences_lockstep,
+        )
+
+        specs = [
+            (
+                os.path.join(args.mot_root, seq),
+                os.path.join(args.npy_dir, f"{seq}.npy"),
+                ecc_all.get(seq) if ecc_all else None,
+            )
+            for seq in sequences
+        ]
+        trackers = [
+            make_tracker("strongsort", tracker_kwargs, engine)
+            for _ in sequences
+        ]
+        for seq, res in zip(
+            sequences,
+            run_cached_sequences_lockstep(
+                specs, trackers, min_confidence=args.min_confidence
+            ),
+        ):
+            _mot.write_results(
+                os.path.join(args.output_dir, f"{seq}.txt"), res.results
+            )
+            seq_results[seq] = res
     for seq in sequences:
         seq_dir = os.path.join(args.mot_root, seq)
-        tracker = make_tracker("strongsort", tracker_kwargs, engine)
-        res = run_cached_sequence(
-            seq_dir,
-            os.path.join(args.npy_dir, f"{seq}.npy"),
-            tracker,
-            min_confidence=args.min_confidence,
-            ecc_warps=ecc_all.get(seq) if ecc_all else None,
-            output_file=os.path.join(args.output_dir, f"{seq}.txt"),
-            max_frames=args.max_frames,
-        )
+        if seq in seq_results:
+            res = seq_results[seq]
+        else:
+            tracker = make_tracker("strongsort", tracker_kwargs, engine)
+            res = run_cached_sequence(
+                seq_dir,
+                os.path.join(args.npy_dir, f"{seq}.npy"),
+                tracker,
+                min_confidence=args.min_confidence,
+                ecc_warps=ecc_all.get(seq) if ecc_all else None,
+                output_file=os.path.join(args.output_dir, f"{seq}.txt"),
+                max_frames=args.max_frames,
+            )
         gt = mot.read_gt(os.path.join(seq_dir, "gt", "gt.txt"))
         pred = results_to_pred(res)
         from busca_tpu.eval.metrics import evaluate_clear
@@ -138,6 +173,9 @@ def main(argv=None):
     parser.add_argument("--min-confidence", type=float, default=0.6)
     parser.add_argument("--output-dir", default="results/golden")
     parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--lockstep", action="store_true",
+                        help="frame-synchronized multi-sequence run "
+                             "with batched BUSCA third rounds")
     parser.add_argument("--sequences", nargs="*", default=None,
                         help="override the MOT17-val list (for smoke runs)")
     args = parser.parse_args(argv)

@@ -202,3 +202,114 @@ def run_cached_sequence(
 
         mot.write_results(output_file, results)
     return res
+
+
+def _frame_inputs(
+    seq_info,
+    frame_idx: int,
+    min_confidence: float,
+    nms_max_overlap: float,
+    min_detection_height: float,
+    load_images: bool,
+):
+    """One frame's (tlbr, conf, feats, frame_image) from cached artifacts —
+    the shared prep of run_cached_sequence's loop."""
+    tlwh, conf, feats = create_detections(
+        seq_info["detections"], frame_idx, min_detection_height
+    )
+    keep = conf >= min_confidence
+    tlwh, conf, feats = tlwh[keep], conf[keep], feats[keep]
+    pick = non_max_suppression(tlwh, nms_max_overlap, conf)
+    tlwh, conf, feats = tlwh[pick], conf[pick], feats[pick]
+    frame = None
+    if load_images and frame_idx in seq_info["image_filenames"]:
+        import cv2
+
+        frame = cv2.imread(seq_info["image_filenames"][frame_idx])
+    tlbr = tlwh.copy()
+    tlbr[:, 2:] += tlbr[:, :2]
+    return tlbr, conf, feats, frame
+
+
+def run_cached_sequences_lockstep(
+    specs,
+    trackers,
+    min_confidence: float = 0.6,
+    nms_max_overlap: float = 1.0,
+    min_detection_height: float = 0,
+    load_images: bool = True,
+):
+    """Run SEVERAL cached-artifact sequences frame-synchronized, batching
+    every sequence's BUSCA third round into one association call
+    (ThirdRoundRequest deferral; per-request BN groups keep each sequence's
+    numerics identical to its standalone run).
+
+    Args:
+      specs: list of ``(sequence_dir, detection_file, ecc_warps_or_None)``.
+      trackers: one StrongSortTracker per spec.
+    Returns one SequenceResult per spec.
+    """
+    import time
+
+    from busca_tpu.eval.runner import SequenceResult
+    from busca_tpu.trackers.base import run_third_round_many
+
+    infos = [gather_sequence_info(d, f) for d, f, _ in specs]
+    ranges = [(s["min_frame_idx"], s["max_frame_idx"]) for s in infos]
+    results = [[] for _ in specs]
+    t0 = time.perf_counter()
+    step = 0
+    while True:
+        frame_idxs = [lo + step for lo, _ in ranges]
+        live = [
+            i for i, (fi, (lo, hi)) in enumerate(zip(frame_idxs, ranges))
+            if fi <= hi
+        ]
+        if not live:
+            break
+        onlines = {}
+        pending = []
+        for i in live:
+            tlbr, conf, feats, frame = _frame_inputs(
+                infos[i], frame_idxs[i], min_confidence, nms_max_overlap,
+                min_detection_height, load_images,
+            )
+            warps = specs[i][2]
+            if warps is not None:
+                m = ecc_matrix_for_frame(warps, frame_idxs[i])
+                if m is not None:
+                    trackers[i].camera_update(m)
+            trackers[i].predict()
+            gen = trackers[i].update_deferred(tlbr, conf, feats, frame)
+            try:
+                req = next(gen)
+                pending.append((i, gen, req))
+            except StopIteration as e:
+                onlines[i] = e.value
+        if pending:
+            by_engine = {}
+            for p in pending:
+                by_engine.setdefault(id(p[2].engine), []).append(p)
+            for group in by_engine.values():
+                outs = run_third_round_many(
+                    group[0][2].engine, [p[2] for p in group]
+                )
+                for (i, gen, _), res in zip(group, outs):
+                    try:
+                        gen.send(res)
+                        raise RuntimeError("tracker yielded twice")
+                    except StopIteration as e:
+                        onlines[i] = e.value
+        for i in live:
+            online = onlines[i]
+            tlwhs = [t.tlwh for t in online]
+            ids = [t.track_id for t in online]
+            confs = [t.score for t in online]
+            results[i].append((frame_idxs[i], tlwhs, ids, confs))
+        step += 1
+    dt = time.perf_counter() - t0
+    return [
+        SequenceResult(os.path.basename(d.rstrip("/")), len(results[i]),
+                       results[i], dt)
+        for i, (d, _, _) in enumerate(specs)
+    ]

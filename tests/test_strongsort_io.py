@@ -133,3 +133,42 @@ def test_cached_run_with_ecc_warp(tmp_path):
         ecc_warps=warps,
     )
     assert res.num_frames == 4  # loop survives the camera update path
+
+
+def test_lockstep_cached_sequences_match_standalone(tmp_path):
+    """Frame-synchronized multi-sequence runner (batched third rounds) must
+    reproduce each sequence's standalone run_cached_sequence exactly."""
+    from busca_tpu.eval.strongsort_io import run_cached_sequences_lockstep
+    from busca_tpu.trackers.base import Track
+
+    seq_a, det_a, _ = _make_fixture(tmp_path / "a", n_frames=10)
+    seq_b, det_b, _ = _make_fixture(tmp_path / "b", n_frames=7)
+
+    def mk():
+        return StrongSortTracker(StrongSortConfig(n_init=2))
+
+    Track.reset_id_counter()
+    lock = run_cached_sequences_lockstep(
+        [(seq_a, det_a, None), (seq_b, det_b, None)],
+        [mk(), mk()], min_confidence=0.6, load_images=False,
+    )
+
+    solos = []
+    for seq, det in ((seq_a, det_a), (seq_b, det_b)):
+        Track.reset_id_counter()
+        solos.append(
+            run_cached_sequence(seq, det, mk(), min_confidence=0.6,
+                                load_images=False)
+        )
+
+    for got, want in zip(lock, solos):
+        assert got.num_frames == want.num_frames
+        for (f1, tl1, _, c1), (f2, tl2, _, c2) in zip(got.results,
+                                                      want.results):
+            assert f1 == f2
+            assert len(tl1) == len(tl2)
+            if tl1:
+                np.testing.assert_allclose(
+                    np.sort(np.stack(tl1), axis=0),
+                    np.sort(np.stack(tl2), axis=0), atol=1e-9,
+                )

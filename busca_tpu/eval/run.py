@@ -333,6 +333,54 @@ def _postprocess_result(args, res, out_path):
                           res.track_time_s)
 
 
+def _run_lockstep_cached(args, engine, tracker_kwargs):
+    """Frame-synchronized multi-sequence StrongSORT over cached artifacts
+    with batched BUSCA third rounds (eval/strongsort_io)."""
+    import json as _json
+
+    from busca_tpu.eval import mot
+    from busca_tpu.eval.metrics import evaluate_clear
+    from busca_tpu.eval.runner import global_metrics, results_to_pred
+    from busca_tpu.eval.strongsort_io import (
+        load_ecc_warps,
+        run_cached_sequences_lockstep,
+    )
+
+    ecc_all = load_ecc_warps(args.ecc_json) if args.ecc_json else None
+    specs, names = [], []
+    for seq_dir in args.mot_dir:
+        name = os.path.basename(seq_dir.rstrip("/"))
+        det_file = args.npy_det
+        if os.path.isdir(det_file):
+            det_file = os.path.join(det_file, f"{name}.npy")
+        specs.append(
+            (seq_dir, det_file, ecc_all.get(name) if ecc_all else None)
+        )
+        names.append(name)
+    trackers = [
+        make_tracker("strongsort", tracker_kwargs, engine) for _ in specs
+    ]
+    results = run_cached_sequences_lockstep(
+        specs, trackers, min_confidence=args.min_confidence
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+    per_seq = {}
+    for name, seq_dir, res in zip(names, args.mot_dir, results):
+        mot.write_results(
+            os.path.join(args.output_dir, f"{name}.txt"), res.results
+        )
+        print(f"{name}: {res.num_frames} frames @ {res.fps:.1f} fps")
+        gt_path = os.path.join(seq_dir, "gt", "gt.txt")
+        if os.path.exists(gt_path):
+            per_seq[name] = evaluate_clear(
+                mot.read_gt(gt_path), results_to_pred(res)
+            )
+    if per_seq:
+        agg = global_metrics(per_seq)
+        print(_json.dumps(agg.as_dict(), indent=2))
+    return per_seq
+
+
 def _run_lockstep(args, detector, engine, seq_tracker_kwargs,
                   feature_extractor):
     """Batched-across-sequences evaluation: sequences grouped by resolution,
@@ -545,9 +593,12 @@ def main(argv=None):
             return seq_kwargs
 
         if args.lockstep:
+            if args.tracker == "strongsort" and args.npy_det:
+                return _run_lockstep_cached(args, engine, tracker_kwargs)
             if detector is None or args.detector in ("transcenter",
                                                      "centertrack"):
-                parser.error("--lockstep needs a yolox --detector")
+                parser.error("--lockstep needs a yolox --detector (or "
+                             "--tracker strongsort --npy-det)")
             return _run_lockstep(args, detector, engine, seq_tracker_kwargs,
                                  feature_extractor)
 

@@ -193,28 +193,8 @@ class AssociationEngine:
         )
         if req is None:
             return None, None
-        (mem_crops, mem_boxes, reliable, det_inds, can_boxes, unit_crop,
-         num_available, d_count, t_count) = req
-
-        if self.dedup_candidates and self.debug_dir is None:
-            probs = self._score_bucketed_unique(
-                mem_crops, det_inds, unit_crop, mem_boxes, can_boxes,
-                normalize_ims,
-            )  # [T, c + extras]
-        else:
-            c = self.num_candidates
-            h, w = self.crop_hw
-            can_crops = np.zeros((t_count, c, h, w, 3), dtype=np.uint8)
-            for ti in range(t_count):
-                for ci, di in enumerate(det_inds[ti]):
-                    if di is not None:
-                        can_crops[ti, ci] = unit_crop(di)
-            probs = self._score_bucketed(
-                mem_crops, can_crops, mem_boxes, can_boxes, normalize_ims
-            )
-            if self.debug_dir is not None:
-                self._write_debug_montage(mem_crops, can_crops, probs)
-
+        probs = self._score_prepped(req, normalize_ims)
+        (_, _, reliable, det_inds, _, _, num_available, d_count, _) = req
         return self._postprocess(
             probs, reliable, det_inds, num_available,
             d_count + len(extra_kalman_candidates),
@@ -222,6 +202,29 @@ class AssociationEngine:
             highest_candidate_minimum_thresh=highest_candidate_minimum_thresh,
             keep_highest_value=keep_highest_value,
         )
+
+    def _score_prepped(self, req, normalize_ims) -> np.ndarray:
+        """Score one prepped request (dedup or duplicated path)."""
+        (mem_crops, mem_boxes, reliable, det_inds, can_boxes, unit_crop,
+         num_available, d_count, t_count) = req
+        if self.dedup_candidates and self.debug_dir is None:
+            return self._score_bucketed_unique(
+                mem_crops, det_inds, unit_crop, mem_boxes, can_boxes,
+                normalize_ims,
+            )  # [T, c + extras]
+        c = self.num_candidates
+        h, w = self.crop_hw
+        can_crops = np.zeros((t_count, c, h, w, 3), dtype=np.uint8)
+        for ti in range(t_count):
+            for ci, di in enumerate(det_inds[ti]):
+                if di is not None:
+                    can_crops[ti, ci] = unit_crop(di)
+        probs = self._score_bucketed(
+            mem_crops, can_crops, mem_boxes, can_boxes, normalize_ims
+        )
+        if self.debug_dir is not None:
+            self._write_debug_montage(mem_crops, can_crops, probs)
+        return probs
 
     def associate_many(
         self,
@@ -268,14 +271,13 @@ class AssociationEngine:
             or not self.dedup_candidates
             or self.debug_dir is not None
         ):
-            # one live request / oversized batch / non-dedup mode: per-request
-            for i, (tracks, dets, dists, kal) in enumerate(requests):
-                results[i] = self.associate(
-                    tracks, dets, dists,
-                    use_broader_memory=use_broader_memory,
-                    extra_kalman_candidates=kal,
-                    normalize_ims=normalize_ims,
-                    **post_kw,
+            # one live request / oversized batch / non-dedup mode: score the
+            # already-prepped requests individually (no duplicate prep work)
+            for i, req, ndt in preps:
+                probs = self._score_prepped(req, normalize_ims)
+                (_, _, reliable, det_inds, _, _, num_avail, _, _) = req
+                results[i] = self._postprocess(
+                    probs, reliable, det_inds, num_avail, ndt, **post_kw
                 )
             return results
 

@@ -629,7 +629,8 @@ class CenterTrackDetector:
 
 
 def track_frames_centertrack(
-    detector: CenterTrackDetector, adapter, frames, name: str = "seq"
+    detector: CenterTrackDetector, adapter, frames, name: str = "seq",
+    viz_dir: Optional[str] = None,
 ):
     """CenterTrack's per-frame loop: detector dicts -> adapter.step with the
     raw frame for BUSCA crops (detector.py:143-156), prior heatmap from the
@@ -650,6 +651,10 @@ def track_frames_centertrack(
             ids.append(d["tracking_id"])
             confs.append(d["score"])
         results.append((idx + 1, tlwhs, ids, confs))
+        if viz_dir is not None:
+            from busca_tpu.eval.runner import write_viz_frame
+
+            write_viz_frame(viz_dir, idx + 1, frame, tlwhs, ids)
     dt = time.perf_counter() - t0
     return SequenceResult(name, len(results), results, dt)
 
@@ -758,8 +763,13 @@ def track_sequences_lockstep(
             else:
                 current[i] = nxt
     dt = time.perf_counter() - t0
+    # sequences ran concurrently: stamp each with its proportional share of
+    # the wall time, so res.fps reports the combined lockstep pipeline rate
+    # (total frames / wall) instead of understating per-sequence speed by B
+    total = max(sum(len(r) for r in results), 1)
     return [
-        SequenceResult(names[i], len(results[i]), results[i], dt)
+        SequenceResult(names[i], len(results[i]), results[i],
+                       dt * len(results[i]) / total)
         for i in range(b)
     ]
 
@@ -785,6 +795,7 @@ def track_frames_with_detector(
     name: str = "seq",
     min_box_area: float = 100.0,
     vertical_thresh: Optional[float] = 1.6,
+    viz_dir: Optional[str] = None,
 ):
     """Drive detector + tracker over raw frames (the reference's canonical
     eval loop, mot_evaluator.py:131-235).
@@ -847,6 +858,13 @@ def track_frames_with_detector(
                 ids.append(t.track_id)
                 confs.append(t.score)
         results.append((idx + 1, tlwhs, ids, confs))
+        if viz_dir is not None:
+            from busca_tpu.eval.runner import write_viz_frame
+
+            # the detector-resolution canvas is the frame we still have;
+            # tlwh are original coords -> scale up
+            write_viz_frame(viz_dir, idx + 1, np.asarray(det.image),
+                            tlwhs, ids, scale=det.scale)
     dt = time.perf_counter() - t0
     return SequenceResult(
         name, len(results), results, dt,

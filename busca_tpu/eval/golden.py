@@ -82,7 +82,7 @@ def run_golden(args) -> dict:
     per_seq = {}
     hota_acc = []
     seq_results = {}
-    if getattr(args, "lockstep", False) and not args.max_frames:
+    if getattr(args, "lockstep", False):
         # frame-synchronized multi-sequence run: every sequence's BUSCA
         # third round batches into one association call (numerics identical
         # to standalone runs — per-request BN groups)
@@ -106,7 +106,8 @@ def run_golden(args) -> dict:
         for seq, res in zip(
             sequences,
             run_cached_sequences_lockstep(
-                specs, trackers, min_confidence=args.min_confidence
+                specs, trackers, min_confidence=args.min_confidence,
+                max_frames=args.max_frames,
             ),
         ):
             _mot.write_results(

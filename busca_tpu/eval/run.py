@@ -333,6 +333,13 @@ def _postprocess_result(args, res, out_path):
                           res.track_time_s)
 
 
+def _viz_dir_for(args, name):
+    """Per-sequence online-visualization directory (or None)."""
+    if not getattr(args, "online_visualization", False):
+        return None
+    return os.path.join(args.output_dir, f"{name}_viz")
+
+
 def _run_lockstep_cached(args, engine, tracker_kwargs):
     """Frame-synchronized multi-sequence StrongSORT over cached artifacts
     with batched BUSCA third rounds (eval/strongsort_io)."""
@@ -358,17 +365,20 @@ def _run_lockstep_cached(args, engine, tracker_kwargs):
         )
         names.append(name)
     trackers = [
-        make_tracker("strongsort", tracker_kwargs, engine) for _ in specs
+        make_tracker("strongsort", tracker_kwargs, engine, args.crop_hw)
+        for _ in specs
     ]
     results = run_cached_sequences_lockstep(
-        specs, trackers, min_confidence=args.min_confidence
+        specs, trackers, min_confidence=args.min_confidence,
+        max_frames=args.max_frames,
     )
     os.makedirs(args.output_dir, exist_ok=True)
     per_seq = {}
     for name, seq_dir, res in zip(names, args.mot_dir, results):
-        mot.write_results(
-            os.path.join(args.output_dir, f"{name}.txt"), res.results
-        )
+        out_path = os.path.join(args.output_dir, f"{name}.txt")
+        mot.write_results(out_path, res.results)
+        if args.gsi or args.aflink:
+            res = _postprocess_result(args, res, out_path)
         print(f"{name}: {res.num_frames} frames @ {res.fps:.1f} fps")
         gt_path = os.path.join(seq_dir, "gt", "gt.txt")
         if os.path.exists(gt_path):
@@ -492,6 +502,8 @@ def main(argv=None):
                         help="precomputed detections+features: a .npy file, "
                              "or a directory containing <seq>.npy per "
                              "sequence (StrongSORT cached-artifact mode)")
+    parser.add_argument("--max-frames", type=int, default=None,
+                        help="cap frames per sequence (bounded smoke runs)")
     parser.add_argument("--ecc-json", default=None,
                         help="per-video per-frame ECC warp matrices (JSON)")
     parser.add_argument("--min-confidence", type=float, default=0.6)
@@ -637,6 +649,8 @@ def main(argv=None):
                     seq_dir, det_file, tracker,
                     min_confidence=args.min_confidence,
                     ecc_warps=ecc, output_file=out_path,
+                    max_frames=args.max_frames,
+                    viz_dir=_viz_dir_for(args, name),
                 )
             elif detector is not None:
                 from busca_tpu.eval.detector import track_frames_with_detector
@@ -656,7 +670,8 @@ def main(argv=None):
                     )
 
                     res = track_frames_centertrack(
-                        detector, tracker, frames(), name=info.name
+                        detector, tracker, frames(), name=info.name,
+                        viz_dir=_viz_dir_for(args, name),
                     )
                 else:
                     shimmed = shim_for_runner(
@@ -664,7 +679,8 @@ def main(argv=None):
                         args.crop_hw,
                     )
                     res = track_frames_with_detector(
-                        detector, shimmed, frames(), name=info.name
+                        detector, shimmed, frames(), name=info.name,
+                        viz_dir=_viz_dir_for(args, name),
                     )
                 os.makedirs(args.output_dir, exist_ok=True)
                 mot.write_results(out_path, res.results)
@@ -672,12 +688,9 @@ def main(argv=None):
                 shimmed = shim_for_runner(
                     args.tracker, tracker, feature_extractor, args.crop_hw
                 )
-                viz_dir = (
-                    os.path.join(args.output_dir, f"{name}_viz")
-                    if args.online_visualization else None
-                )
                 res = run_mot_sequence(seq_dir, shimmed, output_path=out_path,
-                                       viz_dir=viz_dir)
+                                       viz_dir=_viz_dir_for(args, name),
+                                       max_frames=args.max_frames)
             if args.gsi or args.aflink:
                 res = _postprocess_result(args, res, out_path)
             stage = ""

@@ -40,6 +40,25 @@ class SequenceResult:
         return self.num_frames / self.track_time_s if self.track_time_s else 0.0
 
 
+def write_viz_frame(viz_dir, frame_idx, frame, tlwhs, ids, scale=1.0):
+    """Online-visualization frame writer (the headless equivalent of the
+    reference live display, byte_tracker.py:535-572): tracked boxes + ids
+    drawn on the frame, saved as ``<viz_dir>/<frame:06d>.jpg``.  ``scale``
+    maps tlwh (original coords) onto the given frame's resolution."""
+    import os
+
+    import cv2
+
+    from busca_tpu.viz import plot_box
+
+    canvas = np.ascontiguousarray(frame).copy()
+    for tlwh, tid in zip(tlwhs, ids):
+        x, y, w, h = [v * scale for v in tlwh]
+        plot_box(canvas, tid, [x, y, x + w, y + h], display_id=True)
+    os.makedirs(viz_dir, exist_ok=True)
+    cv2.imwrite(os.path.join(viz_dir, f"{frame_idx:06d}.jpg"), canvas)
+
+
 def run_sequence(
     tracker,
     frames: Iterable[Optional[np.ndarray]],
@@ -84,21 +103,7 @@ def run_sequence(
                 confs.append(t.score)
         results.append((idx + 1, tlwhs, ids, confs))
         if viz_dir is not None and frame is not None:
-            import os
-
-            import cv2
-
-            from busca_tpu.viz import plot_box
-
-            canvas = np.ascontiguousarray(frame).copy()
-            for tlwh, tid in zip(tlwhs, ids):
-                plot_box(
-                    canvas, tid,
-                    [tlwh[0], tlwh[1], tlwh[0] + tlwh[2], tlwh[1] + tlwh[3]],
-                    display_id=True,
-                )
-            os.makedirs(viz_dir, exist_ok=True)
-            cv2.imwrite(os.path.join(viz_dir, f"{idx + 1:06d}.jpg"), canvas)
+            write_viz_frame(viz_dir, idx + 1, frame, tlwhs, ids)
     dt = time.perf_counter() - t0
     return SequenceResult(name, len(results), results, dt)
 

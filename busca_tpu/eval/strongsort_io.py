@@ -142,6 +142,7 @@ def run_cached_sequence(
     load_images: bool = True,
     output_file: Optional[str] = None,
     max_frames: Optional[int] = None,
+    viz_dir: Optional[str] = None,
 ):
     """The full deep_sort_app frame loop against a StrongSortTracker
     (deep_sort_app.py:130-224): cached detections+features, NMS, optional
@@ -192,6 +193,10 @@ def run_cached_sequence(
             ids.append(t.track_id)
             confs.append(t.score)
         results.append((frame_idx, tlwhs, ids, confs))
+        if viz_dir is not None and frame is not None:
+            from busca_tpu.eval.runner import write_viz_frame
+
+            write_viz_frame(viz_dir, frame_idx, frame, tlwhs, ids)
     dt = time.perf_counter() - t0
 
     res = SequenceResult(
@@ -238,6 +243,7 @@ def run_cached_sequences_lockstep(
     nms_max_overlap: float = 1.0,
     min_detection_height: float = 0,
     load_images: bool = True,
+    max_frames: Optional[int] = None,
 ):
     """Run SEVERAL cached-artifact sequences frame-synchronized, batching
     every sequence's BUSCA third round into one association call
@@ -255,7 +261,14 @@ def run_cached_sequences_lockstep(
     from busca_tpu.trackers.base import run_third_round_many
 
     infos = [gather_sequence_info(d, f) for d, f, _ in specs]
-    ranges = [(s["min_frame_idx"], s["max_frame_idx"]) for s in infos]
+    ranges = [
+        (
+            s["min_frame_idx"],
+            min(s["max_frame_idx"], s["min_frame_idx"] + max_frames - 1)
+            if max_frames else s["max_frame_idx"],
+        )
+        for s in infos
+    ]
     results = [[] for _ in specs]
     t0 = time.perf_counter()
     step = 0
@@ -308,8 +321,10 @@ def run_cached_sequences_lockstep(
             results[i].append((frame_idxs[i], tlwhs, ids, confs))
         step += 1
     dt = time.perf_counter() - t0
+    # proportional wall-time share per sequence (see track_sequences_lockstep)
+    total = max(sum(len(r) for r in results), 1)
     return [
         SequenceResult(os.path.basename(d.rstrip("/")), len(results[i]),
-                       results[i], dt)
+                       results[i], dt * len(results[i]) / total)
         for i, (d, _, _) in enumerate(specs)
     ]

@@ -154,6 +154,11 @@ class SortTracker:
         cfg = self.cfg
         dets = np.asarray(bboxes_tlbr, np.float64).reshape(-1, 4) / scale
         scores = np.asarray(scores, np.float64).reshape(-1)
+        # the ByteTrack-repo Sort filters detections BEFORE association
+        # (update: scores > det_thresh) — low-score dets neither match nor
+        # birth tracks
+        keep = scores > cfg.det_thresh
+        dets, scores = dets[keep], scores[keep]
 
         self._predict_all()
         trk_boxes = (
@@ -179,10 +184,9 @@ class SortTracker:
                 self.tracks[ti].update(dets[di], scores[di])
                 matched_tracks.add(ti)
 
-        # births
+        # births: every unmatched (already det_thresh-filtered) detection
         for di in np.where(matched_det < 0)[0]:
-            if scores[di] > cfg.det_thresh:
-                self.tracks.append(SortTrack(dets[di], scores[di]))
+            self.tracks.append(SortTrack(dets[di], scores[di]))
 
         # deaths + output
         out, alive = [], []

@@ -24,7 +24,7 @@ EXP_NAME="${EXP_DATE}_${TRACKER_NAME}"
 DATASET="MOT17"
 TEST_SET="val"
 USE_BUSCA=false
-BUSCA_CONFIG="${BUSCA_CONFIG:-${REPO_FOLDER}/config/${TRACKER_NAME}/MOT17/config_$(echo "${TRACKER_NAME}" | tr '[:upper:]' '[:lower:]')_mot17.yml}"
+BUSCA_CONFIG=""
 BUSCA_CHECKPOINT="${BUSCA_CHECKPOINT:-${REPO_FOLDER}/models/BUSCA/motsynth/model_busca.npz}"
 OUTPUT_BASE_FOLDER="${REPO_FOLDER}/exp"
 ONLINE_VISUALIZATION=false
@@ -44,6 +44,14 @@ while [[ $# -gt 0 ]]; do
         *) EXTRA_ARGS+=("$1"); shift ;;
     esac
 done
+
+# per-dataset BUSCA config default (resolved AFTER parsing so --dataset is
+# honored, like the reference scripts' per-dataset selection)
+if [ -z "${BUSCA_CONFIG}" ]; then
+    tracker_low=$(echo "${TRACKER_NAME}" | tr '[:upper:]' '[:lower:]')
+    dataset_low=$(echo "${DATASET}" | tr '[:upper:]' '[:lower:]')
+    BUSCA_CONFIG="${REPO_FOLDER}/config/${TRACKER_NAME}/${DATASET}/config_${tracker_low}_${dataset_low}.yml"
+fi
 
 if [ "$USE_BUSCA" = true ]; then
     busca_args=(--use-busca --busca-config "${BUSCA_CONFIG}" --busca-ckpt "${BUSCA_CHECKPOINT}")
@@ -78,10 +86,18 @@ seq_dirs=()
 if [ -d "${split_dir}" ]; then
     for d in "${split_dir}"/*/; do
         case "${DATASET}" in
-            MOT17) [[ "$d" == *FRCNN* || "${TEST_SET}" == "val" ]] && seq_dirs+=("$d") ;;
+            # MOT17 ships each sequence 3x (DPM/FRCNN/SDP public dets with
+            # identical frames/gt); only the FRCNN copies are evaluated
+            MOT17) [[ "$d" == *FRCNN* ]] && seq_dirs+=("$d") ;;
             *) seq_dirs+=("$d") ;;
         esac
     done
+    # non-MOTChallenge layouts (no FRCNN suffix): take every sequence dir
+    if [ ${#seq_dirs[@]} -eq 0 ]; then
+        for d in "${split_dir}"/*/; do
+            [ -d "$d" ] && seq_dirs+=("$d")
+        done
+    fi
 fi
 if [ ${#seq_dirs[@]} -eq 0 ]; then
     echo "ERROR: no sequences under ${split_dir} (set MOT_DATA_DIR)"; exit 1

@@ -98,3 +98,70 @@ def convert_results_dir(
             json.dump(bdd, f)
         written.append(out_path)
     return written
+
+
+def read_bdd_json(
+    path_or_list,
+    classes_for_eval: Optional[Sequence[str]] = None,
+) -> Dict[int, tuple]:
+    """BDD frame-dict json -> the ``{frame: (tlwh [N,4], ids [N])}`` input
+    the CLEAR/IDF1/HOTA metrics consume (the role of the GHOST BDD TrackEval
+    invocation, manager.py:205-215 — its module lives in the absent
+    submodule, so the evaluation runs through busca_tpu's own metric stack).
+
+    Frame index comes from ``frameIndex`` when present (official BDD MOT
+    labels, 0-based -> 1-based) else parsed from the ``name`` suffix.
+    """
+    import re
+
+    if isinstance(path_or_list, (str, os.PathLike)):
+        with open(path_or_list) as f:
+            frames = json.load(f)
+    else:
+        frames = path_or_list
+    out: Dict[int, tuple] = {}
+    for fd in frames:
+        if "frameIndex" in fd:
+            frame = int(fd["frameIndex"]) + 1
+        else:
+            m = re.search(r"(\d+)\.\w+$", fd.get("name", ""))
+            if not m:
+                continue
+            frame = int(m.group(1))
+        tlwhs, ids = [], []
+        for lab in fd.get("labels", []):
+            if (
+                classes_for_eval is not None
+                and lab.get("category") not in classes_for_eval
+            ):
+                continue
+            b = lab.get("box2d")
+            if b is None:
+                continue
+            tlwhs.append(
+                [b["x1"], b["y1"], b["x2"] - b["x1"], b["y2"] - b["y1"]]
+            )
+            ids.append(int(lab["id"]))
+        if ids:
+            out[frame] = (
+                np.asarray(tlwhs, np.float64),
+                np.asarray(ids, int),
+            )
+    return out
+
+
+def evaluate_bdd(
+    gt_json,
+    pred_json,
+    classes_for_eval: Optional[Sequence[str]] = None,
+):
+    """CLEAR metrics of a BDD prediction json against a BDD gt json."""
+    from busca_tpu.eval.metrics import evaluate_clear
+
+    gt = read_bdd_json(gt_json, classes_for_eval)
+    pred_raw = read_bdd_json(pred_json, classes_for_eval)
+    pred = {
+        f: (tlwh, ids, np.ones(len(ids)))
+        for f, (tlwh, ids) in pred_raw.items()
+    }
+    return evaluate_clear(gt, pred)

@@ -54,3 +54,35 @@ def test_convert_results_dir(tmp_path):
     assert data[0]["labels"][0]["id"] == 7
     assert json.loads((d / "empty.json").read_text()) == []
     assert set(BDD_NAME_MAPPING.values()) >= {"car", "bus", "rider"}
+
+
+def test_read_bdd_json_roundtrip(tmp_path):
+    rows = np.array([
+        [1, 5, 10, 20, 30, 40, 0.9, -1, 1, -1],
+        [2, 5, 12, 22, 30, 40, 0.9, -1, 1, -1],
+        [2, 9, 50, 60, 20, 20, 0.8, -1, 3, -1],
+    ])
+    from busca_tpu.eval.bdd import read_bdd_json
+
+    bdd = mot_rows_to_bdd("seq", rows)
+    back = read_bdd_json(bdd)
+    assert sorted(back) == [1, 2]
+    tlwh, ids = back[2]
+    assert set(ids) == {5, 9}
+    np.testing.assert_allclose(sorted(tlwh[:, 0]), [12, 50])
+    # category filter
+    only_car = read_bdd_json(bdd, classes_for_eval=["car"])
+    assert list(only_car) == [2] and list(only_car[2][1]) == [9]
+
+
+def test_evaluate_bdd_perfect_prediction(tmp_path):
+    from busca_tpu.eval.bdd import evaluate_bdd
+
+    rows = np.array([
+        [f, 5, 10 + 2 * f, 20, 30, 40, 1.0, -1, 1, -1] for f in range(1, 9)
+    ])
+    bdd = mot_rows_to_bdd("s", rows)
+    gt_path = tmp_path / "gt.json"
+    gt_path.write_text(json.dumps(bdd))
+    m = evaluate_bdd(str(gt_path), bdd)
+    assert m.mota == 1.0 and m.num_switches == 0

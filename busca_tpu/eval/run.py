@@ -3,7 +3,9 @@
 Reference-compatible surface (scripts/run_*.sh + tools/track.py:119-124):
 ``--use-busca``, ``--busca-config`` (the shipped YAMLs load unchanged),
 ``--busca-ckpt`` (a converted .npz or a reference .pth).  Tracker selection
-via ``--tracker {byte,strongsort,ghost,centertrack,transcenter}``.
+via ``--tracker {byte,strongsort,ghost,centertrack,transcenter,sort,motdt,
+deepsort}`` (the last three are the reference MOT evaluator's alternate
+paths, mot_evaluator.py:258-625).
 
 Modes:
 - ``--synthetic``: the built-in dropout benchmark sequence (no data needed) —

@@ -342,6 +342,48 @@ def _viz_dir_for(args, name):
     return os.path.join(args.output_dir, f"{name}_viz")
 
 
+def _run_lockstep_cached_det(args, engine, seq_tracker_kwargs):
+    """Frame-synchronized multi-sequence run over cached det.txt detections
+    with batched BUSCA third rounds (eval/runner.run_mot_sequences_lockstep)."""
+    import json as _json
+
+    from busca_tpu.eval import mot
+    from busca_tpu.eval.metrics import evaluate_clear
+    from busca_tpu.eval.runner import (
+        global_metrics,
+        results_to_pred,
+        run_mot_sequences_lockstep,
+    )
+
+    names = [os.path.basename(d.rstrip("/")) for d in args.mot_dir]
+    trackers = [
+        make_tracker(args.tracker, seq_tracker_kwargs(n), engine,
+                     args.crop_hw)
+        for n in names
+    ]
+    results = run_mot_sequences_lockstep(
+        args.mot_dir, trackers, max_frames=args.max_frames,
+        viz_dir_fn=lambda n: _viz_dir_for(args, n),
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+    per_seq = {}
+    for name, seq_dir, res in zip(names, args.mot_dir, results):
+        out_path = os.path.join(args.output_dir, f"{name}.txt")
+        mot.write_results(out_path, res.results)
+        if args.gsi or args.aflink:
+            res = _postprocess_result(args, res, out_path)
+        print(f"{name}: {res.num_frames} frames @ {res.fps:.1f} fps")
+        gt_path = os.path.join(seq_dir, "gt", "gt.txt")
+        if os.path.exists(gt_path):
+            per_seq[name] = evaluate_clear(
+                mot.read_gt(gt_path), results_to_pred(res)
+            )
+    if per_seq:
+        agg = global_metrics(per_seq)
+        print(_json.dumps(agg.as_dict(), indent=2))
+    return per_seq
+
+
 def _run_lockstep_cached(args, engine, tracker_kwargs):
     """Frame-synchronized multi-sequence StrongSORT over cached artifacts
     with batched BUSCA third rounds (eval/strongsort_io)."""
@@ -609,10 +651,17 @@ def main(argv=None):
         if args.lockstep:
             if args.tracker == "strongsort" and args.npy_det:
                 return _run_lockstep_cached(args, engine, tracker_kwargs)
+            if detector is None and args.tracker in ("byte", "bytetrack",
+                                                     "sort"):
+                # cached-detection lockstep (det/det.txt per sequence) —
+                # the canonical slice's multi-sequence throughput mode
+                return _run_lockstep_cached_det(args, engine,
+                                                seq_tracker_kwargs)
             if detector is None or args.detector in ("transcenter",
                                                      "centertrack"):
-                parser.error("--lockstep needs a yolox --detector (or "
-                             "--tracker strongsort --npy-det)")
+                parser.error("--lockstep needs a yolox --detector, "
+                             "--tracker strongsort --npy-det, or a cached-"
+                             "detection byte/sort run")
             return _run_lockstep(args, detector, engine, seq_tracker_kwargs,
                                  feature_extractor)
 

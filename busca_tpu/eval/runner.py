@@ -108,6 +108,107 @@ def run_sequence(
     return SequenceResult(name, len(results), results, dt)
 
 
+def run_mot_sequences_lockstep(
+    seq_dirs,
+    trackers,
+    det_paths=None,
+    min_box_area: float = 100.0,
+    vertical_thresh: Optional[float] = 1.6,
+    max_frames: Optional[int] = None,
+    viz_dir_fn=None,
+) -> List[SequenceResult]:
+    """Drive several cached-detection MOT sequences frame-synchronized,
+    batching every sequence's BUSCA third round into one association call
+    (trackers exposing ``update_deferred``; per-request BN groups keep each
+    sequence's numerics identical to its standalone run).
+
+    The cached-detection path is the framework's canonical slice
+    (BASELINE.json config #1); this is its multi-sequence throughput mode.
+    """
+    import cv2
+
+    from busca_tpu.eval import mot
+    from busca_tpu.trackers.base import run_third_round_many
+
+    infos = [mot.load_seqinfo(d) for d in seq_dirs]
+    det_paths = det_paths or [None] * len(seq_dirs)
+    dets_all = [
+        mot.read_detections(p or os.path.join(d, "det", "det.txt"))
+        for d, p in zip(seq_dirs, det_paths)
+    ]
+    lengths = [
+        min(i.seq_length, max_frames) if max_frames else i.seq_length
+        for i in infos
+    ]
+    results = [[] for _ in seq_dirs]
+    t0 = time.perf_counter()
+    step = 0
+    while True:
+        live = [i for i in range(len(seq_dirs)) if step < lengths[i]]
+        if not live:
+            break
+        frame_id = step + 1
+        onlines = {}
+        pending = []
+        frames_now = {}
+        for i in live:
+            frame = cv2.imread(infos[i].frame_path(frame_id))
+            frames_now[i] = frame
+            boxes, scores = dets_all[i].get(
+                frame_id, (np.zeros((0, 4)), np.zeros(0))
+            )
+            trk = trackers[i]
+            if hasattr(trk, "update_deferred"):
+                gen = trk.update_deferred(boxes, scores, 1.0, frame)
+                try:
+                    req = next(gen)
+                    pending.append((i, gen, req))
+                except StopIteration as e:
+                    onlines[i] = e.value
+            else:
+                onlines[i] = trk.update(boxes, scores, 1.0, frame)
+        if pending:
+            by_engine = {}
+            for p in pending:
+                by_engine.setdefault(id(p[2].engine), []).append(p)
+            for group in by_engine.values():
+                outs = run_third_round_many(
+                    group[0][2].engine, [p[2] for p in group]
+                )
+                for (i, gen, _), res in zip(group, outs):
+                    try:
+                        gen.send(res)
+                        raise RuntimeError("tracker yielded twice")
+                    except StopIteration as e:
+                        onlines[i] = e.value
+        for i in live:
+            tlwhs, ids, confs = [], [], []
+            for t in onlines[i]:
+                tlwh = t.tlwh
+                vertical = (
+                    vertical_thresh is not None
+                    and tlwh[3] > 0
+                    and tlwh[2] / tlwh[3] > vertical_thresh
+                )
+                if tlwh[2] * tlwh[3] > min_box_area and not vertical:
+                    tlwhs.append(tlwh)
+                    ids.append(t.track_id)
+                    confs.append(t.score)
+            results[i].append((frame_id, tlwhs, ids, confs))
+            if viz_dir_fn is not None and frames_now[i] is not None:
+                vd = viz_dir_fn(infos[i].name)
+                if vd:
+                    write_viz_frame(vd, frame_id, frames_now[i], tlwhs, ids)
+        step += 1
+    dt = time.perf_counter() - t0
+    total = max(sum(len(r) for r in results), 1)
+    return [
+        SequenceResult(infos[i].name, len(results[i]), results[i],
+                       dt * len(results[i]) / total)
+        for i in range(len(seq_dirs))
+    ]
+
+
 def results_to_pred(
     seq_result: SequenceResult,
 ) -> Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]]:

@@ -112,3 +112,63 @@ def test_lockstep_rescues_through_dropout():
         counts = [len(ids) for _, _, ids, _ in res.results]
         # through the dropout window every object stays tracked
         assert min(counts[3:]) >= 2
+
+
+def test_cached_det_lockstep_matches_run_mot_sequence(tmp_path):
+    """run_mot_sequences_lockstep on det.txt sequences must reproduce
+    run_mot_sequence's standalone outputs."""
+    import cv2
+
+    from busca_tpu.eval.runner import (
+        run_mot_sequence,
+        run_mot_sequences_lockstep,
+    )
+    from busca_tpu.eval.synthetic import SyntheticObject, SyntheticSequence
+
+    dirs = []
+    for si in range(2):
+        d = tmp_path / f"CD-{si}"
+        (d / "img1").mkdir(parents=True)
+        (d / "det").mkdir()
+        objs = [
+            SyntheticObject(
+                color=np.array([60 + 90 * si, 180, 90], np.float64),
+                x0=30 + 40 * si, y0=40, vx=2.0, vy=0.5, w=26, h=56,
+            ),
+        ]
+        n = 8
+        seq = SyntheticSequence(objs, num_frames=n, height=160, width=280,
+                                seed=si)
+        rows = []
+        for t in range(n):
+            cv2.imwrite(str(d / "img1" / f"{t + 1:06d}.jpg"), seq.frame(t))
+            boxes, scores = seq.detections(t)
+            for b, s in zip(boxes, scores):
+                rows.append(f"{t + 1},-1,{b[0]:.2f},{b[1]:.2f},"
+                            f"{b[2] - b[0]:.2f},{b[3] - b[1]:.2f},{s:.3f},"
+                            "-1,-1,-1")
+        (d / "det" / "det.txt").write_text("\n".join(rows) + "\n")
+        (d / "seqinfo.ini").write_text(
+            f"[Sequence]\nname=CD-{si}\nimDir=img1\nframeRate=30\n"
+            f"seqLength={n}\nimWidth=280\nimHeight=160\nimExt=.jpg\n"
+        )
+        dirs.append(str(d))
+
+    Track.reset_id_counter()
+    lock = run_mot_sequences_lockstep(dirs, [_mk_tracker(), _mk_tracker()])
+
+    solos = []
+    for d in dirs:
+        Track.reset_id_counter()
+        solos.append(run_mot_sequence(d, _mk_tracker()))
+
+    for got, want in zip(lock, solos):
+        assert got.num_frames == want.num_frames
+        for (f1, tl1, _, _), (f2, tl2, _, _) in zip(got.results,
+                                                    want.results):
+            assert f1 == f2 and len(tl1) == len(tl2)
+            if tl1:
+                np.testing.assert_allclose(
+                    np.sort(np.stack(tl1), axis=0),
+                    np.sort(np.stack(tl2), axis=0), atol=1e-9,
+                )

@@ -103,6 +103,8 @@ def convert_results_dir(
 def read_bdd_json(
     path_or_list,
     classes_for_eval: Optional[Sequence[str]] = None,
+    video: Optional[str] = None,
+    skip_crowd: bool = True,
 ) -> Dict[int, tuple]:
     """BDD frame-dict json -> the ``{frame: (tlwh [N,4], ids [N])}`` input
     the CLEAR/IDF1/HOTA metrics consume (the role of the GHOST BDD TrackEval
@@ -111,6 +113,11 @@ def read_bdd_json(
 
     Frame index comes from ``frameIndex`` when present (official BDD MOT
     labels, 0-based -> 1-based) else parsed from the ``name`` suffix.
+    ``crowd``-attributed boxes are ignore regions in the official protocol
+    and are skipped from the returned set (the simplification here: they do
+    not also suppress overlapping predictions).  A list spanning several
+    ``videoName``s needs an explicit ``video`` selection — frame indices
+    restart per video, so pooling them would silently overwrite frames.
     """
     import re
 
@@ -119,6 +126,14 @@ def read_bdd_json(
             frames = json.load(f)
     else:
         frames = path_or_list
+    videos = {fd.get("videoName") for fd in frames if "videoName" in fd}
+    if video is not None:
+        frames = [fd for fd in frames if fd.get("videoName") == video]
+    elif len(videos) > 1:
+        raise ValueError(
+            f"labels span {len(videos)} videos ({sorted(videos)[:4]}...); "
+            "pass video=<name> to select one"
+        )
     out: Dict[int, tuple] = {}
     for fd in frames:
         if "frameIndex" in fd:
@@ -134,6 +149,8 @@ def read_bdd_json(
                 classes_for_eval is not None
                 and lab.get("category") not in classes_for_eval
             ):
+                continue
+            if skip_crowd and lab.get("attributes", {}).get("crowd"):
                 continue
             b = lab.get("box2d")
             if b is None:
@@ -154,14 +171,47 @@ def evaluate_bdd(
     gt_json,
     pred_json,
     classes_for_eval: Optional[Sequence[str]] = None,
+    video: Optional[str] = None,
 ):
-    """CLEAR metrics of a BDD prediction json against a BDD gt json."""
+    """Per-category CLEAR metrics of a BDD prediction json vs a BDD gt json.
+
+    The BDD MOT protocol evaluates each category independently (mMOTA =
+    mean over categories); pooling classes would credit cross-category
+    matches.  Returns ``{category: MotMetrics, ..., "mMOTA": float,
+    "mIDF1": float}`` over the categories present in the gt (optionally
+    restricted by ``classes_for_eval``).
+    """
     from busca_tpu.eval.metrics import evaluate_clear
 
-    gt = read_bdd_json(gt_json, classes_for_eval)
-    pred_raw = read_bdd_json(pred_json, classes_for_eval)
-    pred = {
-        f: (tlwh, ids, np.ones(len(ids)))
-        for f, (tlwh, ids) in pred_raw.items()
+    if isinstance(gt_json, (str, os.PathLike)):
+        with open(gt_json) as f:
+            gt_json = json.load(f)
+    if isinstance(pred_json, (str, os.PathLike)):
+        with open(pred_json) as f:
+            pred_json = json.load(f)
+
+    gt_cats = {
+        lab.get("category")
+        for fd in gt_json
+        for lab in fd.get("labels", [])
+        if lab.get("box2d") is not None
+        and not lab.get("attributes", {}).get("crowd")
     }
-    return evaluate_clear(gt, pred)
+    if classes_for_eval is not None:
+        gt_cats &= set(classes_for_eval)
+    out = {}
+    motas, idf1s = [], []
+    for cat in sorted(c for c in gt_cats if c):
+        gt = read_bdd_json(gt_json, [cat], video=video)
+        pred_raw = read_bdd_json(pred_json, [cat], video=video)
+        pred = {
+            f: (tlwh, ids, np.ones(len(ids)))
+            for f, (tlwh, ids) in pred_raw.items()
+        }
+        m = evaluate_clear(gt, pred)
+        out[cat] = m
+        motas.append(m.mota)
+        idf1s.append(m.idf1)
+    out["mMOTA"] = float(np.mean(motas)) if motas else 0.0
+    out["mIDF1"] = float(np.mean(idf1s)) if idf1s else 0.0
+    return out

@@ -718,39 +718,18 @@ def track_sequences_lockstep(
         # round (engine.associate_many, per-request BN groups keep each
         # sequence's numerics identical to a standalone call)
         if pending:
-            from busca_tpu.trackers.base import run_third_round_many
+            from busca_tpu.trackers.base import service_deferred_updates
 
-            # batch per engine instance (one shared engine in production;
-            # grouping keeps per-tracker engines correct too)
-            by_engine = {}
-            for p in pending:
-                by_engine.setdefault(id(p[2].engine), []).append(p)
-            for group in by_engine.values():
-                outs = run_third_round_many(
-                    group[0][2].engine, [p[2] for p in group]
-                )
-                for (i, gen, _), res in zip(group, outs):
-                    try:
-                        gen.send(res)
-                        raise RuntimeError("tracker yielded twice")
-                    except StopIteration as e:
-                        onlines[i] = e.value
+            for i, out in service_deferred_updates(pending).items():
+                onlines[i] = out
         for i in range(b):
             if not active[i]:
                 continue
-            online = onlines[i]
-            tlwhs, ids, confs = [], [], []
-            for t in online:
-                tlwh = t.tlwh
-                vertical = (
-                    vertical_thresh is not None
-                    and tlwh[3] > 0
-                    and tlwh[2] / tlwh[3] > vertical_thresh
-                )
-                if tlwh[2] * tlwh[3] > min_box_area and not vertical:
-                    tlwhs.append(tlwh)
-                    ids.append(t.track_id)
-                    confs.append(t.score)
+            from busca_tpu.eval.runner import filter_output_tracks
+
+            tlwhs, ids, confs = filter_output_tracks(
+                onlines[i], min_box_area, vertical_thresh
+            )
             results[i].append((frame_ids[i], tlwhs, ids, confs))
         # advance; finished sequences keep feeding their last frame so the
         # batch shape stays static (their outputs are skipped above)
@@ -845,18 +824,11 @@ def track_frames_with_detector(
             det.boxes_tlbr / det.scale, det.scores, det.scale, det.image
         )
         trk_s += time.perf_counter() - t_trk
-        tlwhs, ids, confs = [], [], []
-        for t in online:
-            tlwh = t.tlwh
-            vertical = (
-                vertical_thresh is not None
-                and tlwh[3] > 0
-                and tlwh[2] / tlwh[3] > vertical_thresh
-            )
-            if tlwh[2] * tlwh[3] > min_box_area and not vertical:
-                tlwhs.append(tlwh)
-                ids.append(t.track_id)
-                confs.append(t.score)
+        from busca_tpu.eval.runner import filter_output_tracks
+
+        tlwhs, ids, confs = filter_output_tracks(
+            online, min_box_area, vertical_thresh
+        )
         results.append((idx + 1, tlwhs, ids, confs))
         if viz_dir is not None:
             from busca_tpu.eval.runner import write_viz_frame

@@ -375,9 +375,16 @@ def _run_lockstep_cached_det(args, engine, seq_tracker_kwargs):
         print(f"{name}: {res.num_frames} frames @ {res.fps:.1f} fps")
         gt_path = os.path.join(seq_dir, "gt", "gt.txt")
         if os.path.exists(gt_path):
-            per_seq[name] = evaluate_clear(
-                mot.read_gt(gt_path), results_to_pred(res)
-            )
+            gt = mot.read_gt(gt_path)
+            pred = results_to_pred(res)
+            per_seq[name] = evaluate_clear(gt, pred)
+            if args.hota:
+                from busca_tpu.eval.metrics import evaluate_hota
+
+                h = evaluate_hota(gt, pred)
+                print(f"  HOTA {h['hota'] * 100:.3f}  "
+                      f"DetA {h['deta'] * 100:.3f}  "
+                      f"AssA {h['assa'] * 100:.3f}")
     if per_seq:
         agg = global_metrics(per_seq)
         print(_json.dumps(agg.as_dict(), indent=2))
@@ -651,8 +658,7 @@ def main(argv=None):
         if args.lockstep:
             if args.tracker == "strongsort" and args.npy_det:
                 return _run_lockstep_cached(args, engine, tracker_kwargs)
-            if detector is None and args.tracker in ("byte", "bytetrack",
-                                                     "sort"):
+            if detector is None and args.tracker in ("byte", "sort"):
                 # cached-detection lockstep (det/det.txt per sequence) —
                 # the canonical slice's multi-sequence throughput mode
                 return _run_lockstep_cached_det(args, engine,

@@ -40,6 +40,25 @@ class SequenceResult:
         return self.num_frames / self.track_time_s if self.track_time_s else 0.0
 
 
+def filter_output_tracks(online, min_box_area=100.0, vertical_thresh=1.6):
+    """The reference MOT evaluator's output filter (mot_evaluator.py:216-221):
+    drop tiny boxes and "vertical" boxes (w/h > thresh; pass None to skip).
+    Returns (tlwhs, ids, confs)."""
+    tlwhs, ids, confs = [], [], []
+    for t in online:
+        tlwh = t.tlwh
+        vertical = (
+            vertical_thresh is not None
+            and tlwh[3] > 0
+            and tlwh[2] / tlwh[3] > vertical_thresh
+        )
+        if tlwh[2] * tlwh[3] > min_box_area and not vertical:
+            tlwhs.append(tlwh)
+            ids.append(t.track_id)
+            confs.append(t.score)
+    return tlwhs, ids, confs
+
+
 def write_viz_frame(viz_dir, frame_idx, frame, tlwhs, ids, scale=1.0):
     """Online-visualization frame writer (the headless equivalent of the
     reference live display, byte_tracker.py:535-572): tracked boxes + ids
@@ -89,18 +108,9 @@ def run_sequence(
     t0 = time.perf_counter()
     for idx, (frame, (boxes, scores)) in enumerate(zip(frames, detections)):
         online = tracker.update(boxes, scores, scale, frame)
-        tlwhs, ids, confs = [], [], []
-        for t in online:
-            tlwh = t.tlwh
-            vertical = (
-                vertical_thresh is not None
-                and tlwh[3] > 0
-                and tlwh[2] / tlwh[3] > vertical_thresh
-            )
-            if tlwh[2] * tlwh[3] > min_box_area and not vertical:
-                tlwhs.append(tlwh)
-                ids.append(t.track_id)
-                confs.append(t.score)
+        tlwhs, ids, confs = filter_output_tracks(
+            online, min_box_area, vertical_thresh
+        )
         results.append((idx + 1, tlwhs, ids, confs))
         if viz_dir is not None and frame is not None:
             write_viz_frame(viz_dir, idx + 1, frame, tlwhs, ids)
@@ -128,7 +138,7 @@ def run_mot_sequences_lockstep(
     import cv2
 
     from busca_tpu.eval import mot
-    from busca_tpu.trackers.base import run_third_round_many
+    from busca_tpu.trackers.base import service_deferred_updates
 
     infos = [mot.load_seqinfo(d) for d in seq_dirs]
     det_paths = det_paths or [None] * len(seq_dirs)
@@ -151,8 +161,16 @@ def run_mot_sequences_lockstep(
         onlines = {}
         pending = []
         frames_now = {}
+        # pixels are only consumed by BUSCA crops / visualization — skip the
+        # JPEG decode entirely for pixel-free configurations
+        need_pixels = viz_dir_fn is not None or any(
+            getattr(t, "use_busca", False) for t in trackers
+        )
         for i in live:
-            frame = cv2.imread(infos[i].frame_path(frame_id))
+            frame = (
+                cv2.imread(infos[i].frame_path(frame_id))
+                if need_pixels else None
+            )
             frames_now[i] = frame
             boxes, scores = dets_all[i].get(
                 frame_id, (np.zeros((0, 4)), np.zeros(0))
@@ -168,32 +186,11 @@ def run_mot_sequences_lockstep(
             else:
                 onlines[i] = trk.update(boxes, scores, 1.0, frame)
         if pending:
-            by_engine = {}
-            for p in pending:
-                by_engine.setdefault(id(p[2].engine), []).append(p)
-            for group in by_engine.values():
-                outs = run_third_round_many(
-                    group[0][2].engine, [p[2] for p in group]
-                )
-                for (i, gen, _), res in zip(group, outs):
-                    try:
-                        gen.send(res)
-                        raise RuntimeError("tracker yielded twice")
-                    except StopIteration as e:
-                        onlines[i] = e.value
+            onlines.update(service_deferred_updates(pending))
         for i in live:
-            tlwhs, ids, confs = [], [], []
-            for t in onlines[i]:
-                tlwh = t.tlwh
-                vertical = (
-                    vertical_thresh is not None
-                    and tlwh[3] > 0
-                    and tlwh[2] / tlwh[3] > vertical_thresh
-                )
-                if tlwh[2] * tlwh[3] > min_box_area and not vertical:
-                    tlwhs.append(tlwh)
-                    ids.append(t.track_id)
-                    confs.append(t.score)
+            tlwhs, ids, confs = filter_output_tracks(
+                onlines[i], min_box_area, vertical_thresh
+            )
             results[i].append((frame_id, tlwhs, ids, confs))
             if viz_dir_fn is not None and frames_now[i] is not None:
                 vd = viz_dir_fn(infos[i].name)

@@ -258,7 +258,7 @@ def run_cached_sequences_lockstep(
     import time
 
     from busca_tpu.eval.runner import SequenceResult
-    from busca_tpu.trackers.base import run_third_round_many
+    from busca_tpu.trackers.base import service_deferred_updates
 
     infos = [gather_sequence_info(d, f) for d, f, _ in specs]
     ranges = [
@@ -300,19 +300,7 @@ def run_cached_sequences_lockstep(
             except StopIteration as e:
                 onlines[i] = e.value
         if pending:
-            by_engine = {}
-            for p in pending:
-                by_engine.setdefault(id(p[2].engine), []).append(p)
-            for group in by_engine.values():
-                outs = run_third_round_many(
-                    group[0][2].engine, [p[2] for p in group]
-                )
-                for (i, gen, _), res in zip(group, outs):
-                    try:
-                        gen.send(res)
-                        raise RuntimeError("tracker yielded twice")
-                    except StopIteration as e:
-                        onlines[i] = e.value
+            onlines.update(service_deferred_updates(pending))
         for i in live:
             online = onlines[i]
             tlwhs = [t.tlwh for t in online]

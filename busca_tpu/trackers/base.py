@@ -358,6 +358,30 @@ class ThirdRoundRequest:
     engine: object = None  # the yielding tracker's association engine
 
 
+def service_deferred_updates(pending):
+    """Finish a batch of suspended tracker updates.
+
+    ``pending``: list of ``(key, generator, ThirdRoundRequest)``.  Requests
+    are grouped per engine instance and each group is serviced with one
+    batched association; results are sent back into the generators.
+    Returns ``{key: output_tracks}``.
+    """
+    outputs = {}
+    by_engine = {}
+    for p in pending:
+        by_engine.setdefault(id(p[2].engine), []).append(p)
+    for group in by_engine.values():
+        outs = run_third_round_many(group[0][2].engine,
+                                    [p[2] for p in group])
+        for (key, gen, _), res in zip(group, outs):
+            try:
+                gen.send(res)
+                raise RuntimeError("tracker yielded twice")
+            except StopIteration as e:
+                outputs[key] = e.value
+    return outputs
+
+
 def run_third_round_many(engine, requests):
     """Service a batch of ThirdRoundRequests with one batched association.
 

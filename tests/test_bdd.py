@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from busca_tpu.eval.bdd import (
     BDD_NAME_MAPPING,
@@ -85,4 +86,58 @@ def test_evaluate_bdd_perfect_prediction(tmp_path):
     gt_path = tmp_path / "gt.json"
     gt_path.write_text(json.dumps(bdd))
     m = evaluate_bdd(str(gt_path), bdd)
-    assert m.mota == 1.0 and m.num_switches == 0
+    assert m["pedestrian"].mota == 1.0
+    assert m["pedestrian"].num_switches == 0
+    assert m["mMOTA"] == 1.0
+
+
+def test_evaluate_bdd_is_per_category():
+    """A cross-category overlap must NOT count as a match (BDD evaluates
+    each category independently; mMOTA averages them)."""
+    from busca_tpu.eval.bdd import evaluate_bdd
+
+    gt_rows = np.array([
+        [f, 1, 10, 20, 30, 40, 1.0, -1, 1, -1] for f in range(1, 5)
+    ])  # pedestrian
+    pred_rows = np.array([
+        [f, 1, 10, 20, 30, 40, 1.0, -1, 3, -1] for f in range(1, 5)
+    ])  # same boxes labeled car
+    gt = mot_rows_to_bdd("s", gt_rows)
+    pred = mot_rows_to_bdd("s", pred_rows)
+    m = evaluate_bdd(gt, pred)
+    # no cross-category credit: every pedestrian gt is a miss (MOTA 0.0,
+    # not the 1.0 a pooled class-agnostic match would give)
+    assert m["pedestrian"].mota == 0.0
+    assert m["pedestrian"].num_misses == 4
+
+
+def test_read_bdd_json_crowd_and_multi_video():
+    from busca_tpu.eval.bdd import read_bdd_json
+
+    frames = [
+        {
+            "videoName": "a",
+            "frameIndex": 0,
+            "labels": [
+                {"id": 1, "category": "pedestrian",
+                 "box2d": {"x1": 0, "y1": 0, "x2": 10, "y2": 10}},
+                {"id": 2, "category": "pedestrian",
+                 "attributes": {"crowd": True},
+                 "box2d": {"x1": 50, "y1": 50, "x2": 90, "y2": 90}},
+            ],
+        },
+        {
+            "videoName": "b",
+            "frameIndex": 0,
+            "labels": [
+                {"id": 3, "category": "pedestrian",
+                 "box2d": {"x1": 5, "y1": 5, "x2": 15, "y2": 15}},
+            ],
+        },
+    ]
+    with pytest.raises(ValueError):
+        read_bdd_json(frames)
+    a = read_bdd_json(frames, video="a")
+    assert list(a) == [1] and list(a[1][1]) == [1]  # crowd box skipped
+    b = read_bdd_json(frames, video="b")
+    assert list(b[1][1]) == [3]

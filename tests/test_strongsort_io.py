@@ -161,14 +161,8 @@ def test_lockstep_cached_sequences_match_standalone(tmp_path):
                                 load_images=False)
         )
 
+    from test_lockstep_busca import _canon
+
     for got, want in zip(lock, solos):
         assert got.num_frames == want.num_frames
-        for (f1, tl1, _, c1), (f2, tl2, _, c2) in zip(got.results,
-                                                      want.results):
-            assert f1 == f2
-            assert len(tl1) == len(tl2)
-            if tl1:
-                np.testing.assert_allclose(
-                    np.sort(np.stack(tl1), axis=0),
-                    np.sort(np.stack(tl2), axis=0), atol=1e-9,
-                )
+        assert _canon(got.results) == _canon(want.results)

@@ -204,6 +204,21 @@ class FeatureShim:
         feats = self._features(boxes, scale, frame)
         return self.trk.update(boxes, scores, feats, frame)
 
+    def update_deferred(self, boxes, scores, scale, frame):
+        """Pass-through to the wrapped tracker's deferred mode (lockstep
+        third-round batching) when it has one."""
+        if not hasattr(self.trk, "update_deferred"):
+            def _gen():
+                out = self.update(boxes, scores, scale, frame)
+                return out
+                yield  # pragma: no cover — makes this a generator
+
+            return _gen()
+        if self.call_predict:
+            self.trk.predict()
+        feats = self._features(boxes, scale, frame)
+        return self.trk.update_deferred(boxes, scores, feats, frame)
+
 
 class CenterTrackShim:
     """Adapt the dict-IO CenterTrack adapter to the runner protocol."""
@@ -342,7 +357,8 @@ def _viz_dir_for(args, name):
     return os.path.join(args.output_dir, f"{name}_viz")
 
 
-def _run_lockstep_cached_det(args, engine, seq_tracker_kwargs):
+def _run_lockstep_cached_det(args, engine, seq_tracker_kwargs,
+                             feature_extractor=None):
     """Frame-synchronized multi-sequence run over cached det.txt detections
     with batched BUSCA third rounds (eval/runner.run_mot_sequences_lockstep)."""
     import json as _json
@@ -357,8 +373,12 @@ def _run_lockstep_cached_det(args, engine, seq_tracker_kwargs):
 
     names = [os.path.basename(d.rstrip("/")) for d in args.mot_dir]
     trackers = [
-        make_tracker(args.tracker, seq_tracker_kwargs(n), engine,
-                     args.crop_hw)
+        shim_for_runner(
+            args.tracker,
+            make_tracker(args.tracker, seq_tracker_kwargs(n), engine,
+                         args.crop_hw),
+            feature_extractor, args.crop_hw,
+        )
         for n in names
     ]
     results = run_mot_sequences_lockstep(
@@ -658,11 +678,15 @@ def main(argv=None):
         if args.lockstep:
             if args.tracker == "strongsort" and args.npy_det:
                 return _run_lockstep_cached(args, engine, tracker_kwargs)
-            if detector is None and args.tracker in ("byte", "sort"):
+            if detector is None and args.tracker in ("byte", "sort",
+                                                     "ghost", "strongsort",
+                                                     "deepsort", "motdt"):
                 # cached-detection lockstep (det/det.txt per sequence) —
-                # the canonical slice's multi-sequence throughput mode
+                # the canonical slice's multi-sequence throughput mode;
+                # feature trackers run through the FeatureShim
                 return _run_lockstep_cached_det(args, engine,
-                                                seq_tracker_kwargs)
+                                                seq_tracker_kwargs,
+                                                feature_extractor)
             if detector is None or args.detector in ("transcenter",
                                                      "centertrack"):
                 parser.error("--lockstep needs a yolox --detector, "

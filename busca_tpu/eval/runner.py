@@ -164,7 +164,10 @@ def run_mot_sequences_lockstep(
         # pixels are only consumed by BUSCA crops / visualization — skip the
         # JPEG decode entirely for pixel-free configurations
         need_pixels = viz_dir_fn is not None or any(
-            getattr(t, "use_busca", False) for t in trackers
+            getattr(t, "use_busca", False)
+            or getattr(getattr(t, "trk", None), "use_busca", False)
+            or getattr(t, "feat_fn", None) is not None
+            for t in trackers
         )
         for i in live:
             frame = (

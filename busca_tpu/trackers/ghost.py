@@ -36,6 +36,7 @@ from busca_tpu.trackers.base import (
     KALMAN_CANDIDATE_CONF,
     extract_uint8_crops,
     run_third_round,
+    ThirdRoundRequest,
 )
 
 PROXY_REDUCERS = {
@@ -200,6 +201,46 @@ class GhostTracker:
         features: np.ndarray,
         frame: Optional[np.ndarray] = None,
     ) -> List[GhostTrack]:
+        gen = self._update_gen(boxes_tlbr, scores, features, frame)
+        try:
+            req = next(gen)
+            while True:
+                res = self._third_round(
+                    req.pool, req.considered, req.kalman_cands, req.thresh
+                )
+                req = gen.send(res)
+        except StopIteration as e:
+            return e.value
+
+    def update_deferred(
+        self,
+        boxes_tlbr: np.ndarray,
+        scores: np.ndarray,
+        features: np.ndarray,
+        frame: Optional[np.ndarray] = None,
+    ):
+        """Deferred-third-round mode (multi-sequence batching) — yields at
+        most one ThirdRoundRequest, output via ``StopIteration.value``."""
+        return self._update_gen(boxes_tlbr, scores, features, frame)
+
+    def _engine_kwargs(self) -> dict:
+        cfg = self.cfg
+        return dict(
+            use_broader_memory=cfg.use_broader_memory,
+            select_highest_candidate=cfg.select_highest_candidate,
+            highest_candidate_minimum_thresh=(
+                cfg.highest_candidate_minimum_thresh
+            ),
+            keep_highest_value=cfg.keep_highest_value,
+        )
+
+    def _update_gen(
+        self,
+        boxes_tlbr: np.ndarray,
+        scores: np.ndarray,
+        features: np.ndarray,
+        frame: Optional[np.ndarray] = None,
+    ):
         self.frame_id += 1
         cfg = self.cfg
         boxes_tlbr = np.asarray(boxes_tlbr, dtype=np.float64).reshape(-1, 4)
@@ -321,8 +362,9 @@ class GhostTracker:
                 considered = self._considered_dets(
                     boxes_tlbr, scores, feats, det_images
                 )
-                matches3, _ = self._third_round(
-                    third_pool, considered, kalman_cands, cfg.busca_thresh
+                matches3, _ = yield ThirdRoundRequest(
+                    third_pool, considered, kalman_cands, cfg.busca_thresh,
+                    self._engine_kwargs(), self.engine,
                 )
                 for it, _prob in matches3:
                     track = third_pool[it]

@@ -183,3 +183,58 @@ def test_cached_det_lockstep_matches_run_mot_sequence(tmp_path):
     for got, want in zip(lock, solos):
         assert got.num_frames == want.num_frames
         assert _canon(got.results) == _canon(want.results)
+
+
+def test_ghost_lockstep_via_shim_matches_standalone(tmp_path):
+    """Feature trackers batch through the FeatureShim's deferred pass-through
+    — GHOST lockstep must match its standalone per-sequence runs."""
+    import cv2
+
+    from busca_tpu.eval.run import FeatureShim
+    from busca_tpu.eval.runner import (
+        run_mot_sequence,
+        run_mot_sequences_lockstep,
+    )
+    from busca_tpu.eval.synthetic import SyntheticObject, SyntheticSequence
+    from busca_tpu.trackers import GhostConfig, GhostTracker
+
+    dirs = []
+    for si in range(2):
+        d = tmp_path / f"GL-{si}"
+        (d / "img1").mkdir(parents=True)
+        (d / "det").mkdir()
+        objs = [
+            SyntheticObject(
+                color=np.array([70 + 60 * si, 170, 100], np.float64),
+                x0=30 + 50 * si, y0=40, vx=2.0, vy=0.3, w=26, h=56,
+            ),
+        ]
+        n = 8
+        seq = SyntheticSequence(objs, num_frames=n, height=160, width=280,
+                                seed=si + 5)
+        rows = []
+        for t in range(n):
+            cv2.imwrite(str(d / "img1" / f"{t + 1:06d}.jpg"), seq.frame(t))
+            boxes, scores = seq.detections(t)
+            for b, s in zip(boxes, scores):
+                rows.append(f"{t + 1},-1,{b[0]:.2f},{b[1]:.2f},"
+                            f"{b[2] - b[0]:.2f},{b[3] - b[1]:.2f},{s:.3f},"
+                            "-1,-1,-1")
+        (d / "det" / "det.txt").write_text("\n".join(rows) + "\n")
+        (d / "seqinfo.ini").write_text(
+            f"[Sequence]\nname=GL-{si}\nimDir=img1\nframeRate=30\n"
+            f"seqLength={n}\nimWidth=280\nimHeight=160\nimExt=.jpg\n"
+        )
+        dirs.append(str(d))
+
+    def mk():
+        trk = GhostTracker(GhostConfig(use_busca=True),
+                           StubEngine(kalman_prob=1.0))
+        return FeatureShim(trk)
+
+    lock = run_mot_sequences_lockstep(dirs, [mk(), mk()])
+    solos = [run_mot_sequence(d, mk()) for d in dirs]
+
+    for got, want in zip(lock, solos):
+        assert got.num_frames == want.num_frames
+        assert _canon(got.results) == _canon(want.results)

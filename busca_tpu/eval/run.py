@@ -573,6 +573,9 @@ def main(argv=None):
                         help="precomputed detections+features: a .npy file, "
                              "or a directory containing <seq>.npy per "
                              "sequence (StrongSORT cached-artifact mode)")
+    parser.add_argument("--eval-workers", type=int, default=1,
+                        help="process-pool workers for per-sequence metric "
+                             "evaluation (TrackEval USE_PARALLEL role)")
     parser.add_argument("--max-frames", type=int, default=None,
                         help="cap frames per sequence (bounded smoke runs)")
     parser.add_argument("--ecc-json", default=None,
@@ -696,6 +699,7 @@ def main(argv=None):
                                  feature_extractor)
 
         per_seq = {}
+        eval_inputs = {}
         for seq_dir in args.mot_dir:
             name = os.path.basename(seq_dir.rstrip("/"))
             seq_kwargs = dict(tracker_kwargs)
@@ -786,7 +790,7 @@ def main(argv=None):
             if os.path.exists(gt_path):
                 gt = mot.read_gt(gt_path)
                 pred = results_to_pred(res)
-                per_seq[name] = evaluate_clear(gt, pred)
+                eval_inputs[name] = (gt, pred)
                 if args.hota:
                     from busca_tpu.eval.metrics import evaluate_hota
 
@@ -794,11 +798,20 @@ def main(argv=None):
                     print(f"  HOTA {h['hota'] * 100:.3f}  "
                           f"DetA {h['deta'] * 100:.3f}  "
                           f"AssA {h['assa'] * 100:.3f}")
-        if per_seq:
-            # multi-host-safe aggregation (rank-local tallies allgathered
-            # over jax.process_count(); == accumulate() single-process)
-            from busca_tpu.eval.runner import global_metrics
+        if eval_inputs:
+            # per-sequence CLEAR metrics over a process pool when asked
+            # (the GHOST TrackEval USE_PARALLEL / 8-cores role,
+            # eval_track_eval.py:97-98), then multi-host-safe aggregation
+            # (rank-local tallies allgathered over jax.process_count();
+            # == accumulate() single-process)
+            from busca_tpu.eval.runner import (
+                evaluate_sequences_parallel,
+                global_metrics,
+            )
 
+            per_seq = evaluate_sequences_parallel(
+                eval_inputs, num_workers=args.eval_workers
+            )
             agg = global_metrics(per_seq)
             print(json.dumps(agg.as_dict(), indent=2))
         return per_seq

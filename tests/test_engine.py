@@ -266,3 +266,27 @@ def test_associate_many_matches_individual_calls(rng, engine):
         p_b, r_b = batched[idx]
         np.testing.assert_array_equal(r_b, r_solo)
         np.testing.assert_allclose(p_b, p_solo, rtol=2e-4, atol=2e-6)
+
+
+def test_associate_many_r5_group_padding(rng, engine):
+    """Five live requests pad the group count to 8 — per-request results
+    still match standalone calls exactly."""
+    eng = engine
+
+    def make_req(seed):
+        r = np.random.RandomState(seed)
+        tracks = [_track(r, SEQ_LEN + 1, base_xy=(40 + 7 * seed, 60))]
+        dets = [_det(r, (50 + 5 * seed, 60))]
+        kal = [Track(tracks[0].tlwh, 0.1,
+                     r.randint(0, 255, (H, W, 3), np.uint8), 1.0)]
+        return (tracks, dets, None, kal)
+
+    requests = [make_req(s) for s in range(5)]
+    kw = dict(select_highest_candidate=False)
+    batched = eng.associate_many(requests, **kw)
+    for req, (p_b, r_b) in zip(requests, batched):
+        tracks, dets, _, kal = req
+        p_s, r_s = eng.associate(tracks, dets,
+                                 extra_kalman_candidates=kal, **kw)
+        np.testing.assert_array_equal(r_b, r_s)
+        np.testing.assert_allclose(p_b, p_s, rtol=2e-4, atol=2e-6)

@@ -134,7 +134,23 @@ def read_bdd_json(
             f"labels span {len(videos)} videos ({sorted(videos)[:4]}...); "
             "pass video=<name> to select one"
         )
-    out: Dict[int, tuple] = {}
+    by_cat = _bucket_bdd_frames(frames, classes_for_eval, skip_crowd,
+                                split_categories=False)
+    return by_cat.get(None, {})
+
+
+def _bucket_bdd_frames(
+    frames,
+    classes_for_eval: Optional[Sequence[str]],
+    skip_crowd: bool,
+    split_categories: bool,
+) -> Dict[Optional[str], Dict[int, tuple]]:
+    """One pass over BDD frame dicts -> per-category (or pooled, key None)
+    ``{frame: (tlwh, ids)}`` maps.  Shared by read_bdd_json and evaluate_bdd
+    so the per-category mMOTA loop parses every frame dict exactly once."""
+    import re
+
+    acc: Dict[Optional[str], Dict[int, tuple]] = {}
     for fd in frames:
         if "frameIndex" in fd:
             frame = int(fd["frameIndex"]) + 1
@@ -143,28 +159,29 @@ def read_bdd_json(
             if not m:
                 continue
             frame = int(m.group(1))
-        tlwhs, ids = [], []
+        per_key: Dict[Optional[str], tuple] = {}
         for lab in fd.get("labels", []):
-            if (
-                classes_for_eval is not None
-                and lab.get("category") not in classes_for_eval
-            ):
+            cat = lab.get("category")
+            if classes_for_eval is not None and cat not in classes_for_eval:
                 continue
             if skip_crowd and lab.get("attributes", {}).get("crowd"):
                 continue
             b = lab.get("box2d")
             if b is None:
                 continue
+            key = cat if split_categories else None
+            tlwhs, ids = per_key.setdefault(key, ([], []))
             tlwhs.append(
                 [b["x1"], b["y1"], b["x2"] - b["x1"], b["y2"] - b["y1"]]
             )
             ids.append(int(lab["id"]))
-        if ids:
-            out[frame] = (
-                np.asarray(tlwhs, np.float64),
-                np.asarray(ids, int),
-            )
-    return out
+        for key, (tlwhs, ids) in per_key.items():
+            if ids:
+                acc.setdefault(key, {})[frame] = (
+                    np.asarray(tlwhs, np.float64),
+                    np.asarray(ids, int),
+                )
+    return acc
 
 
 def evaluate_bdd(
@@ -190,23 +207,28 @@ def evaluate_bdd(
         with open(pred_json) as f:
             pred_json = json.load(f)
 
-    gt_cats = {
-        lab.get("category")
-        for fd in gt_json
-        for lab in fd.get("labels", [])
-        if lab.get("box2d") is not None
-        and not lab.get("attributes", {}).get("crowd")
-    }
-    if classes_for_eval is not None:
-        gt_cats &= set(classes_for_eval)
+    def _select(frames):
+        videos = {fd.get("videoName") for fd in frames if "videoName" in fd}
+        if video is not None:
+            return [fd for fd in frames if fd.get("videoName") == video]
+        if len(videos) > 1:
+            raise ValueError(
+                f"labels span {len(videos)} videos; pass video=<name>"
+            )
+        return frames
+
+    # single parse of each json; labels bucketed per category in one pass
+    gt_by_cat = _bucket_bdd_frames(_select(gt_json), classes_for_eval,
+                                   skip_crowd=True, split_categories=True)
+    pred_by_cat = _bucket_bdd_frames(_select(pred_json), classes_for_eval,
+                                     skip_crowd=True, split_categories=True)
     out = {}
     motas, idf1s = [], []
-    for cat in sorted(c for c in gt_cats if c):
-        gt = read_bdd_json(gt_json, [cat], video=video)
-        pred_raw = read_bdd_json(pred_json, [cat], video=video)
+    for cat in sorted(c for c in gt_by_cat if c):
+        gt = gt_by_cat[cat]
         pred = {
             f: (tlwh, ids, np.ones(len(ids)))
-            for f, (tlwh, ids) in pred_raw.items()
+            for f, (tlwh, ids) in pred_by_cat.get(cat, {}).items()
         }
         m = evaluate_clear(gt, pred)
         out[cat] = m

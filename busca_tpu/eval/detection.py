@@ -113,3 +113,192 @@ def coco_map(
         "ap50": float(aps[0]),
         "ap75": float(aps[5]),
     }
+
+
+# ---------------------------------------------------------------------------
+# Full COCO summarize() table: area ranges + maxDets sweep
+# ---------------------------------------------------------------------------
+
+# COCO protocol constants (pycocotools cocoeval.Params; the reference prints
+# this table through COCOeval_opt, mot_evaluator.py:659-711)
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+MAX_DETS = (1, 10, 100)
+
+
+def _evaluate_img(
+    dt_boxes: np.ndarray,
+    dt_scores: np.ndarray,
+    gt_boxes: np.ndarray,
+    area_rng: Tuple[float, float],
+    max_det: int,
+):
+    """Per-image COCO matching over all 10 IoU thresholds (cocoeval.py
+    evaluateImg).  Returns (dt_scores, dt_matched [T, D], dt_ignore [T, D],
+    n_gt_considered)."""
+    a0, a1 = area_rng
+    order = np.argsort(-dt_scores, kind="stable")[:max_det]
+    dt_boxes = dt_boxes[order]
+    dt_scores = dt_scores[order]
+
+    gt_area = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (
+        gt_boxes[:, 3] - gt_boxes[:, 1]
+    )
+    gt_ig = (gt_area < a0) | (gt_area > a1)
+    # gts sorted ignore-last (cocoeval.py: gtind argsort on _ignore)
+    gt_order = np.argsort(gt_ig, kind="stable")
+    gt_boxes = gt_boxes[gt_order]
+    gt_ig = gt_ig[gt_order]
+
+    n_t = len(IOU_THRESHOLDS)
+    n_d = len(dt_boxes)
+    n_g = len(gt_boxes)
+    dtm = np.zeros((n_t, n_d), dtype=bool)
+    dt_ig = np.zeros((n_t, n_d), dtype=bool)
+    ious = _iou_tlbr(dt_boxes, gt_boxes) if n_d and n_g else None
+    for ti, thr in enumerate(IOU_THRESHOLDS):
+        gtm = np.full(n_g, -1)
+        for di in range(n_d):
+            best_iou = min(thr, 1.0 - 1e-10)
+            m = -1
+            for gi in range(n_g):
+                if gtm[gi] >= 0:
+                    continue
+                # matched to a real gt already and the remaining gts are all
+                # ignored (sorted ignore-last) -> stop
+                if m > -1 and not gt_ig[m] and gt_ig[gi]:
+                    break
+                if ious[di, gi] < best_iou:
+                    continue
+                best_iou = ious[di, gi]
+                m = gi
+            if m >= 0:
+                gtm[m] = di
+                dtm[ti, di] = True
+                dt_ig[ti, di] = gt_ig[m]
+        # unmatched dts outside the area range are ignored
+        dt_area = (dt_boxes[:, 2] - dt_boxes[:, 0]) * (
+            dt_boxes[:, 3] - dt_boxes[:, 1]
+        )
+        out = (dt_area < a0) | (dt_area > a1)
+        dt_ig[ti] |= (~dtm[ti]) & out
+    n_gt_considered = int((~gt_ig).sum())
+    return dt_scores, dtm, dt_ig, n_gt_considered
+
+
+def _accumulate(per_img: List[tuple]):
+    """(AP per threshold [10], AR per threshold [10]) from _evaluate_img
+    results of all images — or None if no considered gt (stat -1)."""
+    npig = sum(r[3] for r in per_img)
+    if npig == 0:
+        return None
+    scores = np.concatenate([r[0] for r in per_img])
+    dtm = np.concatenate([r[1] for r in per_img], axis=1)
+    dt_ig = np.concatenate([r[2] for r in per_img], axis=1)
+    order = np.argsort(-scores, kind="stable")
+    dtm = dtm[:, order]
+    dt_ig = dt_ig[:, order]
+    aps = np.zeros(len(IOU_THRESHOLDS))
+    ars = np.zeros(len(IOU_THRESHOLDS))
+    for ti in range(len(IOU_THRESHOLDS)):
+        keep = ~dt_ig[ti]
+        tp = np.cumsum(dtm[ti][keep].astype(np.float64))
+        fp = np.cumsum((~dtm[ti][keep]).astype(np.float64))
+        if len(tp) == 0:
+            continue
+        rc = tp / npig
+        pr = tp / np.maximum(tp + fp, np.spacing(1))
+        ars[ti] = rc[-1]
+        for i in range(len(pr) - 2, -1, -1):
+            pr[i] = max(pr[i], pr[i + 1])
+        idx = np.searchsorted(rc, RECALL_POINTS, side="left")
+        q = np.where(idx < len(pr), pr[np.minimum(idx, len(pr) - 1)], 0.0)
+        aps[ti] = q.mean()
+    return aps, ars
+
+
+def coco_eval_full(
+    detections: Dict[int, Tuple[np.ndarray, np.ndarray]],
+    ground_truth: Dict[int, np.ndarray],
+) -> Dict[str, float]:
+    """The 12-number COCO summarize() table (mot_evaluator.py:659-711).
+
+    Args:
+      detections: {image_id: (tlbr [N, 4], scores [N])}.
+      ground_truth: {image_id: tlbr [M, 4]}.
+    Returns keys: ap, ap50, ap75, ap_small, ap_medium, ap_large,
+      ar1, ar10, ar100, ar_small, ar_medium, ar_large — each -1.0 when the
+      area range contains no ground truth (the pycocotools convention).
+    """
+    imgs = sorted(set(detections) | set(ground_truth))
+    empty_b = np.zeros((0, 4))
+    empty_s = np.zeros((0,))
+
+    cache: Dict[Tuple[str, int], list] = {}
+    for area_name, rng in AREA_RANGES.items():
+        for max_det in MAX_DETS:
+            cache[(area_name, max_det)] = [
+                _evaluate_img(
+                    *(detections.get(i, (empty_b, empty_s))),
+                    ground_truth.get(i, empty_b),
+                    rng,
+                    max_det,
+                )
+                for i in imgs
+            ]
+
+    def ap_of(area, max_det, thr_idx=None):
+        acc = _accumulate(cache[(area, max_det)])
+        if acc is None:
+            return -1.0
+        aps, _ = acc
+        return float(aps.mean() if thr_idx is None else aps[thr_idx])
+
+    def ar_of(area, max_det):
+        acc = _accumulate(cache[(area, max_det)])
+        if acc is None:
+            return -1.0
+        return float(acc[1].mean())
+
+    return {
+        "ap": ap_of("all", 100),
+        "ap50": ap_of("all", 100, 0),
+        "ap75": ap_of("all", 100, 5),
+        "ap_small": ap_of("small", 100),
+        "ap_medium": ap_of("medium", 100),
+        "ap_large": ap_of("large", 100),
+        "ar1": ar_of("all", 1),
+        "ar10": ar_of("all", 10),
+        "ar100": ar_of("all", 100),
+        "ar_small": ar_of("small", 100),
+        "ar_medium": ar_of("medium", 100),
+        "ar_large": ar_of("large", 100),
+    }
+
+
+def format_coco_table(stats: Dict[str, float]) -> str:
+    """The COCOeval.summarize() text block (cocoeval.py _summarize)."""
+    tmpl = (
+        " {:<18} {} @[ IoU={:<9} | area={:>6s} | maxDets={:>3d} ] = {:0.3f}"
+    )
+    rows = [
+        ("Average Precision", "(AP)", "0.50:0.95", "all", 100, "ap"),
+        ("Average Precision", "(AP)", "0.50", "all", 100, "ap50"),
+        ("Average Precision", "(AP)", "0.75", "all", 100, "ap75"),
+        ("Average Precision", "(AP)", "0.50:0.95", "small", 100, "ap_small"),
+        ("Average Precision", "(AP)", "0.50:0.95", "medium", 100, "ap_medium"),
+        ("Average Precision", "(AP)", "0.50:0.95", "large", 100, "ap_large"),
+        ("Average Recall", "(AR)", "0.50:0.95", "all", 1, "ar1"),
+        ("Average Recall", "(AR)", "0.50:0.95", "all", 10, "ar10"),
+        ("Average Recall", "(AR)", "0.50:0.95", "all", 100, "ar100"),
+        ("Average Recall", "(AR)", "0.50:0.95", "small", 100, "ar_small"),
+        ("Average Recall", "(AR)", "0.50:0.95", "medium", 100, "ar_medium"),
+        ("Average Recall", "(AR)", "0.50:0.95", "large", 100, "ar_large"),
+    ]
+    return "\n".join(
+        tmpl.format(t, m, i, a, d, stats[k]) for t, m, i, a, d, k in rows
+    )

@@ -775,9 +775,14 @@ def track_frames_with_detector(
     min_box_area: float = 100.0,
     vertical_thresh: Optional[float] = 1.6,
     viz_dir: Optional[str] = None,
+    det_log: Optional[list] = None,
 ):
     """Drive detector + tracker over raw frames (the reference's canonical
     eval loop, mot_evaluator.py:131-235).
+
+    ``det_log``, when given, collects ``(frame_id, boxes_tlbr_orig, scores)``
+    per frame — the raw detector output in original coordinates, feeding the
+    COCO detection-AP table (mot_evaluator.py:659-711).
 
     The tracker gets detections mapped back to original coordinates plus the
     detector-resolution image for BUSCA crops — exactly the reference's
@@ -820,6 +825,12 @@ def track_frames_with_detector(
             det = detector.detect(frame)
         t_trk = time.perf_counter()
         det_s += t_trk - t_det
+        if det_log is not None:
+            det_log.append((
+                idx + 1,
+                np.asarray(det.boxes_tlbr / det.scale),
+                np.asarray(det.scores),
+            ))
         online = tracker.update(
             det.boxes_tlbr / det.scale, det.scores, det.scale, det.image
         )

@@ -381,9 +381,16 @@ def _run_lockstep_cached_det(args, engine, seq_tracker_kwargs,
         )
         for n in names
     ]
+    # viz_dir_fn must be None when visualization is off: a non-None callable
+    # forces need_pixels=True in the runner, defeating the skip-frame-decode
+    # fast path for pixel-free configs (e.g. --lockstep --tracker sort).
+    viz_dir_fn = (
+        (lambda n: _viz_dir_for(args, n))
+        if getattr(args, "online_visualization", False) else None
+    )
     results = run_mot_sequences_lockstep(
         args.mot_dir, trackers, max_frames=args.max_frames,
-        viz_dir_fn=lambda n: _viz_dir_for(args, n),
+        viz_dir_fn=viz_dir_fn,
     )
     os.makedirs(args.output_dir, exist_ok=True)
     per_seq = {}
@@ -558,6 +565,10 @@ def main(argv=None):
     parser.add_argument("--test-w", type=int, default=1440)
     parser.add_argument("--det-conf", type=float, default=0.01,
                         help="exp.test_conf (BYTE consumes low-conf dets)")
+    parser.add_argument("--det-ap", action="store_true",
+                        help="print the 12-number COCO detection-AP table of "
+                             "the raw detector output vs MOT gt "
+                             "(mot_evaluator.py:659-711)")
     parser.add_argument("--det-nms", type=float, default=0.7,
                         help="exp.nmsthre")
     parser.add_argument("--online-visualization", action="store_true",
@@ -700,6 +711,7 @@ def main(argv=None):
 
         per_seq = {}
         eval_inputs = {}
+        det_ap_dets, det_ap_gts = {}, {}
         for seq_dir in args.mot_dir:
             name = os.path.basename(seq_dir.rstrip("/"))
             seq_kwargs = dict(tracker_kwargs)
@@ -763,10 +775,15 @@ def main(argv=None):
                         args.tracker, tracker, feature_extractor,
                         args.crop_hw,
                     )
+                    seq_det_log = [] if args.det_ap else None
                     res = track_frames_with_detector(
                         detector, shimmed, frames(), name=info.name,
                         viz_dir=_viz_dir_for(args, name),
+                        det_log=seq_det_log,
                     )
+                    if seq_det_log:
+                        for fid, boxes, scores in seq_det_log:
+                            det_ap_dets[(name, fid)] = (boxes, scores)
                 os.makedirs(args.output_dir, exist_ok=True)
                 mot.write_results(out_path, res.results)
             else:
@@ -791,6 +808,11 @@ def main(argv=None):
                 gt = mot.read_gt(gt_path)
                 pred = results_to_pred(res)
                 eval_inputs[name] = (gt, pred)
+                if args.det_ap:
+                    for fid, (tlwh, _ids) in gt.items():
+                        tlbr = tlwh.copy()
+                        tlbr[:, 2:] += tlbr[:, :2]
+                        det_ap_gts[(name, fid)] = tlbr
                 if args.hota:
                     from busca_tpu.eval.metrics import evaluate_hota
 
@@ -814,6 +836,15 @@ def main(argv=None):
             )
             agg = global_metrics(per_seq)
             print(json.dumps(agg.as_dict(), indent=2))
+        if args.det_ap and det_ap_dets:
+            # the COCO detection table over the raw detector outputs, pooled
+            # across sequences (mot_evaluator.py:659-711)
+            from busca_tpu.eval.detection import (
+                coco_eval_full,
+                format_coco_table,
+            )
+
+            print(format_coco_table(coco_eval_full(det_ap_dets, det_ap_gts)))
         return per_seq
 
     parser.error("pick a mode: --synthetic or --mot-dir")

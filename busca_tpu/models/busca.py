@@ -80,6 +80,17 @@ class BuscaConfig:
         return "BAD" in self.input_flavour
 
     @property
+    def has_cls(self) -> bool:
+        """CLS-prefixed flavours prepend a learned token before the memory
+        (busca/network.py:117-122).  NOTE: the reference's CLS path cannot
+        actually run — its temporal-id assignment destroys the index tensor
+        (``mem_inds = mem_inds[0] = 0``, busca/encodings.py:160-161 rebinds
+        mem_inds to the int 0, crashing torch.clamp) — so this implements
+        the evident *intent* (CLS temporal id 0, ref-bbox spatial encoding);
+        no torch parity oracle is possible.  See PARITY.md "CLS flavour"."""
+        return self.input_flavour.startswith("CLS-")
+
+    @property
     def num_extra_candidates(self) -> int:
         """NON (+ BAD) choices appended after the real candidate slots."""
         return 2 if self.has_bad else 1
@@ -88,14 +99,19 @@ class BuscaConfig:
 def can_token_positions(
     mem_len: int, num_candidate_groups: int, flavour: str
 ) -> Tuple[int, ...]:
-    """Sequence positions of the CAN tokens (busca/network.py:138-160)."""
-    if flavour.startswith("MEM-SEP-CAN"):
+    """Sequence positions of the CAN tokens (busca/network.py:138-160).
+
+    ``mem_len`` counts memory *crops*; a CLS- prefix adds one leading token
+    so the candidate block starts one position later.
+    """
+    start = mem_len + (1 if flavour.startswith("CLS-") else 0)
+    if "MEM-SEP-CAN" in flavour:
         return tuple(
-            mem_len + i for i in range(1, num_candidate_groups * 2 + 1, 2)
+            start + i for i in range(1, num_candidate_groups * 2 + 1, 2)
         )
-    if flavour.startswith("MEM-CAN-SEP"):
+    if "MEM-CAN-SEP" in flavour:
         return tuple(
-            mem_len + i for i in range(0, num_candidate_groups * 2, 2)
+            start + i for i in range(0, num_candidate_groups * 2, 2)
         )
     raise NotImplementedError(f"input flavour {flavour!r} not supported")
 
@@ -242,9 +258,18 @@ class BuscaModel(nn.Module):
             if cfg.has_bad
             else None
         )
+        cls_token = (
+            self.param("cls_token", nn.initializers.normal(1.0), (tok_size,))
+            if cfg.has_cls
+            else None
+        )
 
         def tile(tok):
             return jnp.broadcast_to(tok, (b, 1, d_model))
+
+        if cfg.has_cls:
+            # CLS prepended before the memory tokens (busca/network.py:117-122)
+            mem_emb = jnp.concatenate([tile(cls_token), mem_emb], axis=1)
 
         cand_groups = [can_emb[:, i : i + 1, :] for i in range(c)]
         cand_groups.append(tile(non_token))
@@ -254,7 +279,7 @@ class BuscaModel(nn.Module):
         sep = tile(sep_token)
         interleaved = []
         for g in cand_groups:
-            if cfg.input_flavour.startswith("MEM-SEP-CAN"):
+            if "MEM-SEP-CAN" in cfg.input_flavour:
                 interleaved.extend([sep, g])
             else:  # MEM-CAN-SEP
                 interleaved.extend([g, sep])

@@ -48,6 +48,15 @@ SUPPORTED_FLAVOURS = (
     "MEM-SEP-CAN-BAD",
     "MEM-CAN-SEP",
     "MEM-CAN-SEP-BAD",
+    # CLS- flavours prepend a learned token before the memory.  The
+    # reference's own CLS path crashes (busca/encodings.py:160-161 rebinds
+    # mem_inds to int 0 via chained assignment); this implements the evident
+    # intent: CLS gets the reference bbox and temporal id 0 — i.e. the same
+    # encoding as the last memory token (busca/encodings.py:56-60, 167).
+    "CLS-MEM-SEP-CAN",
+    "CLS-MEM-SEP-CAN-BAD",
+    "CLS-MEM-CAN-SEP",
+    "CLS-MEM-CAN-SEP-BAD",
 )
 
 
@@ -236,7 +245,7 @@ def insert_fake_bboxes(
     for i in range(c):
         can_i = can_bboxes[:, i : i + 1, :]
         pad = ref if encode_sep_as_ref else can_i
-        if flavour.startswith("MEM-SEP-CAN"):
+        if "MEM-SEP-CAN" in flavour:
             groups.extend([pad, can_i])
         else:  # MEM-CAN-SEP
             groups.extend([can_i, pad])
@@ -284,4 +293,9 @@ def positional_encodings(
 
     mem_pe = sinusoid_3d(mem_xy, mem_size, mem_t, d_model, quantize_fp16)
     can_pe = sinusoid_3d(can_xy, can_size, can_t, d_model, quantize_fp16)
+    if flavour.startswith("CLS-"):
+        # CLS: ref-bbox spatial (busca/encodings.py:56-60) + temporal id 0 —
+        # identical buckets to the last memory token, whose bbox IS the
+        # reference and whose temporal id is 0.
+        mem_pe = jnp.concatenate([mem_pe[:, -1:, :], mem_pe], axis=1)
     return mem_pe, can_pe

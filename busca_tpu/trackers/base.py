@@ -374,11 +374,18 @@ def service_deferred_updates(pending):
         outs = run_third_round_many(group[0][2].engine,
                                     [p[2] for p in group])
         for (key, gen, _), res in zip(group, outs):
-            try:
-                gen.send(res)
-                raise RuntimeError("tracker yielded twice")
-            except StopIteration as e:
-                outputs[key] = e.value
+            # Drive the generator to completion: follow-up yields (a
+            # hypothetical multi-yield tracker) are serviced individually,
+            # matching the while-True standalone update() drivers.
+            while True:
+                try:
+                    req = gen.send(res)
+                except StopIteration as e:
+                    outputs[key] = e.value
+                    break
+                res = run_third_round(req.engine, req.pool, req.considered,
+                                      req.kalman_cands, req.thresh,
+                                      **req.engine_kwargs)
     return outputs
 
 
@@ -401,23 +408,29 @@ def run_third_round_many(engine, requests):
     for r in requests[1:]:
         if r.engine_kwargs != kw:
             raise ValueError("batched third round needs uniform engine kwargs")
+    # no-op requests (disabled threshold / empty pool) never reach the
+    # device call — mirror run_third_round's short-circuit
+    active = [r for r in requests if r.thresh > 0.0 and r.pool]
     assoc_reqs = []
-    for r in requests:
+    for r in active:
         dist_fn = getattr(engine, "center_distances", None) or getattr(
             engine, "_center_distances"
         )
         dists = (
             dist_fn(r.pool, r.considered)
-            if (r.pool and (r.considered or r.kalman_cands))
+            if (r.considered or r.kalman_cands)
             else None
         )
         assoc_reqs.append((r.pool, r.considered, dists, r.kalman_cands))
-    outs = engine.associate_many(assoc_reqs, **kw)
+    outs = engine.associate_many(assoc_reqs, **kw) if assoc_reqs else []
+    by_active = {id(r): out for r, out in zip(active, outs)}
     results = []
-    for r, (probs, reliable) in zip(requests, outs):
-        if r.thresh <= 0.0 or not r.pool:
+    for r in requests:
+        out = by_active.get(id(r))
+        if out is None:
             results.append(([], list(range(len(r.pool)))))
         else:
+            probs, reliable = out
             results.append(
                 select_third_round_matches(
                     probs, reliable, len(r.considered), len(r.pool), r.thresh

@@ -5,9 +5,16 @@ The reference aligns consecutive grayscale frames with OpenCV's
 recipe, byte_tracker.py:626-650) and warps every unmatched track's position by
 the recovered 2x3 matrix.
 
-Host cv2 is used here (one small Gauss-Newton per frame); a Pallas/XLA ECC is
-a planned optimization (the gradient correlations are plain convolutions).
-Failures (non-converging ECC) fall back to identity, keeping tracks unwarped.
+Two backends exist: host cv2 (``backend='cv2'``, the production default) and
+an on-device Gauss-Newton (``backend='jax'``, busca_tpu.ops.ecc).  Measured
+2026-08 on the v5e at 800x1440 (the ByteTrack eval frame size, synthetic
+2-3 px shift): cv2 148 ms vs device ~10 s per pair — the device loop's
+bilinear-warp gathers are VPU-bound and re-run all 100 iterations without
+cv2's eps early exit, so there is no crossover at any realistic frame size.
+cv2 stays the default everywhere (including --lockstep, where it overlaps
+the next frame's device work on the host); ops/ecc.py remains as the
+oracle-validated fallback for cv2-less builds.  Failures (non-converging
+ECC) fall back to identity, keeping tracks unwarped.
 """
 
 from __future__ import annotations

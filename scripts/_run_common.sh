@@ -117,8 +117,9 @@ PYTHONPATH="${REPO_FOLDER}:${PYTHONPATH:-}" python3 -m busca_tpu.eval.run \
     --tracker "${TRACKER_FLAG}" \
     --mot-dir "${seq_dirs[@]}" \
     --output-dir "${results_dir}" \
-    "${det_args[@]}" "${busca_args[@]}" "${viz_args[@]}" \
-    "${EXTRA_ARGS[@]}" 2>&1 | tee -a "${log_file}"
+    ${det_args[@]+"${det_args[@]}"} ${busca_args[@]+"${busca_args[@]}"} \
+    ${viz_args[@]+"${viz_args[@]}"} \
+    ${EXTRA_ARGS[@]+"${EXTRA_ARGS[@]}"} 2>&1 | tee -a "${log_file}"
 
 # Replicate MOT17 test results: only -FRCNN videos are evaluated; copy to
 # -DPM/-SDP for the server format (reference run_bytetrack.sh tail)

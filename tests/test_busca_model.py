@@ -202,3 +202,67 @@ def test_padded_lanes_do_not_change_real_scores(rng):
     np.testing.assert_allclose(
         np.asarray(padded)[:B], np.asarray(real), rtol=1e-3, atol=1e-4
     )
+
+
+def test_can_token_positions_cls_shift():
+    """CLS- flavours prepend one token; CAN positions shift by one
+    (busca/network.py:117-122, 138-148)."""
+    base = can_token_positions(L_MEM, C + 2, "MEM-SEP-CAN-BAD")
+    cls = can_token_positions(L_MEM, C + 2, "CLS-MEM-SEP-CAN-BAD")
+    assert cls == tuple(p + 1 for p in base)
+    base2 = can_token_positions(L_MEM, C + 2, "MEM-CAN-SEP-BAD")
+    cls2 = can_token_positions(L_MEM, C + 2, "CLS-MEM-CAN-SEP-BAD")
+    assert cls2 == tuple(p + 1 for p in base2)
+
+
+def test_cls_positional_encoding_matches_last_memory_token():
+    """The CLS token encodes the reference bbox at temporal id 0 — exactly
+    the last memory token's buckets (busca/encodings.py:56-60 intent)."""
+    from busca_tpu.models import encodings
+
+    r = np.random.RandomState(3)
+    mem_boxes = _random_ltrb(r, B, L_MEM)
+    can_boxes = _random_ltrb(r, B, C)
+    mem_pe, can_pe = encodings.positional_encodings(
+        jnp.asarray(mem_boxes), jnp.asarray(can_boxes), D,
+        "CLS-MEM-SEP-CAN-BAD",
+    )
+    mem_pe = np.asarray(mem_pe)
+    assert mem_pe.shape == (B, L_MEM + 1, D)
+    np.testing.assert_array_equal(mem_pe[:, 0], mem_pe[:, -1])
+    # candidate tokens are unaffected by the CLS prefix
+    base_mem_pe, base_can_pe = encodings.positional_encodings(
+        jnp.asarray(mem_boxes), jnp.asarray(can_boxes), D,
+        "MEM-SEP-CAN-BAD",
+    )
+    np.testing.assert_array_equal(np.asarray(can_pe), np.asarray(base_can_pe))
+    np.testing.assert_array_equal(mem_pe[:, 1:], np.asarray(base_mem_pe))
+
+
+def test_cls_flavour_forward():
+    """A CLS-flavoured model runs, has a cls_token param, and produces the
+    same [B, C+2] logit shape; the extra token changes attention context so
+    logits differ from the non-CLS layout."""
+    cfg = BuscaConfig(
+        num_layer=N_LAYERS, reid_num_classes=7, reid_layers=(1, 1, 1, 1),
+        input_flavour="CLS-MEM-SEP-CAN-BAD",
+    )
+    model = BuscaModel(cfg)
+    r = np.random.RandomState(5)
+    mem_crops = r.randn(B, L_MEM, H, W, 3).astype(np.float32)
+    can_crops = r.randn(B, C, H, W, 3).astype(np.float32)
+    mem_boxes = _random_ltrb(r, B, L_MEM)
+    can_boxes = _random_ltrb(r, B, C)
+    variables = model.init(
+        jax.random.PRNGKey(2),
+        jnp.asarray(mem_crops), jnp.asarray(can_crops),
+        jnp.asarray(mem_boxes), jnp.asarray(can_boxes),
+    )
+    assert "cls_token" in variables["params"]
+    logits = model.apply(
+        {"params": variables["params"]},
+        jnp.asarray(mem_crops), jnp.asarray(can_crops),
+        jnp.asarray(mem_boxes), jnp.asarray(can_boxes),
+    )
+    assert np.asarray(logits).shape == (B, C + 2)
+    assert np.isfinite(np.asarray(logits)).all()

@@ -123,6 +123,39 @@ def test_full_detector_tracker_loop(tiny_detector, rng):
         assert len(tlwhs) == len(ids) == len(confs)
 
 
+@pytest.mark.slow
+def test_det_log_feeds_coco_table(tiny_detector, rng):
+    """det_log collects per-frame raw detections in original coordinates and
+    feeds the 12-number COCO table (mot_evaluator.py:659-711)."""
+    from busca_tpu.eval.detection import coco_eval_full, format_coco_table
+    from busca_tpu.trackers import ByteTracker, ByteTrackerConfig
+
+    tracker = ByteTracker(ByteTrackerConfig(track_thresh=0.5))
+    frames = [_frame(rng) for _ in range(3)]
+    log = []
+    track_frames_with_detector(
+        tiny_detector, tracker, frames, name="live", min_box_area=0.0,
+        det_log=log,
+    )
+    assert [fid for fid, _, _ in log] == [1, 2, 3]
+    h, w = frames[0].shape[:2]
+    dets, gts = {}, {}
+    for fid, boxes, scores in log:
+        assert boxes.shape[1] == 4 and len(boxes) == len(scores)
+        # original coordinates: frame-scale, not letterbox-canvas-scale
+        # (raw yolox outputs are unclipped, so allow a small overshoot)
+        if len(boxes):
+            assert boxes[:, 2].max() <= w * 1.3
+            assert boxes[:, 3].max() <= h * 1.3
+        dets[fid] = (boxes, scores)
+        gts[fid] = boxes.copy()  # self-match -> a well-formed perfect table
+    stats = coco_eval_full(dets, gts)
+    txt = format_coco_table(stats)
+    assert len(txt.splitlines()) == 12
+    if any(len(b) for b, _ in dets.values()):
+        assert stats["ap"] == 1.0
+
+
 # ------------------------- presets / golden harness -------------------------
 
 def test_custom_byte_thresholds_table():

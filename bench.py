@@ -251,6 +251,166 @@ def bench_association(t, dtype, iters=20, warmup=3):
 
 
 # ---------------------------------------------------------------------------
+# BUSCA-attached pipeline (detector + tracker + third rounds)
+# ---------------------------------------------------------------------------
+
+BUSCA_WARMUP = 15  # memories reach seq_len=11 before the dropout windows
+BUSCA_FRAMES = 24
+
+
+def _busca_stream(num_frames=BUSCA_WARMUP + BUSCA_FRAMES + 1):
+    """Synthetic sequence with staggered detector-dropout windows: after the
+    memory warmup, 2-4 objects are undetected at any time, so the third
+    round fires at a realistic duty cycle (the reference's Step 3b runs
+    whenever unmatched tracked/lost tracks exist, byte_tracker.py:367-397)."""
+    from busca_tpu.eval.synthetic import SyntheticObject, SyntheticSequence
+
+    h, w = FRAME_HW
+    objs = []
+    for i in range(10):
+        drop = (
+            (BUSCA_WARMUP + 1 + 2 * (i - 4), BUSCA_WARMUP + 9 + 2 * (i - 4))
+            if i >= 4 else (0, 0)
+        )
+        objs.append(SyntheticObject(
+            color=np.array(
+                [30 + 22 * i, 210 - 18 * i, 50 + 20 * i], np.float64
+            ),
+            x0=w * 0.03 + w * 0.09 * i,
+            y0=h * 0.07 + h * 0.12 * (i % 5),
+            vx=w * 0.0015 * (1 + i % 3),
+            vy=h * 0.0005 * ((-1) ** i),
+            w=max(w * 0.031, 6), h=max(h * 0.13, 12),
+            dropout=drop,
+        ))
+    return SyntheticSequence(
+        objs, num_frames=num_frames, height=h, width=w, seed=3
+    )
+
+
+def bench_busca_hostprep():
+    """Host-side cost + duty cycle of the BUSCA-attached tracker, measured
+    in a CPU-backend subprocess (JAX_PLATFORMS=cpu) so tunnel upload/RTT
+    noise can't pollute the host numbers.
+
+    The engine's jitted scorer is replaced with a numpy dummy: everything
+    else (per-frame det-crop extraction, memory ring updates, Kalman
+    candidate crops, dedup assembly, bucket padding, device-array
+    conversion) runs exactly as production.  Returns per-frame base tracker
+    ms, BUSCA host-overhead ms, and the observed third-round duty stats.
+    """
+    import time as _time
+
+    from busca_tpu.assoc.engine import AssociationEngine
+    from busca_tpu.models.busca import BuscaConfig, BuscaModel
+    from busca_tpu.trackers import ByteTracker, ByteTrackerConfig
+
+    import jax
+
+    seq = _busca_stream()
+    frames = [seq.frame(t) for t in range(seq.num_frames)]
+    dets = [seq.detections(t) for t in range(seq.num_frames)]
+    crop_hw = (H, W)
+
+    def drive_once(tracker):
+        # untimed pass: warms every jit bucket shape the stream hits so the
+        # timed pass below measures steady-state host cost only
+        for frame, (boxes, scores) in zip(frames, dets):
+            tracker.update(boxes, scores, 1.0, frame)
+
+    cfg_kw = dict(track_thresh=0.5, crop_hw=crop_hw,
+                  use_camera_motion_compensation=False)
+
+    drive_once(ByteTracker(ByteTrackerConfig(**cfg_kw)))  # warm crop jits
+    base_tracker_obj = ByteTracker(ByteTrackerConfig(**cfg_kw))
+    t_timed = 0.0
+    for t, (frame, (boxes, scores)) in enumerate(zip(frames, dets)):
+        t0 = _time.perf_counter()
+        base_tracker_obj.update(boxes, scores, 1.0, frame)
+        dt = _time.perf_counter() - t0
+        if t >= BUSCA_WARMUP:
+            t_timed += dt
+    base_ms = t_timed / (len(frames) - BUSCA_WARMUP) * 1e3
+
+    # host model: tiny ReID (scoring is dummied out, params unused)
+    bcfg = BuscaConfig(reid_layers=(1, 1, 1, 1), reid_num_classes=7)
+    model = BuscaModel(bcfg)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 11, H, W, 3), np.float32),
+        np.zeros((1, 5, H, W, 3), np.float32),
+        np.zeros((1, 11, 4), np.float32),
+        np.zeros((1, 5, 4), np.float32),
+    )
+    engine = AssociationEngine(bcfg, variables, crop_hw=crop_hw)
+    extras = 2 if bcfg.has_bad else 1
+    engine._score_unique = (
+        lambda v, mem, uniq, w, g, mb, cb, mask, normalize_ims=True:
+        np.zeros((int(mem.shape[0]), int(cb.shape[1]) + extras), np.float32)
+    )
+    stats = {"calls": 0, "tracks": 0, "dets": 0, "frames": 0}
+    orig_assoc = engine.associate
+
+    def counted(tracks, dts, dists=None, **kw):
+        if stats["counting"]:
+            stats["calls"] += 1
+            stats["tracks"] += len(tracks)
+            stats["dets"] += len(dts)
+        return orig_assoc(tracks, dts, dists, **kw)
+
+    stats["counting"] = False
+    engine.associate = counted
+    drive_once(ByteTracker(
+        ByteTrackerConfig(use_busca=True, busca_thresh=0.5, **cfg_kw), engine
+    ))  # warm pass: crop/bucket jits for the BUSCA-attached stream
+    tracker = ByteTracker(
+        ByteTrackerConfig(use_busca=True, busca_thresh=0.5, **cfg_kw), engine
+    )
+    t_timed = 0.0
+    for t, (frame, (boxes, scores)) in enumerate(zip(frames, dets)):
+        stats["counting"] = t >= BUSCA_WARMUP
+        t0 = _time.perf_counter()
+        tracker.update(boxes, scores, 1.0, frame)
+        dt = _time.perf_counter() - t0
+        if t >= BUSCA_WARMUP:
+            t_timed += dt
+            stats["frames"] += 1
+    busca_ms = t_timed / stats["frames"] * 1e3
+    return {
+        "base_tracker_ms": base_ms,
+        "busca_tracker_ms": busca_ms,
+        "busca_host_ms": max(busca_ms - base_ms, 0.0),
+        "calls": stats["calls"],
+        "frames": stats["frames"],
+        "duty": stats["calls"] / stats["frames"],
+        "avg_tracks_per_call": stats["tracks"] / max(stats["calls"], 1),
+        "avg_dets_per_call": stats["dets"] / max(stats["calls"], 1),
+    }
+
+
+def _busca_hostprep_subprocess():
+    """Run bench_busca_hostprep in a fresh CPU-backend process."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["BENCH_BUSCA_HOSTPREP"] = "1"
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"hostprep subprocess produced no JSON:\n{out.stdout}\n{out.stderr}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # end-to-end detector + tracker
 # ---------------------------------------------------------------------------
 
@@ -412,7 +572,7 @@ def bench_torch_detector(depth=None, width=None, nc=1):
     except ImportError:
         return None
 
-    torch.set_num_threads(max(torch.get_num_threads(), 8))
+    torch.set_num_threads(os.cpu_count() or 8)
     d = lambda n: max(round(n * depth), 1)
     w = lambda c: int(c * width)
 
@@ -540,7 +700,20 @@ def bench_torch_detector(depth=None, width=None, nc=1):
         return time.perf_counter() - t0
 
 
+def _torch_threads():
+    try:
+        import torch
+
+        return torch.get_num_threads()
+    except ImportError:
+        return None
+
+
 def main():
+    if os.environ.get("BENCH_BUSCA_HOSTPREP"):
+        print(json.dumps(bench_busca_hostprep()))
+        return
+
     import jax
 
     device = jax.devices()[0]
@@ -551,6 +724,37 @@ def main():
     assoc_16_bf16 = bench_association(16, "bfloat16")
     assoc_64_bf16 = bench_association(64, "bfloat16", iters=10)
     assoc_64_dedup = bench_association_dedup(64, 30, "bfloat16")
+
+    # ---- BUSCA-attached pipeline (VERDICT r2 #1) --------------------------
+    # host side + duty cycle from a CPU-backend subprocess (tunnel-noise
+    # free); device cost per third round measured here at the observed
+    # bucket shape; composed into the combined per-frame number.
+    hp = _busca_hostprep_subprocess()
+    import math
+
+    from busca_tpu.assoc.engine import DEFAULT_BUCKETS
+
+    avg_t = max(hp["avg_tracks_per_call"], 1.0)
+    d_call = max(int(round(hp["avg_dets_per_call"])), 1)
+    bucket = next(
+        (b for b in DEFAULT_BUCKETS if b >= math.ceil(avg_t)),
+        DEFAULT_BUCKETS[-1],
+    )
+    busca_call = bench_association_dedup(bucket, d_call, "bfloat16")
+    # lockstep: 8 sequences' third rounds share ONE grouped call
+    lockstep_t = min(8 * bucket, DEFAULT_BUCKETS[-1])
+    busca_call_8 = bench_association_dedup(
+        lockstep_t, min(8 * d_call, 240), "bfloat16", iters=5
+    )
+    busca_dev_ms = hp["duty"] * busca_call["ms"]
+    busca_dev_ms_lockstep = hp["duty"] * busca_call_8["ms"] / 8.0
+    e2e_busca_ms = (
+        e2e["device_ms"] + hp["busca_tracker_ms"] + busca_dev_ms
+    )
+    e2e_busca_lockstep_ms = (
+        e2e["batched_device_ms_per_frame"] + hp["busca_tracker_ms"]
+        + busca_dev_ms_lockstep
+    )
 
     torch_det_s = bench_torch_detector()
     tracker_s = e2e["tracker_ms"] / 1e3
@@ -616,15 +820,49 @@ def main():
                     "assoc_tracks_per_s_T64_bf16":
                         round(assoc_64_bf16["tracks_per_s"], 1),
                     "assoc_mfu_pct_T64_bf16": round(assoc_mfu * 100, 1),
+                    # ---- BUSCA-attached pipeline (tracker + third rounds)
+                    "e2e_busca_frames_per_s": round(1e3 / e2e_busca_ms, 2),
+                    "e2e_busca_ms_per_frame": round(e2e_busca_ms, 2),
+                    "e2e_busca_lockstep_frames_per_s":
+                        round(1e3 / e2e_busca_lockstep_ms, 2),
+                    "busca_third_round_duty_cycle": round(hp["duty"], 3),
+                    "busca_tracks_per_call": round(avg_t, 2),
+                    "busca_dets_per_call": d_call,
+                    "busca_bucket": bucket,
+                    "busca_device_ms_per_call": round(busca_call["ms"], 2),
+                    "busca_device_ms_per_frame": round(busca_dev_ms, 2),
+                    "busca_host_ms_per_frame":
+                        round(hp["busca_host_ms"], 2),
+                    "busca_tracker_ms_per_frame":
+                        round(hp["busca_tracker_ms"], 2),
+                    "busca_base_tracker_ms_per_frame":
+                        round(hp["base_tracker_ms"], 2),
+                    "busca_lockstep_grouped_T": lockstep_t,
+                    "busca_lockstep_device_ms_per_frame":
+                        round(busca_dev_ms_lockstep, 2),
                     "torch_cpu_detector_s_per_frame":
                         round(torch_det_s, 2) if torch_det_s else None,
+                    "torch_cpu_threads": _torch_threads(),
                     "baseline_e2e_fps":
                         round(torch_e2e_fps, 4) if torch_e2e_fps else None,
                     "peak_bf16_flops_assumed": peak,
-                    "note": "baseline = equivalent torch YOLOX-X on this "
-                            "host's CPU (single core) + the same measured "
-                            "host tracker cost; the reference publishes no "
-                            "latency numbers (BASELINE.md)",
+                    "note": "baseline = equivalent torch YOLOX-X forward on "
+                            "this host's CPU (multi-threaded, see "
+                            "torch_cpu_threads) + the same measured host "
+                            "tracker cost; the reference publishes no "
+                            "latency numbers (BASELINE.md).  For a GPU "
+                            "frame of reference: the ByteTrack paper "
+                            "(arXiv:2110.06864) reports ~30 fps end-to-end "
+                            "for the same YOLOX-X 1440x800 pipeline on a "
+                            "V100 with fp16 — vs_baseline is NOT a GPU "
+                            "comparison.  e2e_busca_* composes the measured "
+                            "detector device step + the BUSCA-attached "
+                            "tracker host cost (CPU-subprocess, "
+                            "dummy-scored) + the third-round device call "
+                            "at the observed duty cycle/bucket; ECC CMC "
+                            "(enabled only in MOT17 configs) adds a "
+                            "measured 148 ms/pair host-side cv2 call per "
+                            "third-round frame, overlappable in lockstep.",
                 },
             }
         )

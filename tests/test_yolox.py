@@ -258,3 +258,58 @@ def test_yolox_feeds_postprocess(rng):
     decoded = model.apply(variables, x)
     out, valid = yolox_postprocess(decoded[0], NC, 0.01, 0.5, 32)
     assert out.shape == (32, 7)
+
+
+def test_focus_conv6_equals_s2d_conv3(rng):
+    """The 6x6/2 stem rewrite must equal the literal s2d + 3x3 conv
+    formulation bit-for-bit up to f32 reassociation."""
+    import jax
+    import jax.numpy as jnp
+
+    from busca_tpu.models.yolox import Focus
+
+    x = jnp.asarray(rng.randn(1, 64, 96, 3).astype(np.float32))
+    mod = Focus(24)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    got = mod.apply(variables, x)
+
+    # literal reference formulation with the same parameters
+    k3 = variables["params"]["conv"]["conv"]["kernel"]
+    s2d = jnp.concatenate(
+        [x[:, ::2, ::2], x[:, 1::2, ::2], x[:, ::2, 1::2], x[:, 1::2, 1::2]],
+        axis=-1,
+    )
+    ref = jax.lax.conv_general_dilated(
+        s2d, k3, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    from busca_tpu.models.reid import BatchNorm
+
+    bn = BatchNorm(24, eps=1e-3, use_batch_stats=False)
+    ref = bn.apply(
+        {"params": variables["params"]["conv"]["bn"],
+         "batch_stats": variables["batch_stats"]["conv"]["bn"]},
+        ref,
+    )
+    import flax.linen as nn
+
+    ref = nn.silu(ref)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=0, atol=1e-5
+    )
+
+
+def test_sppf_equals_literal_spp(rng):
+    """Chained 5x5 max pools == direct 5/9/13 pools, elementwise."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    x = jnp.asarray(rng.randn(2, 13, 17, 8).astype(np.float32))
+    p5 = nn.max_pool(x, (5, 5), strides=(1, 1), padding=[(2, 2), (2, 2)])
+    p9 = nn.max_pool(x, (9, 9), strides=(1, 1), padding=[(4, 4), (4, 4)])
+    p13 = nn.max_pool(x, (13, 13), strides=(1, 1), padding=[(6, 6), (6, 6)])
+    c5 = p5
+    c9 = nn.max_pool(c5, (5, 5), strides=(1, 1), padding=[(2, 2), (2, 2)])
+    c13 = nn.max_pool(c9, (5, 5), strides=(1, 1), padding=[(2, 2), (2, 2)])
+    np.testing.assert_array_equal(np.asarray(p9), np.asarray(c9))
+    np.testing.assert_array_equal(np.asarray(p13), np.asarray(c13))

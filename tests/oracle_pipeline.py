@@ -1,0 +1,840 @@
+"""Independent torch/numpy oracle of the full BUSCA pipeline.
+
+A from-scratch reimplementation of the *reference's* composed behavior —
+BYTE tracker loop (rounds 1/2 + Step 3b) + ``associate_embeddings`` + the
+torch decision model — written directly from the reference sources
+(adapters/ByteTrack/yolox/tracker/byte_tracker.py:226-532,
+busca/network.py:176-429, busca/tracking.py:62-113), sharing NO code with
+busca_tpu.  tests/test_pipeline_oracle.py drives this oracle and the
+busca_tpu pipeline over the same synthetic sequence with shared weights and
+asserts frame-by-frame probs-matrix and track-ID equality (the next-best
+stand-in for golden-number parity while real weights/data are external).
+
+Deliberate differences from busca_tpu (none behavioral):
+- crops via cv2 (the reference's exact floor/ceil + clip + mean-pad +
+  INTER_LINEAR recipe) instead of the XLA gather kernel;
+- LAP via scipy with the standard cost-limit augmentation instead of the
+  C++ lapjv;
+- Kalman as per-track numpy instead of the batched XLA/numpy mirror.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import numpy as np
+import scipy.linalg
+import torch
+import torch.nn as tnn
+
+from torch_oracles import (
+    TorchGhostResNet50,
+    TorchPostLNLayer,
+    oracle_pe3d,
+    oracle_spatial_buckets,
+)
+
+# ---------------------------------------------------------------------------
+# Kalman filter (mot_online/kalman_filter.py formulas)
+# ---------------------------------------------------------------------------
+
+
+class OracleKalman:
+    """ByteTrack 8-state constant-velocity filter over (x, y, a, h)."""
+
+    def __init__(self):
+        ndim, dt = 4, 1.0
+        self._motion_mat = np.eye(2 * ndim)
+        for i in range(ndim):
+            self._motion_mat[i, ndim + i] = dt
+        self._update_mat = np.eye(ndim, 2 * ndim)
+        self._std_weight_position = 1.0 / 20
+        self._std_weight_velocity = 1.0 / 160
+
+    def initiate(self, measurement):
+        mean_pos = measurement
+        mean_vel = np.zeros_like(mean_pos)
+        mean = np.r_[mean_pos, mean_vel]
+        wp, wv = self._std_weight_position, self._std_weight_velocity
+        h = measurement[3]
+        std = [
+            2 * wp * h, 2 * wp * h, 1e-2, 2 * wp * h,
+            10 * wv * h, 10 * wv * h, 1e-5, 10 * wv * h,
+        ]
+        return mean, np.diag(np.square(std))
+
+    def predict(self, mean, covariance):
+        wp, wv = self._std_weight_position, self._std_weight_velocity
+        h = mean[3]
+        std_pos = [wp * h, wp * h, 1e-2, wp * h]
+        std_vel = [wv * h, wv * h, 1e-5, wv * h]
+        motion_cov = np.diag(np.square(np.r_[std_pos, std_vel]))
+        mean = self._motion_mat @ mean
+        covariance = (
+            self._motion_mat @ covariance @ self._motion_mat.T + motion_cov
+        )
+        return mean, covariance
+
+    def project(self, mean, covariance):
+        wp = self._std_weight_position
+        h = mean[3]
+        std = [wp * h, wp * h, 1e-1, wp * h]
+        innovation_cov = np.diag(np.square(std))
+        mean = self._update_mat @ mean
+        covariance = self._update_mat @ covariance @ self._update_mat.T
+        return mean, covariance + innovation_cov
+
+    def update(self, mean, covariance, measurement):
+        proj_mean, proj_cov = self.project(mean, covariance)
+        chol, lower = scipy.linalg.cho_factor(
+            proj_cov, lower=True, check_finite=False
+        )
+        kalman_gain = scipy.linalg.cho_solve(
+            (chol, lower),
+            (covariance @ self._update_mat.T).T,
+            check_finite=False,
+        ).T
+        innovation = measurement - proj_mean
+        new_mean = mean + kalman_gain @ innovation
+        new_cov = covariance - kalman_gain @ proj_cov @ kalman_gain.T
+        return new_mean, new_cov
+
+
+# ---------------------------------------------------------------------------
+# matching (matching.py:39-186 semantics)
+# ---------------------------------------------------------------------------
+
+
+def bbox_ious_plus1(a, b):
+    """cython_bbox convention: widths/heights counted +1."""
+    out = np.zeros((len(a), len(b)))
+    for i, boxa in enumerate(a):
+        area_a = (boxa[2] - boxa[0] + 1) * (boxa[3] - boxa[1] + 1)
+        for j, boxb in enumerate(b):
+            iw = min(boxa[2], boxb[2]) - max(boxa[0], boxb[0]) + 1
+            if iw <= 0:
+                continue
+            ih = min(boxa[3], boxb[3]) - max(boxa[1], boxb[1]) + 1
+            if ih <= 0:
+                continue
+            area_b = (boxb[2] - boxb[0] + 1) * (boxb[3] - boxb[1] + 1)
+            out[i, j] = iw * ih / (area_a + area_b - iw * ih)
+    return out
+
+
+def iou_distance(atracks, btracks):
+    a = [t.tlbr for t in atracks]
+    b = [t.tlbr for t in btracks]
+    if not a or not b:
+        return np.zeros((len(a), len(b)))
+    return 1.0 - bbox_ious_plus1(a, b)
+
+
+def fuse_score(cost_matrix, detections):
+    if cost_matrix.size == 0:
+        return cost_matrix
+    iou_sim = 1 - cost_matrix
+    det_scores = np.array([d.score for d in detections])
+    fuse_sim = iou_sim * det_scores[None, :]
+    return 1 - fuse_sim
+
+
+def linear_assignment(cost_matrix, thresh):
+    """lap.lapjv(extend_cost, cost_limit=thresh) semantics via scipy:
+    the square augmentation with per-row/col dummy arcs at thresh/2 —
+    pairs costlier than ``thresh`` end up unmatched."""
+    from scipy.optimize import linear_sum_assignment
+
+    if cost_matrix.size == 0:
+        return (
+            np.empty((0, 2), dtype=int),
+            tuple(range(cost_matrix.shape[0])),
+            tuple(range(cost_matrix.shape[1])),
+        )
+    n, m = cost_matrix.shape
+    big = np.full((n + m, n + m), thresh / 2.0)
+    big[:n, :m] = cost_matrix
+    big[n:, m:] = 0.0
+    rows, cols = linear_sum_assignment(big)
+    matches, matched_a, matched_b = [], set(), set()
+    for r, c in zip(rows, cols):
+        if r < n and c < m and cost_matrix[r, c] <= thresh:
+            matches.append([r, c])
+            matched_a.add(r)
+            matched_b.add(c)
+    unmatched_a = np.array(
+        [i for i in range(n) if i not in matched_a], dtype=int
+    )
+    unmatched_b = np.array(
+        [j for j in range(m) if j not in matched_b], dtype=int
+    )
+    return np.asarray(matches), unmatched_a, unmatched_b
+
+
+def center_distance(atracks, btracks):
+    a = np.array([t.tlbr for t in atracks])
+    b = np.array([t.tlbr for t in btracks])
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(atracks), len(btracks)))
+    ac = (a[:, :2] + a[:, 2:]) / 2.0
+    bc = (b[:, :2] + b[:, 2:]) / 2.0
+    return np.sqrt(((ac[:, None] - bc[None]) ** 2).sum(-1))
+
+
+# ---------------------------------------------------------------------------
+# crops (busca/tracking.py:62-113, cv2 path)
+# ---------------------------------------------------------------------------
+
+
+def cutout_with_pad(im, bbox):
+    import cv2  # noqa: F401  (cv2 presence checked by caller)
+
+    x1, y1, x2, y2 = bbox
+    x1, y1 = int(math.floor(x1)), int(math.floor(y1))
+    x2, y2 = int(math.ceil(x2)), int(math.ceil(y2))
+    box = np.array([y1, y2, x1, x2])
+    lim = np.array([im.shape[0], im.shape[0], im.shape[1], im.shape[1]])
+    clipped = np.clip(box, 0, lim)
+    crop = im[clipped[0]:clipped[1], clipped[2]:clipped[3]]
+    pad = np.abs(clipped - box).astype(np.int32)
+    pad = np.array([[pad[0], pad[1]], [pad[2], pad[3]], [0, 0]])
+    crop = np.pad(crop, pad, mode="constant",
+                  constant_values=np.mean(crop) if crop.size else 0)
+    if crop.shape[0] == 0 or crop.shape[1] == 0:
+        crop = np.zeros((1, 1, 3), dtype=crop.dtype)
+    return crop
+
+
+def get_bbox_crop(im, bbox_ltrb, output_size):
+    """output_size = (W, H) like cv2.resize."""
+    import cv2
+
+    cutout = cutout_with_pad(im, bbox_ltrb)
+    return cv2.resize(cutout, output_size, interpolation=cv2.INTER_LINEAR)
+
+
+def get_image_crops(image, bboxes_ltrb, crop_hw):
+    h, w = crop_hw
+    return [get_bbox_crop(image, b, (w, h)) for b in bboxes_ltrb]
+
+
+MISSING_LTWH = np.array([
+    np.finfo(np.float32).min, np.finfo(np.float32).min,
+    -np.finfo(np.float32).min / 100.0, -np.finfo(np.float32).min / 100.0,
+])
+
+
+# ---------------------------------------------------------------------------
+# torch decision model (network.py:45-244 composition)
+# ---------------------------------------------------------------------------
+
+
+class TorchBuscaPipeline(tnn.Module):
+    """Parameterized MEM-SEP-CAN-BAD decision model with the reference's
+    checkpoint key layout (so convert_busca_state_dict shares its weights
+    with the JAX engine)."""
+
+    def __init__(self, seq_len, num_candidates, crop_hw, num_layers=2,
+                 d=512, nhead=4, ff=1024, reid_classes=7,
+                 reid_layers=(1, 1, 1, 1), seed=7):
+        super().__init__()
+        torch.manual_seed(seed)
+        self.seq_len = seq_len
+        self.c = num_candidates
+        self.crop_hw = crop_hw
+        self.d = d
+        self.reid = TorchGhostResNet50(
+            num_classes=reid_classes, layers_cfg=reid_layers
+        )
+        self.encoder = tnn.Linear(d, d)
+        self.layers = tnn.ModuleList(
+            [TorchPostLNLayer(d, nhead, ff) for _ in range(num_layers)]
+        )
+        self.dec_norm = tnn.LayerNorm(d)
+        self.dec_lin = tnn.Linear(d, 1)
+        self.sep_token = tnn.Parameter(torch.randn(d))
+        self.non_token = tnn.Parameter(torch.randn(d))
+        self.bad_token = tnn.Parameter(torch.randn(d))
+
+    def reference_state_dict(self):
+        sd = dict(self.reid.reference_state_dict())
+        for k, v in self.encoder.state_dict().items():
+            sd[f"encoder.{k}"] = v.numpy()
+        for i, layer in enumerate(self.layers):
+            for k, v in layer.state_dict().items():
+                sd[f"transformer_encoder.layers.{i}.{k}"] = v.numpy()
+        sd["decoder.0.weight"] = self.dec_norm.weight.detach().numpy()
+        sd["decoder.0.bias"] = self.dec_norm.bias.detach().numpy()
+        sd["decoder.1.weight"] = self.dec_lin.weight.detach().numpy()
+        sd["decoder.1.bias"] = self.dec_lin.bias.detach().numpy()
+        sd["sep_token"] = self.sep_token.detach().numpy()
+        sd["non_token"] = self.non_token.detach().numpy()
+        sd["bad_token"] = self.bad_token.detach().numpy()
+        return sd
+
+    @torch.no_grad()
+    def forward(self, mem_crops, can_crops, mem_boxes, can_boxes):
+        """mem_crops [B, L, H, W, 3] RGB normalized f32, boxes ltrb f32.
+        Returns logits [B, C + 2]."""
+        self.reid.train()  # batch-stat BN (network.py:554-556)
+        b = mem_crops.shape[0]
+        h, w = self.crop_hw
+        d = self.d
+
+        def feats(crops):
+            bb, ll = crops.shape[:2]
+            flat = torch.from_numpy(
+                np.ascontiguousarray(
+                    crops.reshape(bb * ll, h, w, 3).transpose(0, 3, 1, 2)
+                )
+            ).float()
+            _, f = self.reid(flat)
+            return f.reshape(bb, ll, -1)
+
+        mem = self.encoder(feats(mem_crops)) * np.sqrt(d)
+        can = self.encoder(feats(can_crops)) * np.sqrt(d)
+
+        sep = self.sep_token.expand(b, 1, d)
+        groups = [can[:, i:i + 1] for i in range(self.c)]
+        groups += [self.non_token.expand(b, 1, d),
+                   self.bad_token.expand(b, 1, d)]
+        seq = [mem]
+        for g in groups:
+            seq += [sep, g]
+        x = torch.cat(seq, dim=1)
+
+        # positional encodings (encodings.py semantics via numpy oracle)
+        L = self.seq_len
+        ref = mem_boxes[:, -1:, :]
+        mem_xy, mem_sz = oracle_spatial_buckets(mem_boxes, ref)
+        mem_t = np.tile(
+            np.clip(np.arange(-L + 1, 1) * 2, -30, 30) + 30, (b, 1)
+        )
+        fake = MISSING_LTWH.copy()  # ltwh sentinel used verbatim for BAD
+        tok_boxes = []
+        for i in range(self.c):
+            tok_boxes += [ref[:, 0], can_boxes[:, i]]
+        tok_boxes += [ref[:, 0], ref[:, 0],
+                      np.tile(fake, (b, 1)), np.tile(fake, (b, 1))]
+        tok_boxes = np.stack(tok_boxes, axis=1)
+        can_xy, can_sz = oracle_spatial_buckets(tok_boxes, ref)
+        can_t = np.tile(np.tile([32, 34], self.c + 2), (b, 1))
+
+        pe_mem = oracle_pe3d(mem_xy, mem_sz, mem_t, d).astype(np.float16)
+        pe_can = oracle_pe3d(can_xy, can_sz, can_t, d).astype(np.float16)
+        pe = np.concatenate([pe_mem, pe_can], axis=1).astype(np.float32)
+        x = x + torch.from_numpy(pe)
+
+        for layer in self.layers:
+            x, _ = layer(x)
+
+        pos = [L + i for i in range(1, (self.c + 2) * 2 + 1, 2)]
+        out = x[:, pos]
+        return self.dec_lin(self.dec_norm(out))[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# associate_embeddings (network.py:247-429)
+# ---------------------------------------------------------------------------
+
+MEAN_BGR = np.array([0.406, 0.456, 0.485])
+STD_BGR = np.array([0.225, 0.224, 0.299])
+
+
+def normalize_batch(x):
+    x = x.astype(np.float32) / 255.0
+    x -= MEAN_BGR
+    x /= STD_BGR
+    return x
+
+
+def get_track_mem(track, seq_len, use_broader_memory):
+    full = track.images_mem
+    if use_broader_memory and not (seq_len == 1 and len(full) >= 1) \
+            and len(full) >= seq_len:
+        sep = float(len(full) - 1) / float(seq_len - 1)
+        mem = [full[int(i * sep)] for i in range(seq_len)]
+        boxes = [track.tlwh_mem[int(i * sep)] for i in range(seq_len)]
+    else:
+        mem = full[-seq_len:]
+        boxes = track.tlwh_mem[-seq_len:]
+    return mem, np.array(boxes) * track.scale
+
+
+def ltwh_to_ltrb(x):
+    out = x.copy()
+    out[..., 2:] += out[..., :2]
+    return out
+
+
+def associate_embeddings(model, tracks, dets, dists_matrix, seq_len,
+                         num_candidates, use_broader_memory,
+                         select_highest_candidate,
+                         highest_candidate_minimum_thresh=None,
+                         keep_highest_value=False,
+                         extra_kalman_candidates=()):
+    h, w = model.crop_hw
+    if len(tracks) == 0:
+        return None, None
+    if len(dets) == 0 and len(extra_kalman_candidates) == 0:
+        return None, None
+
+    complete, mems, mem_boxes = [], [], []
+    for track in tracks:
+        m, bx = get_track_mem(track, seq_len, use_broader_memory)
+        if len(m) == seq_len:
+            complete.append(True)
+            mems.append(np.stack(m))
+            mem_boxes.append(bx)
+        else:
+            complete.append(False)
+            mems.append(np.zeros((seq_len, h, w, 3), np.uint8))
+            mem_boxes.append(
+                np.zeros((seq_len, 4)) + np.array([250.0, 250, 500, 500])
+            )
+    mems = normalize_batch(np.stack(mems).astype(np.uint8))
+    mem_boxes = np.stack(mem_boxes)
+
+    det_inds, cans, can_boxes = [], [], []
+    num_available = min(len(dets), num_candidates)
+    for ti in range(len(tracks)):
+        order = np.argsort(dists_matrix[ti])[:num_candidates].tolist()
+        order += [None] * (num_candidates - len(order))
+        det_inds.append(order)
+        t_crops, t_boxes = [], []
+        for di in order:
+            if di is not None:
+                t_crops.append(dets[di].images_mem[-1])
+                t_boxes.append(dets[di].tlwh_mem[-1] * dets[di].scale)
+            else:
+                t_crops.append(np.zeros((h, w, 3), np.uint8))
+                t_boxes.append(MISSING_LTWH.copy())
+        cans.append(t_crops)
+        can_boxes.append(t_boxes)
+
+    if len(extra_kalman_candidates) > 0:
+        num_available = min(len(dets) + 1, num_candidates)
+        k_slot = min(len(dets), num_candidates - 1)
+        for ti, kdet in enumerate(extra_kalman_candidates):
+            det_inds[ti][k_slot] = len(dets) + ti
+            can_boxes[ti][k_slot] = kdet.tlwh * kdet.scale
+            cans[ti][k_slot] = kdet.images_mem[-1]
+
+    cans = normalize_batch(
+        np.stack([np.stack(c) for c in cans]).astype(np.uint8)
+    )
+    can_boxes = np.stack(
+        [np.stack(bs) for bs in can_boxes]
+    )
+
+    mem_boxes = ltwh_to_ltrb(mem_boxes).astype(np.float32)
+    can_boxes = ltwh_to_ltrb(can_boxes).astype(np.float32)
+
+    # BGR -> RGB (HWC kept; the torch model transposes internally)
+    mems_rgb = mems[..., ::-1].astype(np.float32)
+    cans_rgb = cans[..., ::-1].astype(np.float32)
+
+    logits = model(mems_rgb, cans_rgb, mem_boxes, can_boxes)
+    probs = torch.softmax(logits, dim=-1).numpy()
+
+    num_dets = len(dets) + (
+        len(extra_kalman_candidates) if extra_kalman_candidates else 0
+    )
+    probs_matrix = np.zeros((len(tracks), num_dets))
+    for ti in range(len(tracks)):
+        track_probs = probs[ti]
+        if select_highest_candidate:
+            new = np.zeros_like(track_probs)
+            mt = highest_candidate_minimum_thresh
+            if mt is None or mt == 0 or track_probs.max() >= mt:
+                new[track_probs.argmax()] = (
+                    track_probs.max() if keep_highest_value else 1.0
+                )
+            track_probs = new
+        inds = det_inds[ti][:num_available]
+        probs_matrix[ti, inds] = track_probs[:num_available]
+    return probs_matrix, np.asarray(complete)
+
+
+# ---------------------------------------------------------------------------
+# STrack + BYTE loop (byte_tracker.py:23-532)
+# ---------------------------------------------------------------------------
+
+TRACKED, LOST, REMOVED = 1, 2, 3
+
+
+class OracleSTrack:
+    shared_kalman = OracleKalman()
+    _count = 0
+
+    def __init__(self, tlwh, score, image=None, scale=None):
+        self._tlwh = np.asarray(tlwh, dtype=np.float64)
+        self.kalman_filter = None
+        self.mean = self.covariance = None
+        self.is_activated = False
+        self.score = score
+        self.scale = scale
+        self.tracklet_len = 0
+        self.state = 0  # New
+        self.track_id = 0
+        self.frame_id = 0
+        self.start_frame = 0
+        self.tlwh_mem = [self._tlwh.copy()]
+        self.images_mem = [] if image is None else [image]
+
+    @classmethod
+    def next_id(cls):
+        cls._count += 1
+        return cls._count
+
+    @classmethod
+    def reset_ids(cls):
+        cls._count = 0
+
+    @property
+    def end_frame(self):
+        return self.frame_id
+
+    @property
+    def tlwh(self):
+        if self.mean is None:
+            return self._tlwh.copy()
+        ret = self.mean[:4].copy()
+        ret[2] *= ret[3]
+        ret[:2] -= ret[2:] / 2
+        return ret
+
+    @property
+    def tlbr(self):
+        ret = self.tlwh
+        ret = ret.copy()
+        ret[2:] += ret[:2]
+        return ret
+
+    @staticmethod
+    def tlwh_to_xyah(tlwh):
+        ret = np.asarray(tlwh, np.float64).copy()
+        ret[:2] += ret[2:] / 2
+        ret[2] /= ret[3]
+        return ret
+
+    @staticmethod
+    def multi_predict(stracks):
+        for st in stracks:
+            mean = st.mean.copy()
+            if st.state != TRACKED:
+                mean[7] = 0
+            st.mean, st.covariance = OracleSTrack.shared_kalman.predict(
+                mean, st.covariance
+            )
+
+    def activate(self, kalman_filter, frame_id):
+        self.kalman_filter = kalman_filter
+        self.track_id = self.next_id()
+        self.mean, self.covariance = kalman_filter.initiate(
+            self.tlwh_to_xyah(self._tlwh)
+        )
+        self.tracklet_len = 0
+        self.state = TRACKED
+        if frame_id == 1:
+            self.is_activated = True
+        self.frame_id = frame_id
+        self.start_frame = frame_id
+
+    def re_activate(self, new_track, frame_id, new_id=False,
+                    update_mems=True):
+        self.mean, self.covariance = self.kalman_filter.update(
+            self.mean, self.covariance, self.tlwh_to_xyah(new_track.tlwh)
+        )
+        self.tracklet_len = 0
+        self.state = TRACKED
+        self.is_activated = True
+        self.frame_id = frame_id
+        if new_id:
+            self.track_id = self.next_id()
+        self.score = new_track.score
+        self.scale = new_track.scale
+        if update_mems:
+            if new_track.tlwh_mem:
+                self.tlwh_mem.extend(new_track.tlwh_mem)
+            if new_track.images_mem:
+                self.images_mem.extend(new_track.images_mem)
+
+    def update(self, new_track, frame_id, update_mems=True):
+        self.frame_id = frame_id
+        self.tracklet_len += 1
+        self.mean, self.covariance = self.kalman_filter.update(
+            self.mean, self.covariance, self.tlwh_to_xyah(new_track.tlwh)
+        )
+        self.state = TRACKED
+        self.is_activated = True
+        self.score = new_track.score
+        self.scale = new_track.scale
+        if update_mems:
+            if new_track.tlwh_mem:
+                self.tlwh_mem.extend(new_track.tlwh_mem)
+            if new_track.images_mem:
+                self.images_mem.extend(new_track.images_mem)
+
+    def mark_lost(self):
+        self.state = LOST
+
+    def mark_removed(self):
+        self.state = REMOVED
+
+
+def joint_stracks(a, b):
+    seen, res = set(), []
+    for t in a:
+        seen.add(t.track_id)
+        res.append(t)
+    for t in b:
+        if t.track_id not in seen:
+            seen.add(t.track_id)
+            res.append(t)
+    return res
+
+
+def sub_stracks(a, b):
+    d = {t.track_id: t for t in a}
+    for t in b:
+        d.pop(t.track_id, None)
+    return list(d.values())
+
+
+def remove_duplicate_stracks(sa, sb):
+    pdist = iou_distance(sa, sb)
+    pairs = np.where(pdist < 0.15)
+    dupa, dupb = [], []
+    for p, q in zip(*pairs):
+        timep = sa[p].frame_id - sa[p].start_frame
+        timeq = sb[q].frame_id - sb[q].start_frame
+        if timep > timeq:
+            dupb.append(q)
+        else:
+            dupa.append(p)
+    return (
+        [t for i, t in enumerate(sa) if i not in dupa],
+        [t for i, t in enumerate(sb) if i not in dupb],
+    )
+
+
+class OracleByteTracker:
+    """The reference BYTE+BUSCA update loop (byte_tracker.py:226-456),
+    CMC/reliable-gate off (the shipped MOT20 configuration)."""
+
+    def __init__(self, model, track_thresh=0.5, track_buffer=30,
+                 match_thresh=0.9, busca_thresh=0.5, seq_len=5,
+                 num_candidates=3, use_broader_memory=True,
+                 select_highest_candidate=True,
+                 transformer_update_mems_only_first_round=True,
+                 crop_hw=(64, 32), frame_rate=30, mot20=False):
+        OracleSTrack.reset_ids()
+        self.model = model
+        self.tracked_stracks: List[OracleSTrack] = []
+        self.lost_stracks: List[OracleSTrack] = []
+        self.removed_stracks: List[OracleSTrack] = []
+        self.frame_id = 0
+        self.track_thresh = track_thresh
+        self.det_thresh = track_thresh + 0.1
+        self.match_thresh = match_thresh
+        self.busca_thresh = busca_thresh
+        self.seq_len = seq_len
+        self.num_candidates = num_candidates
+        self.use_broader_memory = use_broader_memory
+        self.select_highest_candidate = select_highest_candidate
+        self.mems_first_only = transformer_update_mems_only_first_round
+        self.crop_hw = crop_hw
+        self.mot20 = mot20
+        self.max_time_lost = int(frame_rate / 30.0 * track_buffer)
+        self.kalman_filter = OracleKalman()
+        self.probs_log: List[Optional[np.ndarray]] = []
+
+    def update(self, bboxes_tlbr, scores, scale, frame):
+        self.frame_id += 1
+        activated, refind, lost, removed = [], [], [], []
+        bboxes = np.asarray(bboxes_tlbr, np.float64).reshape(-1, 4)
+        scores = np.asarray(scores, np.float64).reshape(-1)
+
+        remain = scores > self.track_thresh
+        second = (scores > 0.1) & (scores < self.track_thresh)
+        considered = remain | second
+        dets = bboxes[remain]
+        scores_keep = scores[remain]
+        dets_second = bboxes[second]
+        scores_second = scores[second]
+        bboxes_considered = bboxes[considered]
+        scores_considered = scores[considered]
+
+        def tlbr_to_tlwh(tlbr):
+            out = tlbr.copy()
+            out[2:] -= out[:2]
+            return out
+
+        crops_first = get_image_crops(frame, dets * scale, self.crop_hw)
+        crops_second = get_image_crops(
+            frame, dets_second * scale, self.crop_hw
+        )
+        crops_considered = get_image_crops(
+            frame, bboxes_considered * scale, self.crop_hw
+        )
+
+        detections = [
+            OracleSTrack(tlbr_to_tlwh(t), s, im, scale)
+            for t, s, im in zip(dets, scores_keep, crops_first)
+        ]
+        all_considered = [
+            OracleSTrack(tlbr_to_tlwh(t), s, im, scale)
+            for t, s, im in zip(
+                bboxes_considered, scores_considered, crops_considered
+            )
+        ]
+
+        unconfirmed = [
+            t for t in self.tracked_stracks if not t.is_activated
+        ]
+        tracked = [t for t in self.tracked_stracks if t.is_activated]
+
+        # round 1
+        strack_pool = joint_stracks(tracked, self.lost_stracks)
+        OracleSTrack.multi_predict(strack_pool)
+        dists = iou_distance(strack_pool, detections)
+        if not self.mot20:
+            dists = fuse_score(dists, detections)
+        matches, u_track, u_det = linear_assignment(
+            dists, self.match_thresh
+        )
+        for it, idet in matches:
+            track, det = strack_pool[it], detections[idet]
+            update_mems = det.score >= self.det_thresh
+            if track.state == TRACKED:
+                track.update(det, self.frame_id, update_mems)
+                activated.append(track)
+            else:
+                track.re_activate(det, self.frame_id, False, update_mems)
+                refind.append(track)
+
+        # round 2 (low-score)
+        detections_second = [
+            OracleSTrack(tlbr_to_tlwh(t), s, im, scale)
+            for t, s, im in zip(dets_second, scores_second, crops_second)
+        ]
+        r_tracked = [
+            strack_pool[i] for i in u_track
+            if strack_pool[i].state == TRACKED
+        ]
+        r_lost = [
+            strack_pool[i] for i in u_track
+            if strack_pool[i].state != TRACKED
+        ]
+        dists = iou_distance(r_tracked, detections_second)
+        matches, u_track, _ = linear_assignment(dists, 0.5)
+        for it, idet in matches:
+            track, det = r_tracked[it], detections_second[idet]
+            track.update(det, self.frame_id, not self.mems_first_only)
+            activated.append(track)
+
+        unassigned = joint_stracks([r_tracked[i] for i in u_track], r_lost)
+        u_track = list(range(len(unassigned)))
+
+        # Step 3b
+        self.probs_log.append(None)
+        if self.busca_thresh > 0:
+            third_pool = unassigned
+            kalman_cands = []
+            for track in third_pool:
+                crop = get_image_crops(
+                    frame, [track.tlbr * track.scale], self.crop_hw
+                )[0]
+                kalman_cands.append(OracleSTrack(
+                    track.tlwh, np.float32(0.10000001), crop, track.scale
+                ))
+            matches3, u3 = self._third_round(
+                third_pool, all_considered, kalman_cands
+            )
+            for it, _prob in matches3:
+                track = third_pool[it]
+                det = kalman_cands[it]
+                if track.state == TRACKED:
+                    track.update(det, self.frame_id, update_mems=False)
+                    activated.append(track)
+            u_track = u3
+
+        for it in u_track:
+            track = unassigned[it]
+            if track.state != LOST:
+                track.mark_lost()
+                lost.append(track)
+
+        # unconfirmed
+        detections = [detections[i] for i in u_det]
+        dists = iou_distance(unconfirmed, detections)
+        if not self.mot20:
+            dists = fuse_score(dists, detections)
+        matches, u_unconfirmed, u_det = linear_assignment(dists, 0.7)
+        for it, idet in matches:
+            unconfirmed[it].update(detections[idet], self.frame_id, True)
+            activated.append(unconfirmed[it])
+        for it in u_unconfirmed:
+            track = unconfirmed[it]
+            track.mark_removed()
+            removed.append(track)
+
+        # init
+        for inew in u_det:
+            track = detections[inew]
+            if track.score < self.det_thresh:
+                continue
+            track.activate(self.kalman_filter, self.frame_id)
+            activated.append(track)
+        # prune
+        for track in self.lost_stracks:
+            if self.frame_id - track.end_frame > self.max_time_lost:
+                track.mark_removed()
+                removed.append(track)
+
+        self.tracked_stracks = [
+            t for t in self.tracked_stracks if t.state == TRACKED
+        ]
+        self.tracked_stracks = joint_stracks(self.tracked_stracks, activated)
+        self.tracked_stracks = joint_stracks(self.tracked_stracks, refind)
+        self.lost_stracks = sub_stracks(
+            self.lost_stracks, self.tracked_stracks
+        )
+        self.lost_stracks.extend(lost)
+        self.lost_stracks = sub_stracks(
+            self.lost_stracks, self.removed_stracks
+        )
+        self.removed_stracks.extend(removed)
+        self.removed_stracks = [
+            t for t in self.removed_stracks
+            if self.frame_id - t.end_frame < 10 * self.max_time_lost
+        ]
+        self.tracked_stracks, self.lost_stracks = remove_duplicate_stracks(
+            self.tracked_stracks, self.lost_stracks
+        )
+        return [t for t in self.tracked_stracks if t.is_activated]
+
+    def _third_round(self, pool, considered, kalman_cands):
+        if self.busca_thresh <= 0.0 or not pool:
+            return [], list(range(len(pool)))
+        dists = center_distance(pool, considered)
+        probs, reliable = associate_embeddings(
+            self.model, pool, considered, dists, self.seq_len,
+            self.num_candidates, self.use_broader_memory,
+            self.select_highest_candidate,
+            extra_kalman_candidates=kalman_cands,
+        )
+        self.probs_log[-1] = probs
+        if probs is None:
+            return [], list(range(len(pool)))
+        matches, u_track = [], []
+        num_dets = len(considered)
+        for i in range(len(pool)):
+            p = probs[i, num_dets + i]
+            if reliable[i] and p > self.busca_thresh:
+                matches.append([i, p])
+            else:
+                u_track.append(i)
+        return matches, u_track

@@ -13,8 +13,9 @@ stand-in for golden-number parity while real weights/data are external).
 Deliberate differences from busca_tpu (none behavioral):
 - crops via cv2 (the reference's exact floor/ceil + clip + mean-pad +
   INTER_LINEAR recipe) instead of the XLA gather kernel;
-- LAP via scipy with the standard cost-limit augmentation instead of the
-  C++ lapjv;
+- LAP via scipy: the cost-limit augmentation for ByteTrack's lapjv role,
+  and deep_sort's clamp-assign-filter min_cost_matching for StrongSORT —
+  instead of the C++ lapjv;
 - Kalman as per-track numpy instead of the batched XLA/numpy mirror.
 """
 
@@ -819,6 +820,466 @@ class OracleByteTracker:
     def _third_round(self, pool, considered, kalman_cands):
         if self.busca_thresh <= 0.0 or not pool:
             return [], list(range(len(pool)))
+        dists = center_distance(pool, considered)
+        probs, reliable = associate_embeddings(
+            self.model, pool, considered, dists, self.seq_len,
+            self.num_candidates, self.use_broader_memory,
+            self.select_highest_candidate,
+            extra_kalman_candidates=kalman_cands,
+        )
+        self.probs_log[-1] = probs
+        if probs is None:
+            return [], list(range(len(pool)))
+        matches, u_track = [], []
+        num_dets = len(considered)
+        for i in range(len(pool)):
+            p = probs[i, num_dets + i]
+            if reliable[i] and p > self.busca_thresh:
+                matches.append([i, p])
+            else:
+                u_track.append(i)
+        return matches, u_track
+
+
+# ---------------------------------------------------------------------------
+# StrongSORT oracle (deep_sort/tracker.py + track.py + linear_assignment.py)
+# ---------------------------------------------------------------------------
+
+INFTY_COST = 1e5
+CHI2INV95_4 = 9.4877
+
+
+class OracleSSKalman(OracleKalman):
+    """DeepSORT filter + NSA: measurement noise scaled by (1 - confidence)
+    (StrongSORT paper eq. 2; deep_sort/track.py:242 passes the confidence)."""
+
+    def update(self, mean, covariance, measurement, confidence=None):
+        wp = self._std_weight_position
+        h = mean[3]
+        std = np.array([wp * h, wp * h, 1e-1, wp * h])
+        if confidence is not None:
+            std = std * (1.0 - confidence)
+        innovation_cov = np.diag(np.square(std))
+        proj_mean = self._update_mat @ mean
+        proj_cov = (
+            self._update_mat @ covariance @ self._update_mat.T
+            + innovation_cov
+        )
+        chol, lower = scipy.linalg.cho_factor(
+            proj_cov, lower=True, check_finite=False
+        )
+        kalman_gain = scipy.linalg.cho_solve(
+            (chol, lower),
+            (covariance @ self._update_mat.T).T,
+            check_finite=False,
+        ).T
+        innovation = measurement - proj_mean
+        return (
+            mean + kalman_gain @ innovation,
+            covariance - kalman_gain @ proj_cov @ kalman_gain.T,
+        )
+
+    def gating_distance(self, mean, covariance, measurements):
+        wp = self._std_weight_position
+        h = mean[3]
+        std = [wp * h, wp * h, 1e-1, wp * h]
+        proj_mean = self._update_mat @ mean
+        proj_cov = (
+            self._update_mat @ covariance @ self._update_mat.T
+            + np.diag(np.square(std))
+        )
+        chol = np.linalg.cholesky(proj_cov)
+        d = measurements - proj_mean
+        z = scipy.linalg.solve_triangular(
+            chol, d.T, lower=True, check_finite=False, overwrite_b=True
+        )
+        return np.sum(z * z, axis=0)
+
+
+SS_TENTATIVE, SS_CONFIRMED, SS_DELETED = 1, 2, 3
+
+
+class OracleSSTrack:
+    conf_thres = 1.0  # Track._conf_thres (set_busca_conf_threshold)
+
+    def __init__(self, xyah, track_id, n_init, max_age, feature=None,
+                 score=None, scale=1.0, image=None, ema_alpha=0.9):
+        self.track_id = track_id
+        self.hits = 1
+        self.age = 1
+        self.time_since_update = 0
+        self.state = SS_TENTATIVE
+        self.features = []
+        if feature is not None:
+            f = np.asarray(feature, np.float64)
+            f = f / np.linalg.norm(f)
+            self.features.append(f)
+        self.score = score
+        self._n_init = n_init
+        self._max_age = max_age
+        self.ema_alpha = ema_alpha
+        self.kf = OracleSSKalman()
+        self.mean, self.covariance = self.kf.initiate(np.asarray(xyah))
+        self.scale = scale
+        self._tlwh_mem = [self.to_tlwh()]
+        self.image = image
+        self._images_mem = [] if image is None else [image]
+        self.conf_mem = [score]
+
+    def to_tlwh(self):
+        ret = self.mean[:4].copy()
+        ret[2] *= ret[3]
+        ret[:2] -= ret[2:] / 2
+        return ret
+
+    @property
+    def tlwh(self):
+        return self.to_tlwh()
+
+    @property
+    def tlbr(self):
+        ret = self.to_tlwh()
+        ret[2:] = ret[:2] + ret[2:]
+        return ret
+
+    @property
+    def xyah(self):
+        ret = self.to_tlwh()
+        ret[:2] += ret[2:] / 2
+        ret[2] /= ret[3]
+        return ret
+
+    @property
+    def tlwh_mem(self):
+        return [
+            b for b, c in zip(self._tlwh_mem, self.conf_mem)
+            if c >= OracleSSTrack.conf_thres
+        ]
+
+    @property
+    def images_mem(self):
+        return [
+            im for im, c in zip(self._images_mem, self.conf_mem)
+            if c >= OracleSSTrack.conf_thres
+        ]
+
+    def predict(self):
+        self.mean, self.covariance = self.kf.predict(
+            self.mean, self.covariance
+        )
+        self.age += 1
+        self.time_since_update += 1
+
+    def update(self, xyah, confidence, feature, image, save_memory=False,
+               nsa=True):
+        self.mean, self.covariance = self.kf.update(
+            self.mean, self.covariance, np.asarray(xyah),
+            confidence=confidence if nsa else None,
+        )
+        if feature is not None:
+            f = np.asarray(feature, np.float64)
+            f = f / np.linalg.norm(f)
+            if self.features:
+                smooth = (
+                    self.ema_alpha * self.features[-1]
+                    + (1 - self.ema_alpha) * f
+                )
+                smooth /= np.linalg.norm(smooth)
+                self.features = [smooth]
+            else:
+                self.features = [f]
+        self.hits += 1
+        self.time_since_update = 0
+        self.score = confidence
+        if self.state == SS_TENTATIVE and self.hits >= self._n_init:
+            self.state = SS_CONFIRMED
+        tlwh = np.asarray(xyah, np.float64).copy()
+        tlwh[2] *= tlwh[3]
+        tlwh[:2] -= tlwh[2:] / 2
+        self._tlwh_mem.append(tlwh)
+        self.conf_mem.append(confidence)
+        if image is not None:
+            if save_memory and confidence < OracleSSTrack.conf_thres:
+                self._images_mem.append(None)
+            else:
+                self._images_mem.append(image)
+            self.image = image
+        else:
+            self._images_mem.append(None)
+
+    def mark_missed(self):
+        if self.state == SS_TENTATIVE:
+            self.state = SS_DELETED
+        elif self.time_since_update > self._max_age:
+            self.state = SS_DELETED
+
+    def is_confirmed(self):
+        return self.state == SS_CONFIRMED
+
+    def is_deleted(self):
+        return self.state == SS_DELETED
+
+
+def ss_min_cost_matching(cost_matrix, max_distance, track_indices,
+                         det_indices):
+    """deep_sort min_cost_matching: clamp > max to max+1e-5, FULL scipy
+    assignment, then discard pairs above max (linear_assignment.py:52-86 —
+    note: NOT a cost-limit LAP; clamped pairs participate in the
+    optimization and are dropped afterwards)."""
+    from scipy.optimize import linear_sum_assignment
+
+    if len(track_indices) == 0 or len(det_indices) == 0:
+        return [], list(track_indices), list(det_indices)
+    cost = cost_matrix.copy()
+    cost[cost > max_distance] = max_distance + 1e-5
+    rows, cols = linear_sum_assignment(cost)
+    matches, u_tracks, u_dets = [], [], []
+    for col, di in enumerate(det_indices):
+        if col not in cols:
+            u_dets.append(di)
+    for row, ti in enumerate(track_indices):
+        if row not in rows:
+            u_tracks.append(ti)
+    for row, col in zip(rows, cols):
+        ti, di = track_indices[row], det_indices[col]
+        if cost[row, col] > max_distance:
+            u_tracks.append(ti)
+            u_dets.append(di)
+        else:
+            matches.append((ti, di))
+    return matches, u_tracks, u_dets
+
+
+class OracleNNMetric:
+    """nn_matching.NearestNeighborDistanceMetric('cosine') with budget."""
+
+    def __init__(self, matching_threshold, budget):
+        self.matching_threshold = matching_threshold
+        self.budget = budget
+        self.samples = {}
+
+    def partial_fit(self, features, targets, active_targets):
+        for f, t in zip(features, targets):
+            self.samples.setdefault(t, []).append(f)
+            if self.budget is not None:
+                self.samples[t] = self.samples[t][-self.budget:]
+        self.samples = {
+            k: self.samples[k] for k in active_targets if k in self.samples
+        }
+
+    def distance(self, features, targets):
+        cost = np.zeros((len(targets), len(features)))
+        for i, t in enumerate(targets):
+            gallery = np.asarray(self.samples.get(t, []))
+            if gallery.size == 0 or len(features) == 0:
+                cost[i, :] = INFTY_COST
+                continue
+            cost[i, :] = (1.0 - gallery @ np.asarray(features).T).min(axis=0)
+        return cost
+
+
+def ss_iou(a_tlbr, b_tlbr):
+    """deep_sort iou_matching.iou — NO +1 convention."""
+    out = np.zeros((len(a_tlbr), len(b_tlbr)))
+    for i, a in enumerate(a_tlbr):
+        area_a = (a[2] - a[0]) * (a[3] - a[1])
+        for j, b in enumerate(b_tlbr):
+            iw = min(a[2], b[2]) - max(a[0], b[0])
+            ih = min(a[3], b[3]) - max(a[1], b[1])
+            if iw <= 0 or ih <= 0:
+                continue
+            area_b = (b[2] - b[0]) * (b[3] - b[1])
+            out[i, j] = iw * ih / (area_a + area_b - iw * ih)
+    return out
+
+
+class OracleStrongSortTracker:
+    """deep_sort/tracker.py with BUSCA third round, woC (vanilla matching),
+    NSA + EMA + MC on (the run_strongsort.sh flag set), CMC off."""
+
+    def __init__(self, model, max_iou_distance=0.7, max_age=30, n_init=3,
+                 max_cosine_distance=0.45, nn_budget=1, mc_lambda=0.98,
+                 busca_thresh=0.5, seq_len=5, num_candidates=3,
+                 use_broader_memory=True, select_highest_candidate=True,
+                 conf_threshold=0.8, crop_hw=(64, 32), ema_alpha=0.9,
+                 mems_first_only=True):
+        self.model = model
+        self.max_iou_distance = max_iou_distance
+        self.max_age = max_age
+        self.n_init = n_init
+        self.metric = OracleNNMetric(max_cosine_distance, nn_budget)
+        self.mc_lambda = mc_lambda
+        self.busca_thresh = busca_thresh
+        self.seq_len = seq_len
+        self.num_candidates = num_candidates
+        self.use_broader_memory = use_broader_memory
+        self.select_highest_candidate = select_highest_candidate
+        self.crop_hw = crop_hw
+        self.ema_alpha = ema_alpha
+        self.mems_first_only = mems_first_only
+        OracleSSTrack.conf_thres = conf_threshold
+        self.tracks = []
+        self._next_id = 1
+        self.probs_log = []
+
+    def predict(self):
+        for t in self.tracks:
+            t.predict()
+
+    def update(self, boxes_tlbr, scores, features, frame):
+        boxes_tlbr = np.asarray(boxes_tlbr, np.float64).reshape(-1, 4)
+        scores = np.asarray(scores, np.float64).reshape(-1)
+        tlwh = boxes_tlbr.copy()
+        tlwh[:, 2:] -= tlwh[:, :2]
+        xyah = tlwh.copy()
+        xyah[:, :2] += xyah[:, 2:] / 2
+        xyah[:, 2] /= xyah[:, 3]
+
+        matches, unmatched_tracks, unmatched_dets = self._match(
+            xyah, tlwh, scores, features
+        )
+
+        det_images = get_image_crops(frame, boxes_tlbr, self.crop_hw)
+
+        # third round over unmatched confirmed age<=1 tracks
+        # (deep_sort/tracker.py:129-189)
+        self.probs_log.append(None)
+        third_idx = [
+            i for i in unmatched_tracks
+            if self.tracks[i].is_confirmed()
+            and self.tracks[i].time_since_update <= 1
+        ]
+        third_pool = [self.tracks[i] for i in third_idx]
+        if self.busca_thresh > 0 and third_pool:
+            kalman_cands = []
+            for t in third_pool:
+                crop = get_image_crops(frame, [t.tlbr], self.crop_hw)[0]
+                kalman_cands.append(OracleSSTrack(
+                    t.xyah, -1, self.n_init, self.max_age, None,
+                    np.float32(OracleSSTrack.conf_thres), 1.0, crop,
+                ))
+            considered = []
+            for i in range(len(tlwh)):
+                conf = scores[i]
+                if self.mems_first_only:
+                    conf = max(conf, OracleSSTrack.conf_thres)
+                considered.append(OracleSSTrack(
+                    xyah[i], -1, self.n_init, self.max_age,
+                    features[i] if features is not None else None,
+                    conf, 1.0, det_images[i],
+                ))
+            matches3, u3 = self._third_round(
+                third_pool, considered, kalman_cands
+            )
+            for it, _prob in matches3:
+                track = third_pool[it]
+                det = kalman_cands[it]
+                if self.mems_first_only:
+                    new_feat = (
+                        track.features[-1] if track.features else None
+                    )
+                    new_img = (
+                        track._images_mem[-1] if track._images_mem else None
+                    )
+                    new_conf = 0.10000001
+                else:
+                    new_feat = det.features[-1] if det.features else None
+                    new_img = det.image
+                    new_conf = det.score
+                track.update(det.xyah, new_conf, new_feat, new_img)
+                unmatched_tracks.remove(third_idx[it])
+
+        for ti, di in matches:
+            self.tracks[ti].update(
+                xyah[di], scores[di],
+                features[di] if features is not None else None,
+                det_images[di],
+            )
+        for ti in unmatched_tracks:
+            self.tracks[ti].mark_missed()
+        for di in unmatched_dets:
+            self.tracks.append(OracleSSTrack(
+                xyah[di], self._next_id, self.n_init, self.max_age,
+                features[di] if features is not None else None,
+                scores[di], 1.0, det_images[di],
+                ema_alpha=self.ema_alpha,
+            ))
+            self._next_id += 1
+        self.tracks = [t for t in self.tracks if not t.is_deleted()]
+
+        active = [t.track_id for t in self.tracks if t.is_confirmed()]
+        feats, targets = [], []
+        for t in self.tracks:
+            if not t.is_confirmed():
+                continue
+            feats += t.features
+            targets += [t.track_id] * len(t.features)
+        if feats:
+            self.metric.partial_fit(np.asarray(feats), targets, active)
+        return [
+            t for t in self.tracks
+            if t.is_confirmed() and t.time_since_update <= 1
+        ]
+
+    def _match(self, xyah, tlwh, scores, features):
+        confirmed = [
+            i for i, t in enumerate(self.tracks) if t.is_confirmed()
+        ]
+        unconfirmed = [
+            i for i, t in enumerate(self.tracks) if not t.is_confirmed()
+        ]
+        det_indices = list(range(len(xyah)))
+
+        if features is not None and confirmed:
+            targets = [self.tracks[i].track_id for i in confirmed]
+            cost = self.metric.distance(
+                np.asarray([features[d] for d in det_indices]), targets
+            )
+            z = np.asarray([xyah[d] for d in det_indices])
+            for row, ti in enumerate(confirmed):
+                t = self.tracks[ti]
+                gd = t.kf.gating_distance(t.mean, t.covariance, z)
+                cost[row, gd > CHI2INV95_4] = INFTY_COST
+                cost[row] = (
+                    self.mc_lambda * cost[row] + (1 - self.mc_lambda) * gd
+                )
+            matches_a, unmatched_a, unmatched_d = ss_min_cost_matching(
+                cost, self.metric.matching_threshold, confirmed, det_indices
+            )
+        else:
+            matches_a, unmatched_a, unmatched_d = (
+                [], list(confirmed), det_indices
+            )
+
+        iou_candidates = unconfirmed + [
+            i for i in unmatched_a if self.tracks[i].time_since_update == 1
+        ]
+        unmatched_a = [
+            i for i in unmatched_a if self.tracks[i].time_since_update != 1
+        ]
+        if iou_candidates and unmatched_d:
+            t_tlbr = [self.tracks[i].tlbr for i in iou_candidates]
+            d_tlbr = []
+            for d in unmatched_d:
+                b = tlwh[d].copy()
+                b[2:] += b[:2]
+                d_tlbr.append(b)
+            cost = 1.0 - ss_iou(t_tlbr, d_tlbr)
+            for row, ti in enumerate(iou_candidates):
+                if self.tracks[ti].time_since_update > 1:
+                    cost[row, :] = INFTY_COST
+            matches_b, unmatched_b, unmatched_d = ss_min_cost_matching(
+                cost, self.max_iou_distance, iou_candidates, unmatched_d
+            )
+        else:
+            matches_b, unmatched_b = [], list(iou_candidates)
+        return (
+            matches_a + matches_b,
+            list(set(unmatched_a + unmatched_b)),
+            list(unmatched_d),
+        )
+
+    def _third_round(self, pool, considered, kalman_cands):
         dists = center_distance(pool, considered)
         probs, reliable = associate_embeddings(
             self.model, pool, considered, dists, self.seq_len,

@@ -77,3 +77,32 @@ def test_launcher_scripts_parse(tmp_path):
         path = os.path.join(REPO, "scripts", f"{name}.sh")
         out = subprocess.run(["bash", "-n", path], capture_output=True)
         assert out.returncode == 0, f"{name}: {out.stderr}"
+
+
+def test_sample_files_tool(tmp_path, capsys):
+    """Even-stride file sampling (reference tools/sample_files.py:1-30)."""
+    from busca_tpu.utils.sample_files import main, sample_files
+
+    for i in range(10):
+        (tmp_path / f"{i:03d}.jpg").write_text("x")
+    (tmp_path / "subdir").mkdir()
+
+    allf = sample_files(str(tmp_path))
+    assert len(allf) == 10 and allf == sorted(allf)
+
+    picked = sample_files(str(tmp_path), 4)
+    # i * (N-1)/(k-1) stride: indices 0, 3, 6, 9
+    assert [p.split("/")[-1] for p in picked] == [
+        "000.jpg", "003.jpg", "006.jpg", "009.jpg"
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sample_files(str(tmp_path), 0)
+    with _pytest.raises(ValueError):
+        sample_files(str(tmp_path / "missing"))
+
+    main([str(tmp_path), "--num-files", "2"])
+    out = capsys.readouterr().out.strip().split(",")
+    assert [p.split("/")[-1] for p in out] == ["000.jpg", "009.jpg"]

@@ -293,17 +293,22 @@ def bench_busca_hostprep():
     in a CPU-backend subprocess (JAX_PLATFORMS=cpu) so tunnel upload/RTT
     noise can't pollute the host numbers.
 
-    The engine's jitted scorer is replaced with a numpy dummy: everything
-    else (per-frame det-crop extraction, memory ring updates, Kalman
-    candidate crops, dedup assembly, bucket padding, device-array
-    conversion) runs exactly as production.  Returns per-frame base tracker
-    ms, BUSCA host-overhead ms, and the observed third-round duty stats.
+    The engine's jitted scorer is replaced with a numpy dummy AND the
+    fused crop op is stubbed with zero crops: in production both run on the
+    TPU (their device cost is measured separately in the main process at
+    the observed shapes), so what remains here is the genuine host-side
+    work — memory ring updates, candidate selection, dedup assembly,
+    bucket padding, array conversions, Kalman/LAP bookkeeping.  Returns
+    per-frame base tracker ms, BUSCA host-overhead ms, crop-call counts,
+    and the observed third-round duty stats.
     """
     import time as _time
 
     from busca_tpu.assoc.engine import AssociationEngine
     from busca_tpu.models.busca import BuscaConfig, BuscaModel
     from busca_tpu.trackers import ByteTracker, ByteTrackerConfig
+    from busca_tpu.trackers import base as trackers_base
+    from busca_tpu.trackers import byte as trackers_byte
 
     import jax
 
@@ -311,6 +316,23 @@ def bench_busca_hostprep():
     frames = [seq.frame(t) for t in range(seq.num_frames)]
     dets = [seq.detections(t) for t in range(seq.num_frames)]
     crop_hw = (H, W)
+
+    # stub the device crop op (production: one fused TPU call; measured
+    # there) — zero crops keep every shape/count identical
+    crop_calls = {"n": 0, "boxes": 0}
+
+    def stub_crops(frame, boxes_tlbr, chw):
+        if frame is None or len(boxes_tlbr) == 0:
+            return []
+        crop_calls["n"] += 1
+        crop_calls["boxes"] += len(boxes_tlbr)
+        return [
+            np.zeros((chw[0], chw[1], 3), np.uint8)
+            for _ in range(len(boxes_tlbr))
+        ]
+
+    trackers_base.extract_uint8_crops = stub_crops
+    trackers_byte.extract_uint8_crops = stub_crops
 
     def drive_once(tracker):
         # untimed pass: warms every jit bucket shape the stream hits so the
@@ -321,16 +343,25 @@ def bench_busca_hostprep():
     cfg_kw = dict(track_thresh=0.5, crop_hw=crop_hw,
                   use_camera_motion_compensation=False)
 
+    def timed_drive(make):
+        # best-of-2 passes: the dev host exposes ONE cpu core, so wall
+        # times are noisy under shared load
+        best = None
+        for _ in range(2):
+            tracker = make()
+            t_timed = 0.0
+            for t, (frame, (boxes, scores)) in enumerate(zip(frames, dets)):
+                t0 = _time.perf_counter()
+                tracker.update(boxes, scores, 1.0, frame)
+                dt = _time.perf_counter() - t0
+                if t >= BUSCA_WARMUP:
+                    t_timed += dt
+            ms = t_timed / (len(frames) - BUSCA_WARMUP) * 1e3
+            best = ms if best is None else min(best, ms)
+        return best
+
     drive_once(ByteTracker(ByteTrackerConfig(**cfg_kw)))  # warm crop jits
-    base_tracker_obj = ByteTracker(ByteTrackerConfig(**cfg_kw))
-    t_timed = 0.0
-    for t, (frame, (boxes, scores)) in enumerate(zip(frames, dets)):
-        t0 = _time.perf_counter()
-        base_tracker_obj.update(boxes, scores, 1.0, frame)
-        dt = _time.perf_counter() - t0
-        if t >= BUSCA_WARMUP:
-            t_timed += dt
-    base_ms = t_timed / (len(frames) - BUSCA_WARMUP) * 1e3
+    base_ms = timed_drive(lambda: ByteTracker(ByteTrackerConfig(**cfg_kw)))
 
     # host model: tiny ReID (scoring is dummied out, params unused)
     bcfg = BuscaConfig(reid_layers=(1, 1, 1, 1), reid_num_classes=7)
@@ -363,19 +394,26 @@ def bench_busca_hostprep():
     drive_once(ByteTracker(
         ByteTrackerConfig(use_busca=True, busca_thresh=0.5, **cfg_kw), engine
     ))  # warm pass: crop/bucket jits for the BUSCA-attached stream
-    tracker = ByteTracker(
-        ByteTrackerConfig(use_busca=True, busca_thresh=0.5, **cfg_kw), engine
-    )
-    t_timed = 0.0
-    for t, (frame, (boxes, scores)) in enumerate(zip(frames, dets)):
-        stats["counting"] = t >= BUSCA_WARMUP
-        t0 = _time.perf_counter()
-        tracker.update(boxes, scores, 1.0, frame)
-        dt = _time.perf_counter() - t0
-        if t >= BUSCA_WARMUP:
-            t_timed += dt
-            stats["frames"] += 1
-    busca_ms = t_timed / stats["frames"] * 1e3
+    def busca_pass(count_stats):
+        tracker = ByteTracker(
+            ByteTrackerConfig(use_busca=True, busca_thresh=0.5, **cfg_kw),
+            engine,
+        )
+        t_timed = 0.0
+        for t, (frame, (boxes, scores)) in enumerate(zip(frames, dets)):
+            stats["counting"] = count_stats and t >= BUSCA_WARMUP
+            if count_stats and t == BUSCA_WARMUP:
+                crop_calls["n"] = crop_calls["boxes"] = 0
+            t0 = _time.perf_counter()
+            tracker.update(boxes, scores, 1.0, frame)
+            dt = _time.perf_counter() - t0
+            if t >= BUSCA_WARMUP:
+                t_timed += dt
+                if count_stats:
+                    stats["frames"] += 1
+        return t_timed / (len(frames) - BUSCA_WARMUP) * 1e3
+
+    busca_ms = min(busca_pass(True), busca_pass(False))
     return {
         "base_tracker_ms": base_ms,
         "busca_tracker_ms": busca_ms,
@@ -385,6 +423,10 @@ def bench_busca_hostprep():
         "duty": stats["calls"] / stats["frames"],
         "avg_tracks_per_call": stats["tracks"] / max(stats["calls"], 1),
         "avg_dets_per_call": stats["dets"] / max(stats["calls"], 1),
+        "crop_calls_per_frame": crop_calls["n"] / stats["frames"],
+        "crop_boxes_per_call": (
+            crop_calls["boxes"] / max(crop_calls["n"], 1)
+        ),
     }
 
 
@@ -746,8 +788,52 @@ def main():
     busca_call_8 = bench_association_dedup(
         lockstep_t, min(8 * d_call, 240), "bfloat16", iters=5
     )
-    busca_dev_ms = hp["duty"] * busca_call["ms"]
-    busca_dev_ms_lockstep = hp["duty"] * busca_call_8["ms"] / 8.0
+    # crop device cost at the observed per-frame call shapes (the
+    # subprocess stubs crops; production runs them as ONE fused TPU call
+    # per detection group, extract_uint8_crops)
+    import time as _time
+
+    from busca_tpu.ops.crop import crop_resize_normalize
+
+    crop_n = max(int(round(hp["crop_boxes_per_call"])), 1)
+    crop_bucket = 1 << max(crop_n - 1, 0).bit_length()
+    c_rng = np.random.RandomState(0)
+    c_frame = jax.device_put(
+        c_rng.randint(0, 256, (*FRAME_HW, 3)).astype(np.uint8)
+    )
+    np.asarray(c_frame[0, 0])
+    xy = c_rng.uniform(0, FRAME_HW[1] * 0.7, (crop_bucket, 2))
+    wh = c_rng.uniform(20, 200, (crop_bucket, 2))
+    c_boxes = jax.device_put(
+        np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    )
+
+    def _crop_call():
+        return crop_resize_normalize(
+            c_frame, c_boxes, out_hw=(H, W), normalize=False,
+            rgb_output=False, quantize_uint8=True,
+        )
+
+    def _loop_ms(k):
+        t0 = _time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = _crop_call()
+        np.asarray(out)
+        return (_time.perf_counter() - t0) * 1e3
+
+    _loop_ms(1)
+    crop_ms = max(
+        (min(_loop_ms(8) for _ in range(3))
+         - min(_loop_ms(1) for _ in range(3))) / 7.0,
+        0.02,
+    )
+    busca_crop_ms = hp["crop_calls_per_frame"] * crop_ms
+
+    busca_dev_ms = hp["duty"] * busca_call["ms"] + busca_crop_ms
+    busca_dev_ms_lockstep = (
+        hp["duty"] * busca_call_8["ms"] / 8.0 + busca_crop_ms
+    )
     e2e_busca_ms = (
         e2e["device_ms"] + hp["busca_tracker_ms"] + busca_dev_ms
     )
@@ -833,6 +919,11 @@ def main():
                     "busca_device_ms_per_frame": round(busca_dev_ms, 2),
                     "busca_host_ms_per_frame":
                         round(hp["busca_host_ms"], 2),
+                    "busca_crop_device_ms_per_frame":
+                        round(busca_crop_ms, 2),
+                    "busca_crop_calls_per_frame":
+                        round(hp["crop_calls_per_frame"], 2),
+                    "busca_crop_ms_per_call": round(crop_ms, 2),
                     "busca_tracker_ms_per_frame":
                         round(hp["busca_tracker_ms"], 2),
                     "busca_base_tracker_ms_per_frame":
@@ -857,9 +948,11 @@ def main():
                             "V100 with fp16 — vs_baseline is NOT a GPU "
                             "comparison.  e2e_busca_* composes the measured "
                             "detector device step + the BUSCA-attached "
-                            "tracker host cost (CPU-subprocess, "
-                            "dummy-scored) + the third-round device call "
-                            "at the observed duty cycle/bucket; ECC CMC "
+                            "tracker host cost (CPU-subprocess with the "
+                            "crop op and scorer stubbed — both are TPU "
+                            "work, measured here at the observed shapes) "
+                            "+ the crop + third-round device calls at the "
+                            "observed duty cycle/bucket; ECC CMC "
                             "(enabled only in MOT17 configs) adds a "
                             "measured 148 ms/pair host-side cv2 call per "
                             "third-round frame, overlappable in lockstep.",

@@ -23,13 +23,13 @@ exceeds the VMEM budget.  Parity is pinned against the XLA op in
 tests/test_crop_pallas.py and validated on hardware.
 
 **Measured outcome (v5e, 64 boxes, 1080p)**: this kernel runs correctly at
-~78 ms vs ~7.5 ms for the XLA gather version — the per-row one-hot selects
-and [3, Wp] x [Wp, OW] matmuls underutilize the MXU (3 of 128 rows).  XLA's
-fused gather remains the production default (`busca_tpu.ops.crop`); this
-kernel is kept as the Pallas reference implementation and the starting point
-for a row-batched variant (grouping 8 output rows x 3 channels into one
-[24, Wp] matmul) if crop ever becomes the bottleneck — today the ReID convs
-dominate the frame budget by two orders of magnitude.
+~78 ms — the per-row one-hot selects and [3, Wp] x [Wp, OW] matmuls
+underutilize the MXU (3 of 128 rows).  The question it was exploring is
+now SETTLED in plain XLA: `busca_tpu.ops.crop._crop_matmul` batches ALL
+rows and ALL boxes into two dense interpolation einsums (2.97 ms at N=64
+vs 6.79 ms for the gather form; production default from N>=16).  This
+kernel stays as the validated Pallas reference implementation; see
+PARITY.md "Pallas / the crop kernel question".
 """
 
 from __future__ import annotations

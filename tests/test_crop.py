@@ -144,3 +144,29 @@ def test_batch_is_vectorized_consistently(rng):
             )
         )[0]
         np.testing.assert_allclose(full[i], single, rtol=1e-5, atol=1e-6)
+
+
+def test_matmul_method_equals_gather(rng):
+    """The dense-interpolation-matmul path must reproduce the gather path
+    exactly (same formulas, f32 accumulation; explicit zero terms)."""
+    from busca_tpu.ops.crop import crop_resize_normalize
+
+    frame = rng.randint(0, 256, (97, 130, 3)).astype(np.uint8)
+    boxes = np.array([
+        [10.3, 5.7, 60.9, 80.2],     # interior
+        [-20.0, -10.0, 30.0, 40.0],  # clipped at top-left (mean pad)
+        [100.0, 60.0, 160.0, 120.0], # clipped at bottom-right
+        [50.0, 50.0, 50.0, 50.0],    # degenerate -> zero crop
+        [500.0, 500.0, 600.0, 700.0],# fully outside -> zero crop
+        [0.0, 0.0, 130.0, 97.0],     # full frame
+    ], np.float32)
+    for quant in (True, False):
+        a = np.asarray(crop_resize_normalize(
+            frame, boxes, out_hw=(48, 16), normalize=False,
+            rgb_output=False, quantize_uint8=quant, method="gather",
+        ))
+        b = np.asarray(crop_resize_normalize(
+            frame, boxes, out_hw=(48, 16), normalize=False,
+            rgb_output=False, quantize_uint8=quant, method="matmul",
+        ))
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-3 if not quant else 0)

@@ -569,6 +569,12 @@ def main(argv=None):
                         help="print the 12-number COCO detection-AP table of "
                              "the raw detector output vs MOT gt "
                              "(mot_evaluator.py:659-711)")
+    parser.add_argument("--centertrack-sampling", default="deformable",
+                        choices=("deformable", "local"),
+                        help="CenterTrack DLAUp conv mode: exact DCNv2 "
+                             "(converted checkpoints) or dense fixed-support "
+                             "modulated conv (4.3x on v5e, from-scratch "
+                             "training)")
     parser.add_argument("--det-nms", type=float, default=0.7,
                         help="exp.nmsthre")
     parser.add_argument("--online-visualization", action="store_true",
@@ -642,7 +648,10 @@ def main(argv=None):
             if args.tracker != "centertrack":
                 parser.error("--detector centertrack needs "
                              "--tracker centertrack (dict IO)")
+            from busca_tpu.models.centertrack import CenterTrackConfig
+
             detector = CenterTrackDetector(
+                CenterTrackConfig(sampling=args.centertrack_sampling),
                 test_size=(args.test_h, args.test_w),
                 out_thresh=args.det_conf,
             )

@@ -194,10 +194,17 @@ class DLABase(nn.Module):
 
 class DeformConvBlock(nn.Module):
     """DCNv2 conv with self-predicted offsets+mask (the DLAUp node/proj op —
-    replaces the DCNv2 CUDA extension via ops/deform.deform_conv2d)."""
+    replaces the DCNv2 CUDA extension via ops/deform.deform_conv2d).
+
+    ``sampling="local"`` pins the taps to the integer grid (modulation
+    kept) — the dense-MXU throughput mode for training from scratch; the
+    free-form bilinear gathers are the entire cost of the exact DCN on TPU
+    (measured ~10.5 ms/block at [136, 240, 64] vs ~1 ms local; converted
+    checkpoints need the exact default)."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    sampling: str = "deformable"
 
     @nn.compact
     def __call__(self, x):
@@ -214,7 +221,14 @@ class DeformConvBlock(nn.Module):
             (3, 3, x.shape[-1], self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        y = deform_conv2d(x, offset, weight, mask, bias, stride=1, padding=1)
+        if self.sampling == "local":
+            from busca_tpu.ops.deform import local_modulated_conv2d
+
+            y = local_modulated_conv2d(x, weight, mask, bias, stride=1,
+                                       padding=1)
+        else:
+            y = deform_conv2d(x, offset, weight, mask, bias, stride=1,
+                              padding=1)
         y = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
                          name="bn")(y)
         return nn.relu(y)
@@ -232,17 +246,18 @@ class IDAUp(nn.Module):
     features: int
     num_inputs: int
     dtype: jnp.dtype = jnp.float32
+    sampling: str = "deformable"
 
     @nn.compact
     def __call__(self, layers):
         out = [layers[0]]
         x = layers[0]
         for i in range(1, self.num_inputs):
-            y = DeformConvBlock(self.features, self.dtype,
+            y = DeformConvBlock(self.features, self.dtype, self.sampling,
                                 name=f"proj_{i}")(layers[i])
             for _ in range(self._log2_ratio(layers[0], layers[i])):
                 y = _up2x(y)
-            x = DeformConvBlock(self.features, self.dtype,
+            x = DeformConvBlock(self.features, self.dtype, self.sampling,
                                 name=f"node_{i}")(x + y)
             out.append(x)
         return x
@@ -359,6 +374,9 @@ class CenterTrackConfig:
     num_classes: int = 1
     K: int = 100
     dtype: str = "float32"
+    # "deformable" = exact DCNv2 (converted checkpoints); "local" = dense
+    # fixed-support modulated conv (TPU throughput mode, from-scratch)
+    sampling: str = "deformable"
 
     @classmethod
     def tiny(cls, **kw) -> "CenterTrackConfig":
@@ -396,7 +414,7 @@ class CenterTrackNet(nn.Module):
             pyramid = feats[2:]
             out_ch = cfg.channels[2]
         fused = IDAUp(
-            out_ch, len(pyramid), dtype, name="dla_up"
+            out_ch, len(pyramid), dtype, cfg.sampling, name="dla_up"
         )(pyramid)
 
         def head(out_d, name, bias_init=0.0):

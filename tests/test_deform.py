@@ -153,3 +153,46 @@ def test_deform_conv_matches_loop_oracle(rng):
         padding=1,
     ).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(got_plain, t, rtol=1e-3, atol=1e-4)
+
+
+def test_local_modulated_conv_equals_zero_offset_dcn(rng):
+    """sampling="local" == exact DCNv2 with offsets pinned to the grid."""
+    import jax.numpy as jnp
+
+    from busca_tpu.ops.deform import deform_conv2d, local_modulated_conv2d
+
+    x = jnp.asarray(rng.randn(2, 9, 11, 6).astype(np.float32))
+    weight = jnp.asarray(rng.randn(3, 3, 6, 5).astype(np.float32))
+    mask = jnp.asarray(rng.rand(2, 9, 11, 9).astype(np.float32))
+    bias = jnp.asarray(rng.randn(5).astype(np.float32))
+    zero_off = jnp.zeros((2, 9, 11, 18), jnp.float32)
+    a = deform_conv2d(x, zero_off, weight, mask, bias, stride=1, padding=1)
+    b = local_modulated_conv2d(x, weight, mask, bias, stride=1, padding=1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_centertrack_local_sampling_runs(rng):
+    """The sampling="local" CenterTrack net runs with the SAME param tree
+    as the deformable default (the offset conv stays in the tree)."""
+    import jax
+    import jax.numpy as jnp
+
+    from busca_tpu.models.centertrack import (
+        CenterTrackConfig, CenterTrackNet,
+    )
+
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    cfg_d = CenterTrackConfig.tiny()
+    cfg_l = CenterTrackConfig.tiny(sampling="local")
+    net_d = CenterTrackNet(cfg_d)
+    net_l = CenterTrackNet(cfg_l)
+    v_d = jax.jit(net_d.init)(jax.random.PRNGKey(0), x, x, x[..., :1])
+    v_l = jax.jit(net_l.init)(jax.random.PRNGKey(0), x, x, x[..., :1])
+    td = jax.tree_util.tree_structure(v_d)
+    tl = jax.tree_util.tree_structure(v_l)
+    assert td == tl  # local mode keeps checkpoint compatibility
+    out = net_l.apply(v_d, x, x, x[..., :1])
+    assert set(out) == {"hm", "reg", "wh", "tracking"}
+    for v in out.values():
+        assert np.isfinite(np.asarray(v)).all()

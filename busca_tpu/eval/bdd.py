@@ -126,17 +126,24 @@ def read_bdd_json(
             frames = json.load(f)
     else:
         frames = path_or_list
+    frames = _select_video(frames, video)
+    by_cat = _bucket_bdd_frames(frames, classes_for_eval, skip_crowd,
+                                split_categories=False)
+    return by_cat.get(None, {})
+
+
+def _select_video(frames, video):
+    """Restrict BDD frame dicts to one videoName (frame indices restart
+    per video, so pooling would silently overwrite frames)."""
     videos = {fd.get("videoName") for fd in frames if "videoName" in fd}
     if video is not None:
-        frames = [fd for fd in frames if fd.get("videoName") == video]
-    elif len(videos) > 1:
+        return [fd for fd in frames if fd.get("videoName") == video]
+    if len(videos) > 1:
         raise ValueError(
             f"labels span {len(videos)} videos ({sorted(videos)[:4]}...); "
             "pass video=<name> to select one"
         )
-    by_cat = _bucket_bdd_frames(frames, classes_for_eval, skip_crowd,
-                                split_categories=False)
-    return by_cat.get(None, {})
+    return frames
 
 
 def _bucket_bdd_frames(
@@ -207,21 +214,15 @@ def evaluate_bdd(
         with open(pred_json) as f:
             pred_json = json.load(f)
 
-    def _select(frames):
-        videos = {fd.get("videoName") for fd in frames if "videoName" in fd}
-        if video is not None:
-            return [fd for fd in frames if fd.get("videoName") == video]
-        if len(videos) > 1:
-            raise ValueError(
-                f"labels span {len(videos)} videos; pass video=<name>"
-            )
-        return frames
-
     # single parse of each json; labels bucketed per category in one pass
-    gt_by_cat = _bucket_bdd_frames(_select(gt_json), classes_for_eval,
-                                   skip_crowd=True, split_categories=True)
-    pred_by_cat = _bucket_bdd_frames(_select(pred_json), classes_for_eval,
-                                     skip_crowd=True, split_categories=True)
+    gt_by_cat = _bucket_bdd_frames(
+        _select_video(gt_json, video), classes_for_eval,
+        skip_crowd=True, split_categories=True,
+    )
+    pred_by_cat = _bucket_bdd_frames(
+        _select_video(pred_json, video), classes_for_eval,
+        skip_crowd=True, split_categories=True,
+    )
     out = {}
     motas, idf1s = [], []
     for cat in sorted(c for c in gt_by_cat if c):

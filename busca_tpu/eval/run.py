@@ -698,6 +698,11 @@ def main(argv=None):
                 )
             return seq_kwargs
 
+        if args.det_ap and (args.lockstep or args.npy_det
+                            or args.detector in (None, "centertrack")):
+            print("WARNING: --det-ap only applies to the per-sequence "
+                  "yolox/transcenter live-detector path; no detection-AP "
+                  "table will be produced for this mode", file=sys.stderr)
         if args.lockstep:
             if args.tracker == "strongsort" and args.npy_det:
                 return _run_lockstep_cached(args, engine, tracker_kwargs)

@@ -123,6 +123,8 @@ class Focus(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # the 6x6 rewrite hardcodes the 3x3-over-s2d kernel shape
+        assert self.kernel == 3, "Focus 6x6 rewrite requires kernel=3"
         return _FocusConvBnAct(self.features, dtype=self.dtype,
                                name="conv")(x)
 

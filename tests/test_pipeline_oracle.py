@@ -363,4 +363,4 @@ def test_strongsort_pipeline_matches_torch_oracle():
     # test above exercises the high-duty rescue path.
     assert third_rounds >= 4, f"only {third_rounds} third rounds fired"
     assert decisions_checked >= 2, "too few clear-margin decisions"
-    assert rescues >= 0
+    del rescues  # informational only for StrongSORT (see comment above)

@@ -497,28 +497,39 @@ def bench_e2e(dtype="bfloat16"):
     frames = _synthetic_frames(E2E_WARMUP + E2E_FRAMES)
 
     # e2e loop with upload prefetch (frame t+1 uploads behind frame t's
-    # compute); detector and tracker timed separately inside one pass
+    # compute); detector and tracker timed separately.  Best-of-2 passes:
+    # the dev host exposes ONE cpu core, so the host-tracker term drifts
+    # 2-10 ms with shared load and a single noisy pass would corrupt the
+    # headline.
     tracker = ByteTracker(ByteTrackerConfig(track_thresh=0.5))
     for f in frames[:E2E_WARMUP]:
         d = detector.detect(f)
         tracker.update(d.boxes_tlbr / d.scale, d.scores, d.scale, d.image)
-    det_s = trk_s = 0.0
     timed = frames[E2E_WARMUP:]
-    t_all = time.perf_counter()
-    pending = detector.put_frame(timed[0])
-    for i in range(len(timed)):
-        f = pending
-        if i + 1 < len(timed):
-            pending = detector.put_frame(timed[i + 1])
-        t0 = time.perf_counter()
-        d = detector.detect(f)
-        t1 = time.perf_counter()
-        tracker.update(d.boxes_tlbr / d.scale, d.scores, d.scale, d.image)
-        t2 = time.perf_counter()
-        det_s += t1 - t0
-        trk_s += t2 - t1
-    e2e_dt = (time.perf_counter() - t_all) / E2E_FRAMES
-    det_dt = det_s / E2E_FRAMES
+
+    def e2e_pass():
+        trk = ByteTracker(ByteTrackerConfig(track_thresh=0.5))
+        det_s = trk_s = 0.0
+        t_all = time.perf_counter()
+        pending = detector.put_frame(timed[0])
+        for i in range(len(timed)):
+            f = pending
+            if i + 1 < len(timed):
+                pending = detector.put_frame(timed[i + 1])
+            t0 = time.perf_counter()
+            d = detector.detect(f)
+            t1 = time.perf_counter()
+            trk.update(d.boxes_tlbr / d.scale, d.scores, d.scale, d.image)
+            t2 = time.perf_counter()
+            det_s += t1 - t0
+            trk_s += t2 - t1
+        wall = time.perf_counter() - t_all
+        return wall / E2E_FRAMES, det_s / E2E_FRAMES, trk_s
+
+    passes = [e2e_pass() for _ in range(2)]
+    e2e_dt = min(p[0] for p in passes)
+    det_dt = min(p[1] for p in passes)
+    trk_s = min(p[2] for p in passes)
 
     # tunnel-aware decomposition: this dev TPU sits behind a network tunnel,
     # so host->device upload and per-dispatch RTT dominate detect(); on a

@@ -1299,3 +1299,312 @@ class OracleStrongSortTracker:
             else:
                 u_track.append(i)
         return matches, u_track
+
+
+# ---------------------------------------------------------------------------
+# GHOST oracle (adapters/GHOST/src/{tracker,base_tracker,tracking_utils}.py)
+# ---------------------------------------------------------------------------
+
+GHOST_PROXY_REDUCERS = {
+    "min": lambda d: d.min(axis=1),
+    "mean": lambda d: d.mean(axis=1),
+    "max": lambda d: d.max(axis=1),
+    "meanminmax": lambda d: (d.max(axis=1) + d.min(axis=1)) / 2,
+    "median": lambda d: np.median(d, axis=1),
+}
+
+
+class OracleGhostTrack:
+    def __init__(self, track_id, pos_tlbr, feats, conf, frame, image=None,
+                 conf_threshold=0.0, max_feats=100):
+        self.track_id = track_id
+        self.pos = np.asarray(pos_tlbr, np.float64)
+        self.feats = np.asarray(feats, np.float64)
+        self.past_feats = [self.feats]
+        self.last_pos = [self.pos.copy()]
+        self.past_frames = [frame]
+        self.last_v = np.zeros(4)
+        self.inactive_count = 0
+        self.conf = conf
+        self.conf_threshold = conf_threshold
+        self.max_feats = max_feats
+        self.scale = 1.0
+        self._tlwh_mem = [self.tlwh.copy()]
+        self._images_mem = [image]
+        self.conf_mem = [conf]
+        self.image = image
+
+    def __len__(self):
+        return len(self.past_frames)
+
+    @property
+    def tlwh(self):
+        p = self.pos
+        return np.array([p[0], p[1], p[2] - p[0], p[3] - p[1]])
+
+    @property
+    def tlbr(self):
+        return self.pos.copy()
+
+    @property
+    def tlwh_mem(self):
+        return [b for b, c in zip(self._tlwh_mem, self.conf_mem)
+                if c >= self.conf_threshold]
+
+    @property
+    def images_mem(self):
+        return [im for im, c in zip(self._images_mem, self.conf_mem)
+                if c >= self.conf_threshold and im is not None]
+
+    def add_detection(self, pos, feats, conf, frame, image=None,
+                      save_memory=False):
+        self.pos = np.asarray(pos, np.float64)
+        self.feats = np.asarray(feats, np.float64)
+        self.past_feats.append(self.feats)
+        self.past_feats = self.past_feats[-self.max_feats:]
+        self.last_pos.append(self.pos.copy())
+        self.past_frames.append(frame)
+        self.conf = conf
+        self._tlwh_mem.append(self.tlwh.copy())
+        self.conf_mem.append(conf)
+        if save_memory and conf < self.conf_threshold:
+            self._images_mem.append(None)
+        else:
+            self._images_mem.append(image)
+        self.image = image
+
+    def update_velocity(self, last_n):
+        if len(self.last_pos) < 2:
+            return
+        pos = np.asarray(self.last_pos[-last_n:])
+        frames = np.asarray(self.past_frames[-last_n:], np.float64)
+        dt = np.maximum(frames[1:] - frames[:-1], 1.0)[:, None]
+        self.last_v = ((pos[1:] - pos[:-1]) / dt).mean(axis=0)
+
+    def motion_step(self):
+        self.pos = self.pos + self.last_v
+
+
+def ghost_solve_dense(cost):
+    """lapsolver.solve_dense semantics: NaN entries are forbidden edges."""
+    from scipy.optimize import linear_sum_assignment
+
+    big = 1e9
+    c = np.where(np.isnan(cost), big, cost)
+    rows, cols = linear_sum_assignment(c)
+    keep = c[rows, cols] < big
+    return rows[keep], cols[keep]
+
+
+def ghost_iou(a_tlbr, b_tlbr):
+    """cython_bbox +1 convention (tracking_utils.py:495-511)."""
+    return bbox_ious_plus1(list(a_tlbr), list(b_tlbr))
+
+
+class OracleGhostTracker:
+    """GHOST association loop + BUSCA third round (src/tracker.py:70-567),
+    static ReID thresholds, sum_a motion combination, CMC off."""
+
+    def __init__(self, model, act_reid_thresh=0.7, inact_reid_thresh=0.7,
+                 inact_patience=50, proxy_act="last",
+                 proxy_inact="meanminmax", apply_motion_model=True,
+                 last_n_frames=5, combi_alpha=0.3, det_conf=0.5,
+                 busca_thresh=0.5, seq_len=5, num_candidates=3,
+                 use_broader_memory=True, select_highest_candidate=True,
+                 minimum_conf_modifier=0.20, crop_hw=(64, 32)):
+        self.model = model
+        self.act_thresh = act_reid_thresh
+        self.inact_thresh = inact_reid_thresh
+        self.inact_patience = inact_patience
+        self.proxy_act = proxy_act
+        self.proxy_inact = proxy_inact
+        self.apply_motion_model = apply_motion_model
+        self.last_n_frames = last_n_frames
+        self.combi_alpha = combi_alpha
+        self.busca_thresh = busca_thresh
+        self.seq_len = seq_len
+        self.num_candidates = num_candidates
+        self.use_broader_memory = use_broader_memory
+        self.select_highest_candidate = select_highest_candidate
+        self.conf_threshold = det_conf + minimum_conf_modifier
+        self.crop_hw = crop_hw
+        self.tracks = {}
+        self.inactive_tracks = {}
+        self._next_id = 1
+        self.frame_id = 0
+        self.probs_log = []
+
+    @staticmethod
+    def _cosine(x, y):
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        yn = y / np.maximum(np.linalg.norm(y, axis=1, keepdims=True), 1e-12)
+        return 1.0 - xn @ yn.T
+
+    def _proxy(self, track, det_feats, mode):
+        if len(det_feats) == 0:
+            return np.zeros(0)
+        if mode == "last" or len(track.past_feats) == 1:
+            return self._cosine(det_feats, track.feats[None])[:, 0]
+        d = self._cosine(det_feats, np.stack(track.past_feats))
+        return GHOST_PROXY_REDUCERS[mode](d)
+
+    def update(self, boxes_tlbr, scores, features, frame):
+        self.frame_id += 1
+        boxes = np.asarray(boxes_tlbr, np.float64).reshape(-1, 4)
+        scores = np.asarray(scores, np.float64).reshape(-1)
+        n = len(boxes)
+        feats = (np.asarray(features, np.float64).reshape(n, -1)
+                 if n else np.zeros((0, 1)))
+        det_images = (get_image_crops(frame, boxes, self.crop_hw)
+                      if n else [])
+
+        self.probs_log.append(None)
+        curr_inactive = {
+            k: t for k, t in self.inactive_tracks.items()
+            if t.inactive_count <= self.inact_patience
+        }
+
+        if not self.tracks and not curr_inactive:
+            for i in range(n):
+                self._new(boxes[i], feats[i], scores[i], det_images[i])
+            self._age_inactive()
+            return list(self.tracks.values())
+
+        act_ids = list(self.tracks.keys())
+        inact_ids = list(curr_inactive.keys())
+        num_active = len(act_ids)
+
+        cols = [self._proxy(self.tracks[t], feats, self.proxy_act)
+                for t in act_ids]
+        cols += [self._proxy(curr_inactive[t], feats, self.proxy_inact)
+                 for t in inact_ids]
+        dist = (np.stack(cols, axis=1) if cols and n
+                else np.zeros((n, len(cols))))
+
+        if self.apply_motion_model and n:
+            for t in self.tracks.values():
+                t.update_velocity(self.last_n_frames)
+                t.motion_step()
+            for t in curr_inactive.values():
+                if len(t.last_pos) > 1:
+                    t.motion_step()
+            all_pos = np.array(
+                [self.tracks[k].pos for k in act_ids]
+                + [curr_inactive[k].pos for k in inact_ids]
+            ).reshape(-1, 4)
+            iou_dist = 1 - ghost_iou(boxes, all_pos)
+            a = self.combi_alpha
+            dist = (1 - a) * dist + a * iou_dist
+
+        if dist.size:
+            work = dist.copy()
+            work[:, :num_active] = np.where(
+                work[:, :num_active] <= self.act_thresh,
+                work[:, :num_active], np.nan)
+            work[:, num_active:] = np.where(
+                work[:, num_active:] <= self.inact_thresh,
+                work[:, num_active:], np.nan)
+            rows, assign_cols = ghost_solve_dense(work)
+        else:
+            rows, assign_cols = np.zeros(0, int), np.zeros(0, int)
+
+        all_ids = act_ids + inact_ids
+        active_now, assigned = [], set()
+        for r, c in zip(rows, assign_cols):
+            tid = all_ids[c]
+            conf = max(scores[r], self.conf_threshold)
+            if c >= num_active:
+                track = self.inactive_tracks.pop(tid)
+                track.inactive_count = 0
+                self.tracks[tid] = track
+            self.tracks[tid].add_detection(
+                boxes[r], feats[r], conf, self.frame_id, det_images[r])
+            active_now.append(tid)
+            assigned.add(r)
+
+        # BUSCA third round over unmatched active tracks with positive area
+        if self.busca_thresh > 0:
+            third_ids, third_pool = [], []
+            for k in list(self.tracks.keys()):
+                if k in active_now:
+                    continue
+                t = self.tracks[k]
+                if t.tlwh[2] * t.tlwh[3] <= 0:
+                    continue
+                third_ids.append(k)
+                third_pool.append(t)
+            if third_pool:
+                kalman_cands = []
+                for t in third_pool:
+                    crop = get_image_crops(frame, [t.pos], self.crop_hw)[0]
+                    kalman_cands.append(OracleGhostTrack(
+                        -1, t.pos, t.feats, self.conf_threshold,
+                        self.frame_id, image=crop,
+                    ))
+                considered = []
+                for i in range(n):
+                    considered.append(OracleGhostTrack(
+                        -1, boxes[i], feats[i],
+                        max(scores[i], self.conf_threshold), self.frame_id,
+                        image=det_images[i],
+                    ))
+                matches3, _ = self._third_round(
+                    third_pool, considered, kalman_cands)
+                for it, _prob in matches3:
+                    track = third_pool[it]
+                    det = kalman_cands[it]
+                    track.add_detection(
+                        det.pos, track.feats, 0.10000001, self.frame_id,
+                        track._images_mem[-1] if track._images_mem else None,
+                    )
+                    active_now.append(third_ids[it])
+
+        for k in list(self.tracks.keys()):
+            if k not in active_now:
+                self.inactive_tracks[k] = self.tracks[k]
+                self.inactive_tracks[k].inactive_count = 0
+                del self.tracks[k]
+        self._age_inactive()
+
+        for i in range(n):
+            if i not in assigned:
+                self._new(boxes[i], feats[i],
+                          max(scores[i], self.conf_threshold), det_images[i])
+        return list(self.tracks.values())
+
+    def _new(self, pos, feats, conf, image):
+        self.tracks[self._next_id] = OracleGhostTrack(
+            self._next_id, pos, feats, conf, self.frame_id, image=image,
+            conf_threshold=self.conf_threshold,
+        )
+        self._next_id += 1
+
+    def _age_inactive(self):
+        dead = []
+        for k, t in self.inactive_tracks.items():
+            t.inactive_count += 1
+            if t.inactive_count > self.inact_patience:
+                dead.append(k)
+        for k in dead:
+            del self.inactive_tracks[k]
+
+    def _third_round(self, pool, considered, kalman_cands):
+        dists = center_distance(pool, considered)
+        probs, reliable = associate_embeddings(
+            self.model, pool, considered, dists, self.seq_len,
+            self.num_candidates, self.use_broader_memory,
+            self.select_highest_candidate,
+            extra_kalman_candidates=kalman_cands,
+        )
+        self.probs_log[-1] = probs
+        if probs is None:
+            return [], list(range(len(pool)))
+        matches, u_track = [], []
+        num_dets = len(considered)
+        for i in range(len(pool)):
+            p = probs[i, num_dets + i]
+            if reliable[i] and p > self.busca_thresh:
+                matches.append([i, p])
+            else:
+                u_track.append(i)
+        return matches, u_track

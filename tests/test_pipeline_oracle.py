@@ -364,3 +364,121 @@ def test_strongsort_pipeline_matches_torch_oracle():
     assert third_rounds >= 4, f"only {third_rounds} third rounds fired"
     assert decisions_checked >= 2, "too few clear-margin decisions"
     del rescues  # informational only for StrongSORT (see comment above)
+
+
+@pytest.mark.slow
+def test_ghost_pipeline_matches_torch_oracle():
+    """Frame-by-frame drive for the GHOST strategy (proxy-feature cosine
+    association, linear motion + sum_a IoU combination, inactive patience,
+    third round over unmatched positive-area active tracks —
+    src/tracker.py:70-567)."""
+    from busca_tpu.trackers import GhostConfig, GhostTracker
+    from busca_tpu.trackers.base import run_third_round
+    from oracle_pipeline import OracleGhostTracker
+
+    seq = _make_sequence()
+    torch_model, engine = _build_shared_models()
+
+    probs_log_jax = []
+    orig_assoc = engine.associate
+
+    def logged(*a, **k):
+        out = orig_assoc(*a, **k)
+        probs_log_jax[-1] = None if out[0] is None else np.array(out[0])
+        return out
+
+    engine.associate = logged
+
+    cfg = GhostConfig(
+        use_busca=True, busca_thresh=BUSCA_THRESH, seq_len=SEQ_LEN,
+        num_candidates=C, crop_hw=CROP_HW, select_highest_candidate=False,
+        det_conf=0.5,
+    )
+    jax_tracker = GhostTracker(cfg, engine)
+    oracle_tracker = OracleGhostTracker(
+        torch_model, busca_thresh=BUSCA_THRESH, seq_len=SEQ_LEN,
+        num_candidates=C, crop_hw=CROP_HW, select_highest_candidate=False,
+        det_conf=0.5,
+    )
+
+    forced = {"jax": None}
+    orig_third = oracle_tracker._third_round
+
+    def forced_third(pool, considered, kalman_cands):
+        out = orig_third(pool, considered, kalman_cands)
+        return forced["jax"] if forced["jax"] is not None else out
+
+    oracle_tracker._third_round = forced_third
+
+    rng_feats = {
+        oid: np.random.RandomState(500 + oid).randn(32)
+        for oid in range(len(seq.objects))
+    }
+
+    third_rounds = decisions_checked = 0
+    for t in range(N_FRAMES):
+        frame = seq.frame(t)
+        boxes, scores = seq.detections(t)
+        feats = _object_features(seq, t, rng_feats)
+        if feats is None:
+            feats = np.zeros((0, 32))
+
+        probs_log_jax.append(None)
+        gen = jax_tracker.update_deferred(
+            boxes.copy(), scores.copy(), feats.copy(), frame
+        )
+        forced["jax"] = None
+        try:
+            req = next(gen)
+            res = run_third_round(
+                req.engine, req.pool, req.considered, req.kalman_cands,
+                req.thresh, **req.engine_kwargs
+            )
+            forced["jax"] = res
+            gen.send(res)
+            raise AssertionError("tracker yielded twice")
+        except StopIteration as e:
+            online_jax = e.value
+        online_oracle = oracle_tracker.update(
+            boxes.copy(), scores.copy(), feats.copy(), frame
+        )
+
+        ids_jax = sorted(tr.track_id for tr in online_jax)
+        ids_oracle = sorted(tr.track_id for tr in online_oracle)
+        assert ids_jax == ids_oracle, (
+            f"frame {t + 1}: track IDs diverged {ids_jax} vs {ids_oracle}"
+        )
+        pos_jax = {tr.track_id: tr.pos for tr in online_jax}
+        pos_oracle = {tr.track_id: tr.pos for tr in online_oracle}
+        for tid in ids_jax:
+            np.testing.assert_allclose(
+                pos_jax[tid], pos_oracle[tid], rtol=0, atol=1e-6,
+                err_msg=f"frame {t + 1} track {tid}",
+            )
+
+        pj = probs_log_jax[-1]
+        po = oracle_tracker.probs_log[-1]
+        assert (pj is None) == (po is None), (
+            f"frame {t + 1}: third round fired in one pipeline only "
+            f"(jax={pj is not None}, oracle={po is not None})"
+        )
+        if pj is not None and po is not None and len(pj):
+            third_rounds += 1
+            assert pj.shape == po.shape, f"frame {t + 1}"
+            np.testing.assert_allclose(
+                pj, po, rtol=0, atol=TIE_TOL,
+                err_msg=f"frame {t + 1}: probabilities diverged",
+            )
+            d = pj.shape[1] - len(pj)
+            idx = (np.arange(len(pj)), d + np.arange(len(pj)))
+            kal_j, kal_o = pj[idx], po[idx]
+            clear = np.abs(kal_o - BUSCA_THRESH) > TIE_TOL
+            np.testing.assert_array_equal(
+                (kal_j > BUSCA_THRESH)[clear],
+                (kal_o > BUSCA_THRESH)[clear],
+                err_msg=f"frame {t + 1}: clear-margin decisions diverged",
+            )
+            decisions_checked += int(clear.sum())
+
+    assert third_rounds >= 4, f"only {third_rounds} third rounds fired"
+    assert decisions_checked >= 2, "too few clear-margin decisions"

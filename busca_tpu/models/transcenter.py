@@ -269,6 +269,11 @@ class LocalMultiScaleAttention(nn.Module):
     levels: int = 4
     taps: int = 9  # 3x3 fixed support per level
     dtype: jnp.dtype = jnp.float32
+    # "chunked": row-chunked lax.map chain (pure XLA; production — 3.2 ms
+    # /call at the MOT17 shape).  "pallas": the hand-written DMA-window
+    # kernel (ops/lma_pallas.py) — bit-exact but measured 13.1 ms/call
+    # on v5e (4x slower); a validated opt-in experiment (see its docstring).
+    tap_sum: str = "chunked"
 
     @nn.compact
     def __call__(self, queries, level_maps):
@@ -293,7 +298,7 @@ class LocalMultiScaleAttention(nn.Module):
         # einsum re-associations measured no better.  Same math, identical
         # per-term order; softmaxed sub-1 weights keep the bf16 accumulator
         # benign for this from-scratch path.
-        vps, dils = [], []
+        vs, dils = [], []
         for lvl, fmap in enumerate(level_maps):
             v = nn.Dense(self.dim, dtype=self.dtype,
                          name=f"value_{lvl}")(fmap)
@@ -301,11 +306,25 @@ class LocalMultiScaleAttention(nn.Module):
                 v = jax.image.resize(
                     v, (b, h4, w4, self.dim), method="bilinear"
                 )
-            dil = max(h4 // max(level_maps[lvl].shape[1], 1), 1)
-            vps.append(jnp.pad(
-                v, ((0, 0), (dil, dil), (dil, dil), (0, 0))
-            ))
-            dils.append(dil)
+            vs.append(v)
+            dils.append(max(h4 // max(level_maps[lvl].shape[1], 1), 1))
+
+        if self.tap_sum == "pallas":
+            from busca_tpu.ops.lma_pallas import local_tap_sum
+
+            vals = jnp.stack(vs, axis=1)  # [B, L, H4, W4, C]
+            wk = w.reshape(b, h4, w4, self.heads, self.levels * self.taps)
+            out = jax.lax.map(
+                lambda a: local_tap_sum(a[0], a[1], tuple(dils), self.heads),
+                (vals, wk.astype(self.dtype)),
+            )  # [B, H4, W4, C]
+            out = out.reshape(b, lq, self.dim)
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+        vps = [
+            jnp.pad(v, ((0, 0), (dil, dil), (dil, dil), (0, 0)))
+            for v, dil in zip(vs, dils)
+        ]
 
         ch = min(16, h4)
         rows_padded = -(-h4 // ch) * ch
@@ -369,14 +388,15 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, q, ref, mem_cur, mem_pre, shapes):
-        if self.sampling == "local":
+        if self.sampling in ("local", "local_pallas"):
             b, lq, c = q.shape
             h4, w4 = shapes[0]
+            tap_sum = "pallas" if self.sampling == "local_pallas" else "chunked"
 
             def attend(x, maps, name):
                 return LocalMultiScaleAttention(
                     self.dim, self.heads, self.levels,
-                    dtype=self.dtype, name=name,
+                    dtype=self.dtype, tap_sum=tap_sum, name=name,
                 )(x.reshape(b, h4, w4, c), maps)
 
             q = q + attend(
@@ -435,7 +455,9 @@ class TransCenterConfig:
     dtype: str = "float32"
     # "local": fixed-support multi-scale attention (TPU-native, default;
     # ~100x faster than free-form gathers at full scale).  "deformable":
-    # exact MSDA sampling (the published GPU design).
+    # exact MSDA sampling (the published GPU design).  "local_pallas":
+    # same math as "local" through the hand-written Pallas tap-sum kernel
+    # (slower — measured 4x; a validated experiment, see ops/lma_pallas.py).
     sampling: str = "local"
 
     @classmethod
@@ -498,7 +520,7 @@ class TransCenterDETR(nn.Module):
         ]
         shapes = [(f.shape[1], f.shape[2]) for f in feats_cur]
 
-        if cfg.sampling == "local":
+        if cfg.sampling in ("local", "local_pallas"):
             # local attention consumes the level maps directly (per-level
             # value projections inside make level embeddings redundant)
             mem_cur = [projs[lvl](f) for lvl, f in enumerate(feats_cur)]

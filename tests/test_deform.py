@@ -196,3 +196,30 @@ def test_centertrack_local_sampling_runs(rng):
     assert set(out) == {"hm", "reg", "wh", "tracking"}
     for v in out.values():
         assert np.isfinite(np.asarray(v)).all()
+
+
+def test_lma_pallas_tap_sum_matches_reference(rng, monkeypatch):
+    """Pallas local tap-sum (interpret mode on CPU) == direct formulation.
+
+    Shapes chosen so h4 is NOT a multiple of TILE_R (exercises the row
+    padding) and heads_pb > 1 (exercises the head->lane expansion matmul).
+    """
+    import jax
+    import jax.experimental.pallas as pl
+
+    from busca_tpu.ops import lma_pallas
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        lma_pallas.pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    levels, h4, w4, c, heads = 3, 20, 24, 64, 4
+    dils = (1, 2, 4)
+    vals = jnp.asarray(rng.randn(levels, h4, w4, c).astype(np.float32))
+    wts = jnp.asarray(rng.rand(h4, w4, heads, levels * 9).astype(np.float32))
+    with jax.disable_jit():
+        got = lma_pallas.local_tap_sum(vals, wts, dils, heads)
+    want = lma_pallas.local_tap_sum_reference(vals, wts, dils)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -289,3 +289,32 @@ def test_sampling_modes_share_contract(rng):
         out = model.apply(variables, x, x, hm)
         assert out["hm"].shape == (1, h // 4, w // 4, 1), mode
         assert np.isfinite(np.asarray(out["wh"])).all(), mode
+
+
+def test_local_pallas_tap_sum_matches_chunked(rng, monkeypatch):
+    """sampling="local_pallas" (fused Pallas tap-sum, interpret mode here)
+    == sampling="local" (row-chunked lax.map) from the SAME param tree."""
+    import jax as _jax
+    import jax.experimental.pallas as _pl
+
+    from busca_tpu.ops import lma_pallas
+
+    orig = _pl.pallas_call
+    monkeypatch.setattr(
+        lma_pallas.pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    h, w = 32, 48
+    x = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32))
+    hm = jnp.zeros((1, h // 4, w // 4, 1), jnp.float32)
+    m_chunk = TransCenterDETR(TransCenterConfig.tiny(sampling="local"))
+    m_pallas = TransCenterDETR(TransCenterConfig.tiny(sampling="local_pallas"))
+    variables = _jax.jit(m_chunk.init)(_jax.random.PRNGKey(0), x, x, hm)
+    out_c = m_chunk.apply(variables, x, x, hm)
+    with _jax.disable_jit():
+        out_p = m_pallas.apply(variables, x, x, hm)
+    for k in out_c:
+        np.testing.assert_allclose(
+            np.asarray(out_p[k]), np.asarray(out_c[k]),
+            rtol=1e-4, atol=1e-4, err_msg=k,
+        )

@@ -1608,3 +1608,310 @@ class OracleGhostTracker:
             else:
                 u_track.append(i)
         return matches, u_track
+
+
+# ---------------------------------------------------------------------------
+# SORT pipeline oracle (published Bewley et al. algorithm; independent
+# per-track scalar Kalman + scipy Hungarian — diffed frame-by-frame against
+# busca_tpu/trackers/sort.py, whose contract is documented in its docstring:
+# mot_evaluator.py:17,258-379 drives `Sort(track_thresh)` per video)
+# ---------------------------------------------------------------------------
+
+_SORT_F = np.eye(7)
+_SORT_F[0, 4] = _SORT_F[1, 5] = _SORT_F[2, 6] = 1.0
+_SORT_H = np.eye(4, 7)
+_SORT_R = np.diag([1.0, 1.0, 10.0, 10.0])
+_SORT_P0 = np.diag([10.0, 10.0, 10.0, 10.0, 1e4, 1e4, 1e4])
+_SORT_Q = np.diag([1.0, 1.0, 1.0, 1.0, 0.01, 0.01, 1e-4])
+
+
+def _sort_iou_single(a, b):
+    """Standard IoU of two tlbr boxes (no +1), scalar arithmetic."""
+    ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    ua = ((a[2] - a[0]) * (a[3] - a[1])
+          + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+    return inter / ua if ua > 0 else 0.0
+
+
+class OracleSortTrack:
+    """Per-track 7-state [cx,cy,s,r,+vel] Kalman, sequential ops."""
+
+    def __init__(self, tlbr, score, track_id):
+        w = tlbr[2] - tlbr[0]
+        h = tlbr[3] - tlbr[1]
+        self.x = np.zeros(7)
+        self.x[:4] = [tlbr[0] + w / 2.0, tlbr[1] + h / 2.0, w * h,
+                      w / h if h != 0 else 0.0]
+        self.P = _SORT_P0.copy()
+        self.score = float(score)
+        self.track_id = track_id
+        self.time_since_update = 0
+        self.hit_streak = 0
+        self.age = 0
+
+    def predict(self):
+        if self.x[6] + self.x[2] <= 0:  # published area-velocity guard
+            self.x[6] = 0.0
+        self.x = _SORT_F @ self.x
+        self.P = _SORT_F @ self.P @ _SORT_F.T + _SORT_Q
+        self.age += 1
+        if self.time_since_update > 0:
+            self.hit_streak = 0
+        self.time_since_update += 1
+
+    def update(self, tlbr, score):
+        w = tlbr[2] - tlbr[0]
+        h = tlbr[3] - tlbr[1]
+        z = np.array([tlbr[0] + w / 2.0, tlbr[1] + h / 2.0, w * h,
+                      w / h if h != 0 else 0.0])
+        S = _SORT_H @ self.P @ _SORT_H.T + _SORT_R
+        # gain via solve (not inv) — same math, independent numerics
+        K = np.linalg.solve(S.T, (self.P @ _SORT_H.T).T).T
+        self.x = self.x + K @ (z - _SORT_H @ self.x)
+        self.P = (np.eye(7) - K @ _SORT_H) @ self.P
+        self.score = float(score)
+        self.time_since_update = 0
+        self.hit_streak += 1
+
+    @property
+    def tlbr(self):
+        s = max(self.x[2], 0.0)
+        r = max(self.x[3], 1e-12)
+        w = math.sqrt(s * r)
+        h = s / w if w > 0 else 0.0
+        return np.array([self.x[0] - w / 2.0, self.x[1] - h / 2.0,
+                         self.x[0] + w / 2.0, self.x[1] + h / 2.0])
+
+    @property
+    def tlwh(self):
+        b = self.tlbr
+        return np.array([b[0], b[1], b[2] - b[0], b[3] - b[1]])
+
+
+class OracleSortTracker:
+    """Published SORT loop: det_thresh filter -> predict -> IoU-optimal
+    Hungarian (threshold filter AFTER the optimum) -> births/deaths."""
+
+    def __init__(self, det_thresh=0.6, max_age=30, min_hits=3,
+                 iou_threshold=0.3):
+        self.det_thresh = det_thresh
+        self.max_age = max_age
+        self.min_hits = min_hits
+        self.iou_threshold = iou_threshold
+        self.tracks: List[OracleSortTrack] = []
+        self.frame_count = 0
+        self._next_id = 1
+
+    def update(self, boxes_tlbr, scores, scale=1.0, frame=None):
+        import scipy.optimize
+
+        self.frame_count += 1
+        dets = np.asarray(boxes_tlbr, np.float64).reshape(-1, 4) / scale
+        scores = np.asarray(scores, np.float64).reshape(-1)
+        keep = scores > self.det_thresh
+        dets, scores = dets[keep], scores[keep]
+
+        for tr in self.tracks:
+            tr.predict()
+
+        matched_det = np.full(len(dets), -1, dtype=int)
+        if len(dets) and len(self.tracks):
+            iou = np.zeros((len(dets), len(self.tracks)))
+            for i, d in enumerate(dets):
+                for j, tr in enumerate(self.tracks):
+                    iou[i, j] = _sort_iou_single(d, tr.tlbr)
+            rows, cols = scipy.optimize.linear_sum_assignment(-iou)
+            for i, j in zip(rows, cols):
+                if iou[i, j] >= self.iou_threshold:
+                    matched_det[i] = j
+
+        for i, j in enumerate(matched_det):
+            if j >= 0:
+                self.tracks[j].update(dets[i], scores[i])
+        for i in np.where(matched_det < 0)[0]:
+            self.tracks.append(
+                OracleSortTrack(dets[i], scores[i], self._next_id)
+            )
+            self._next_id += 1
+
+        out = [
+            tr for tr in self.tracks
+            if tr.time_since_update < 1
+            and (tr.hit_streak >= self.min_hits
+                 or self.frame_count <= self.min_hits)
+        ]
+        self.tracks = [
+            tr for tr in self.tracks if tr.time_since_update <= self.max_age
+        ]
+        return out
+
+
+# ---------------------------------------------------------------------------
+# MOTDT pipeline oracle (published Chen et al. ICME'18 loop as documented in
+# busca_tpu/trackers/motdt.py: pooled+NMS'd candidates, motion-gated
+# appearance stage then IoU stage, EMA features, decayed prediction scores;
+# mot_evaluator.py:503-625 drives it — tracker module empty upstream)
+# ---------------------------------------------------------------------------
+
+_MOTDT_CHI2_4 = 9.4877
+
+
+def _motdt_xyah(tlbr):
+    w = tlbr[2] - tlbr[0]
+    h = tlbr[3] - tlbr[1]
+    return np.array([tlbr[0] + w / 2.0, tlbr[1] + h / 2.0,
+                     w / h if h != 0 else 0.0, h])
+
+
+class OracleMotdtTrack:
+    def __init__(self, tlbr, score, feature, track_id):
+        self.kf = OracleKalman()
+        self.mean, self.cov = self.kf.initiate(_motdt_xyah(tlbr))
+        self.score = float(score)
+        f = np.asarray(feature, np.float64)
+        self.smooth_feat = f
+        self.track_id = track_id
+        self.time_since_update = 0
+        self.is_lost = False
+
+    @property
+    def tlbr(self):
+        cx, cy, a, h = self.mean[:4]
+        w = a * h
+        return np.array([cx - w / 2.0, cy - h / 2.0, cx + w / 2.0,
+                         cy + h / 2.0])
+
+    @property
+    def tlwh(self):
+        b = self.tlbr
+        return np.array([b[0], b[1], b[2] - b[0], b[3] - b[1]])
+
+    def predict(self):
+        self.mean, self.cov = self.kf.predict(self.mean, self.cov)
+        self.time_since_update += 1
+
+    def correct(self, tlbr, score, feature, alpha):
+        self.mean, self.cov = self.kf.update(
+            self.mean, self.cov, _motdt_xyah(tlbr)
+        )
+        self.score = float(score)
+        self.time_since_update = 0
+        self.is_lost = False
+        if feature is not None:
+            f = alpha * self.smooth_feat + (1 - alpha) * np.asarray(
+                feature, np.float64
+            )
+            n = np.linalg.norm(f)
+            self.smooth_feat = f / n if n > 0 else f
+
+    def gating_distance(self, xyah):
+        pm, pc = self.kf.project(self.mean, self.cov)
+        d = xyah - pm
+        L = scipy.linalg.cholesky(pc, lower=True)
+        y = scipy.linalg.solve_triangular(L, d, lower=True)
+        return float(y @ y)
+
+
+class OracleMotdtTracker:
+    def __init__(self, min_cls_score=0.4, min_det_score=0.45,
+                 min_ap_dist=0.64, iou_thresh=0.3, nms_thresh=0.3,
+                 max_time_lost=30, track_decay=0.9, ema_alpha=0.9):
+        self.min_cls_score = min_cls_score
+        self.min_det_score = min_det_score
+        self.min_ap_dist = min_ap_dist
+        self.iou_thresh = iou_thresh
+        self.nms_thresh = nms_thresh
+        self.max_time_lost = max_time_lost
+        self.track_decay = track_decay
+        self.ema_alpha = ema_alpha
+        self.tracks: List[OracleMotdtTrack] = []
+        self.frame_id = 0
+        self._next_id = 1
+
+    def update(self, boxes_tlbr, scores, features, frame=None):
+        self.frame_id += 1
+        boxes = np.asarray(boxes_tlbr, np.float64).reshape(-1, 4)
+        scores = np.asarray(scores, np.float64).reshape(-1)
+        features = np.asarray(features, np.float64).reshape(len(boxes), -1)
+
+        for tr in self.tracks:
+            tr.predict()
+
+        # candidate pool: kept detections, then decayed track predictions
+        cands = []  # (box, score, feat, is_det)
+        for i in range(len(boxes)):
+            if scores[i] >= self.min_cls_score:
+                cands.append((boxes[i], scores[i], features[i], True))
+        for tr in self.tracks:
+            s = tr.score * self.track_decay ** tr.time_since_update
+            if s >= self.min_cls_score:
+                cands.append((tr.tlbr, s, tr.smooth_feat, False))
+
+        # greedy NMS by descending score (stable sort; production uses
+        # argsort — continuous scores make ties measure-zero)
+        order = sorted(range(len(cands)), key=lambda i: -cands[i][1])
+        kept = []
+        for i in order:
+            if all(
+                _sort_iou_single(cands[i][0], cands[j][0]) <= self.nms_thresh
+                for j in kept
+            ):
+                kept.append(i)
+        # production fancy-indexes with the greedy keep order, so the pool
+        # comes out score-descending — mirror that, don't restore pool order
+        cands = [cands[i] for i in kept]
+
+        matched_tracks, matched_cands = set(), set()
+        if self.tracks and cands:
+            # stage 1: motion-gated appearance
+            ap = np.zeros((len(self.tracks), len(cands)))
+            for ti, tr in enumerate(self.tracks):
+                tf = tr.smooth_feat / max(np.linalg.norm(tr.smooth_feat),
+                                          1e-12)
+                for ci, (cb, _, cf, _d) in enumerate(cands):
+                    cfn = cf / max(np.linalg.norm(cf), 1e-12)
+                    ap[ti, ci] = max(0.0, 1.0 - float(tf @ cfn))
+                    if tr.gating_distance(_motdt_xyah(cb)) > _MOTDT_CHI2_4:
+                        ap[ti, ci] = 1e5
+            matches, _, _ = linear_assignment(ap, self.min_ap_dist)
+            for ti, ci in matches:
+                cb, cs, cf, _d = cands[ci]
+                self.tracks[ti].correct(cb, cs, cf, self.ema_alpha)
+                matched_tracks.add(ti)
+                matched_cands.add(ci)
+
+            # stage 2: IoU on the remainder
+            rt = [i for i in range(len(self.tracks))
+                  if i not in matched_tracks]
+            rc = [i for i in range(len(cands)) if i not in matched_cands]
+            if rt and rc:
+                cost = np.array([
+                    [1.0 - _sort_iou_single(self.tracks[i].tlbr, cands[j][0])
+                     for j in rc]
+                    for i in rt
+                ])
+                matches, _, _ = linear_assignment(cost, 1.0 - self.iou_thresh)
+                for a, b in matches:
+                    ti, ci = rt[a], rc[b]
+                    cb, cs, cf, _d = cands[ci]
+                    self.tracks[ti].correct(cb, cs, cf, self.ema_alpha)
+                    matched_tracks.add(ti)
+                    matched_cands.add(ci)
+
+        for i, tr in enumerate(self.tracks):
+            if i not in matched_tracks:
+                tr.is_lost = True
+        self.tracks = [
+            tr for tr in self.tracks
+            if tr.time_since_update <= self.max_time_lost
+        ]
+        for ci, (cb, cs, cf, is_det) in enumerate(cands):
+            if ci not in matched_cands and is_det and cs >= self.min_det_score:
+                self.tracks.append(
+                    OracleMotdtTrack(cb, cs, cf, self._next_id)
+                )
+                self._next_id += 1
+
+        return [tr for tr in self.tracks if not tr.is_lost]

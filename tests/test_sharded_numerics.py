@@ -111,3 +111,81 @@ def test_sharded_inference_matches_single_device():
             for a in arr_args))
     )
     np.testing.assert_allclose(sharded, single, rtol=0, atol=2e-4)
+
+
+def test_sharded_inference_lowers_to_collectives():
+    """The GSPMD lowering of the tp x dp associate forward must actually
+    BE parallel: cross-device collectives in the optimized HLO (a fully
+    replicated lowering has none), weight tensors physically split across
+    the tp axis, and the output sharded over dp — the compiler-level
+    contract behind the scaling story (parallel/mesh.py; NCCL/DDP role,
+    tools/track.py:305-316)."""
+    import jax.numpy as jnp
+
+    from busca_tpu.models.busca import BuscaModel
+    from busca_tpu.parallel.mesh import batch_sharding, param_shardings
+
+    config = BuscaConfig(num_layer=2, reid_num_classes=7,
+                         reid_layers=(1, 1, 1, 1))
+    model = BuscaModel(config)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    tp = mesh.shape["tp"]
+    t, l_mem, c, h, w = 8, 3, 2, 64, 32
+    rng = np.random.RandomState(2)
+    mem_crops = rng.randn(t, l_mem, h, w, 3).astype(np.float32)
+    can_crops = rng.randn(t, c, h, w, 3).astype(np.float32)
+
+    def boxes(n):
+        xy = rng.uniform(0, 400, (t, n, 2))
+        wh = rng.uniform(10, 80, (t, n, 2))
+        return np.concatenate([xy, xy + wh], axis=-1).astype(np.float32)
+
+    mem_boxes, can_boxes = boxes(l_mem), boxes(c)
+    mask = np.ones((t,), np.float32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(3), mem_crops, can_crops, mem_boxes, can_boxes,
+        mask,
+    )
+    params = variables["params"]
+
+    def infer(params, *args):
+        return jax.nn.softmax(
+            model.apply({"params": params}, *args), axis=-1
+        )
+
+    p_shard = param_shardings(params, mesh)
+    arr = (mem_crops, can_crops, mem_boxes, can_boxes, mask)
+    compiled = jax.jit(
+        infer,
+        in_shardings=(
+            p_shard, *(batch_sharding(mesh, np.ndim(a)) for a in arr)
+        ),
+    ).lower(params, *arr).compile()
+
+    # 1. collectives exist — the compute is genuinely distributed
+    hlo = compiled.as_text()
+    n_collectives = sum(
+        hlo.count(m) for m in
+        ("all-reduce", "all-gather", "reduce-scatter", "collective-permute")
+    )
+    assert n_collectives >= 4, f"only {n_collectives} collective mentions"
+
+    # 2. the Megatron-split weights are physically sharded over tp
+    # (linear1 is column-parallel: torch-layout [out, in], out split)
+    sharded_params = jax.device_put(params, p_shard)
+    mlp_kernel = (
+        sharded_params["transformer_encoder"]["layers_0"]["linear1"]["weight"]
+    )
+    shard_shape = mlp_kernel.addressable_shards[0].data.shape
+    assert shard_shape[0] * tp == mlp_kernel.shape[0], (
+        shard_shape, mlp_kernel.shape
+    )
+
+    # 3. the output comes back dp-sharded (per-device batch slices), not
+    # gathered to one device
+    out = compiled(sharded_params,
+                   *(jax.device_put(a, batch_sharding(mesh, np.ndim(a)))
+                     for a in arr))
+    assert len(out.addressable_shards) == n_dev
+    assert out.addressable_shards[0].data.shape[0] * mesh.shape["dp"] == t

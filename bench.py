@@ -531,6 +531,24 @@ def bench_e2e(dtype="bfloat16"):
     det_dt = min(p[1] for p in passes)
     trk_s = min(p[2] for p in passes)
 
+    def e2e_pipe_pass():
+        """The production loop's actual schedule: software-pipelined
+        double-buffer (detect_async(t+1) enqueued before wait(t), as in
+        eval/detector.py track_frames_with_detector)."""
+        trk = ByteTracker(ByteTrackerConfig(track_thresh=0.5))
+        t_all = time.perf_counter()
+        h = detector.detect_async(detector.put_frame(timed[0]))
+        for i in range(len(timed)):
+            nh = None
+            if i + 1 < len(timed):
+                nh = detector.detect_async(detector.put_frame(timed[i + 1]))
+            d = detector.wait(h)
+            trk.update(d.boxes_tlbr / d.scale, d.scores, d.scale, d.image)
+            h = nh
+        return (time.perf_counter() - t_all) / E2E_FRAMES
+
+    pipe_dt = min(e2e_pipe_pass() for _ in range(2))
+
     # tunnel-aware decomposition: this dev TPU sits behind a network tunnel,
     # so host->device upload and per-dispatch RTT dominate detect(); on a
     # production host (PCIe) they are sub-ms.  Report them separately plus
@@ -585,6 +603,22 @@ def bench_e2e(dtype="bfloat16"):
 
     device_ms, rtt_ms = device_time(step_sum, detector.variables, fd)
 
+    # host cost to *enqueue* one jitted step: in the pipelined loop this is
+    # the only per-frame detector cost the host still pays serially (the
+    # compute itself overlaps tracker bookkeeping).  k async dispatches, no
+    # intermediate fetch, drained once at the end.
+    def dispatch_cost_ms(k=8):
+        outs = None
+        t0 = time.perf_counter()
+        for _ in range(k):
+            outs = step_sum(detector.variables, fd)
+        dt = (time.perf_counter() - t0) / k * 1e3
+        np.asarray(outs)
+        return dt
+
+    dispatch_cost_ms()  # warm + drain
+    dispatch_ms = min(dispatch_cost_ms() for _ in range(3))
+
     # lockstep batched detection (B sequences share one device call): the
     # MXU-utilization mode for offline eval
     bsz = 8 if not os.environ.get("BENCH_SMOKE") else 2
@@ -607,6 +641,8 @@ def bench_e2e(dtype="bfloat16"):
     return {
         "det_ms": det_dt * 1e3,
         "e2e_ms": e2e_dt * 1e3,
+        "pipe_e2e_ms": pipe_dt * 1e3,
+        "dispatch_ms": dispatch_ms,
         "tracker_ms": trk_s / E2E_FRAMES * 1e3,
         "det_fps": 1.0 / det_dt,
         "e2e_fps": 1.0 / e2e_dt,
@@ -858,18 +894,38 @@ def main():
         e2e["batched_device_ms_per_frame"] + hp["busca_tracker_ms"]
         + busca_dev_ms_lockstep
     )
+    # pipelined schedule (the loop the production runner actually executes,
+    # eval/detector.py): device work for frame t+1 overlaps host work for
+    # frame t, so the steady-state period is max(device, host) — the host
+    # side keeps the tracker bookkeeping plus one enqueue per device call
+    busca_disp_ms = e2e["dispatch_ms"] * (
+        1.0 + hp["duty"] + hp["crop_calls_per_frame"]
+    )
+    e2e_busca_pipe_ms = max(
+        e2e["device_ms"] + busca_dev_ms,
+        hp["busca_tracker_ms"] + busca_disp_ms,
+    )
+    e2e_busca_lockstep_pipe_ms = max(
+        e2e["batched_device_ms_per_frame"] + busca_dev_ms_lockstep,
+        hp["busca_tracker_ms"] + busca_disp_ms,
+    )
 
     torch_det_s = bench_torch_detector()
     tracker_s = e2e["tracker_ms"] / 1e3
     torch_e2e_fps = (
         1.0 / (torch_det_s + tracker_s) if torch_det_s else None
     )
-    # headline: the production (PCIe-host-representative) pipeline rate —
-    # device detector step + host tracker.  The dev-TPU tunnel's upload
-    # bandwidth and RTT (absent on any production host) dominate the wall
-    # number here and drift with shared-host load run-to-run; both are
-    # still reported in detail as tunnel_*.
-    prod_ms = e2e["device_ms"] + e2e["tracker_ms"]
+    # headline: the production (PCIe-host-representative) pipeline rate of
+    # the double-buffered loop the runner executes (identity-tested vs the
+    # serial schedule): steady-state period = max(detector device step,
+    # host tracker + enqueue).  The dev-TPU tunnel's upload bandwidth and
+    # RTT (absent on any production host) dominate the wall number here and
+    # drift with shared-host load run-to-run; both are still reported in
+    # detail as tunnel_*.
+    serial_ms = e2e["device_ms"] + e2e["tracker_ms"]
+    prod_ms = max(
+        e2e["device_ms"], e2e["tracker_ms"] + e2e["dispatch_ms"]
+    )
     prod_fps = 1e3 / prod_ms
     vs = (prod_fps / torch_e2e_fps) if torch_e2e_fps else None
 
@@ -891,13 +947,18 @@ def main():
                     "pipeline": "1080p -> preproc -> YOLOX-X bf16 (800x1440)"
                                 " -> NMS -> BYTE tracker",
                     "e2e_ms_per_frame": round(prod_ms, 2),
+                    "e2e_serial_ms_per_frame": round(serial_ms, 2),
+                    "e2e_serial_frames_per_s": round(1e3 / serial_ms, 2),
                     "host_tracker_ms_per_frame": round(e2e["tracker_ms"], 2),
+                    "detector_dispatch_host_ms": round(e2e["dispatch_ms"], 3),
                     "detector_mfu_pct": round(det_mfu * 100, 1),
                     # tunnel decomposition: this dev TPU sits behind a
                     # network tunnel whose upload bandwidth + RTT (absent on
                     # a PCIe production host) dominate the wall clock and
                     # drift with shared-host load — wall numbers kept here
                     "tunnel_wall_e2e_fps": round(e2e["e2e_fps"], 2),
+                    "tunnel_wall_pipelined_e2e_fps":
+                        round(1e3 / e2e["pipe_e2e_ms"], 2),
                     "tunnel_wall_det_ms": round(e2e["det_ms"], 2),
                     "tunnel_upload_ms": round(e2e["upload_ms"], 2),
                     "tunnel_rtt_ms": round(e2e["rtt_ms"], 2),
@@ -924,9 +985,14 @@ def main():
                         round(assoc_64_bf16["tracks_per_s"], 1),
                     "assoc_mfu_pct_T64_bf16": round(assoc_mfu * 100, 1),
                     # ---- BUSCA-attached pipeline (tracker + third rounds)
-                    "e2e_busca_frames_per_s": round(1e3 / e2e_busca_ms, 2),
-                    "e2e_busca_ms_per_frame": round(e2e_busca_ms, 2),
+                    "e2e_busca_frames_per_s":
+                        round(1e3 / e2e_busca_pipe_ms, 2),
+                    "e2e_busca_ms_per_frame": round(e2e_busca_pipe_ms, 2),
+                    "e2e_busca_serial_frames_per_s":
+                        round(1e3 / e2e_busca_ms, 2),
                     "e2e_busca_lockstep_frames_per_s":
+                        round(1e3 / e2e_busca_lockstep_pipe_ms, 2),
+                    "e2e_busca_lockstep_serial_frames_per_s":
                         round(1e3 / e2e_busca_lockstep_ms, 2),
                     "busca_third_round_duty_cycle": round(hp["duty"], 3),
                     "busca_tracks_per_call": round(avg_t, 2),
@@ -969,7 +1035,15 @@ def main():
                             "crop op and scorer stubbed — both are TPU "
                             "work, measured here at the observed shapes) "
                             "+ the crop + third-round device calls at the "
-                            "observed duty cycle/bucket; ECC CMC "
+                            "observed duty cycle/bucket.  e2e/e2e_busca "
+                            "headline uses the runner's double-buffered "
+                            "pipelined schedule (frame t+1's device step "
+                            "enqueued before frame t's fetch; identity-"
+                            "tested vs serial in "
+                            "tests/test_detector_loop.py) -> steady-state "
+                            "period = max(device work, host tracker + "
+                            "enqueue); *_serial_* are the unpipelined "
+                            "sums; ECC CMC "
                             "(enabled only in MOT17 configs) adds a "
                             "measured 148 ms/pair host-side cv2 call per "
                             "third-round frame, overlappable in lockstep.",

@@ -87,6 +87,26 @@ class YoloxDetector:
         self.max_outputs = int(max_outputs)
         self.pre_nms_topk = int(pre_nms_topk)
         self._steps = {}  # (frame_h, frame_w) -> jitted step
+        self._mesh = None
+
+    def shard_lockstep(self, mesh) -> "YoloxDetector":
+        """Shard the lockstep batch over the mesh's ``dp`` axis.
+
+        The TPU-native scale-out of the reference's DDP eval
+        (tools/track.py:305-316): in lockstep mode each concurrently-tracked
+        sequence contributes one frame per batch, so sharding the batch axis
+        over dp places whole sequences' detector work on separate chips with
+        zero steady-state collectives (per-frame compute is sample-
+        independent; GSPMD partitions it without communication).  Variables
+        are replicated.  Per-sample numerics are unchanged — asserted by
+        ``tests/test_sharded_numerics.py`` on a virtual 8-device mesh.
+
+        Returns self (chainable); clears compiled steps so the next call
+        recompiles with shardings attached.
+        """
+        self._mesh = mesh
+        self._steps = {}
+        return self
 
     # ------------------------------------------------------------ factory --
     @classmethod
@@ -177,7 +197,20 @@ class YoloxDetector:
         mean = jnp.asarray(IMAGENET_MEAN_RGB, jnp.float32)
         std = jnp.asarray(IMAGENET_STD_RGB, jnp.float32)
 
-        @jax.jit
+        jit_kw = {}
+        if self._mesh is not None:
+            # dp-sharded lockstep (see shard_lockstep): batch over dp,
+            # variables replicated; outputs stay dp-sharded until fetch
+            from busca_tpu.parallel.mesh import batch_sharding, replicated
+
+            jit_kw = dict(
+                in_shardings=(
+                    replicated(self._mesh, self.variables),
+                    batch_sharding(self._mesh, 4),
+                ),
+            )
+
+        @functools.partial(jax.jit, **jit_kw)
         def step(variables, frames_bgr_u8):  # [B, fh, fw, 3]
             box = jnp.asarray([[0.0, 0.0, float(fw), float(fh)]])
 
@@ -204,22 +237,42 @@ class YoloxDetector:
 
         return step, r
 
+    def detect_batch_async(self, frames_bgr):
+        """Dispatch the lockstep batch step (see :meth:`detect_batch`) and
+        return a device-resident handle for :meth:`wait_batch` — the batch
+        analogue of :meth:`detect_async` for pipelining the lockstep loop."""
+        import jax.numpy as jnp
+
+        frames = np.asarray(frames_bgr)
+        b = frames.shape[0]
+        if self._mesh is not None:
+            # the dp axis needs an even split: pad with the last frame and
+            # drop the pad lanes' outputs in wait_batch
+            dp = self._mesh.shape.get("dp", 1)
+            pad = (-b) % dp
+            if pad:
+                frames = np.concatenate([frames, frames[-1:].repeat(pad, 0)])
+        bp = frames.shape[0]
+        key = ("batch", int(frames.shape[1]), int(frames.shape[2]), bp)
+        if key not in self._steps:
+            self._steps[key] = self._make_batch_step(
+                (int(frames.shape[1]), int(frames.shape[2])), bp
+            )
+        step, r = self._steps[key]
+        outs, valids, canvases = step(self.variables, jnp.asarray(frames))
+        return outs, valids, canvases, r, b
+
     def detect_batch(self, frames_bgr) -> list:
         """Run the detector on a BATCH of same-resolution frames (one per
         concurrently-tracked sequence) in one device call — the lockstep
         evaluation mode that keeps the MXU busy where per-frame batch-1
         underutilizes it.  Returns one :class:`DetectorOutput` per frame."""
-        import jax.numpy as jnp
+        return self.wait_batch(self.detect_batch_async(frames_bgr))
 
-        frames = np.asarray(frames_bgr)
-        b = frames.shape[0]
-        key = ("batch", int(frames.shape[1]), int(frames.shape[2]), b)
-        if key not in self._steps:
-            self._steps[key] = self._make_batch_step(
-                (int(frames.shape[1]), int(frames.shape[2])), b
-            )
-        step, r = self._steps[key]
-        outs, valids, canvases = step(self.variables, jnp.asarray(frames))
+    def wait_batch(self, handle) -> list:
+        """Fetch a :meth:`detect_batch_async` handle into per-frame
+        :class:`DetectorOutput`\\ s (blocks until the device step finished)."""
+        outs, valids, canvases, r, b = handle
         outs = np.asarray(outs)
         valids = np.asarray(valids)
         results = []
@@ -244,9 +297,15 @@ class YoloxDetector:
 
         return jax.device_put(np.ascontiguousarray(frame_bgr))
 
-    def detect(self, frame_bgr) -> DetectorOutput:
-        """Run the detector on one uint8 BGR frame (original resolution);
-        accepts a host array or a ``put_frame`` device array."""
+    def detect_async(self, frame_bgr):
+        """Dispatch the detector step for one uint8 BGR frame and return an
+        opaque handle of still-on-device results (no host sync).  Pass the
+        handle to :meth:`wait` to materialize the :class:`DetectorOutput`.
+
+        This is the software-pipelining half of the frame loop (SURVEY
+        §7.3.4): the driver dispatches frame t+1 here *before* fetching
+        frame t, so host tracker bookkeeping for t overlaps device compute
+        for t+1."""
         import jax.numpy as jnp
 
         key = (int(frame_bgr.shape[0]), int(frame_bgr.shape[1]))
@@ -254,6 +313,12 @@ class YoloxDetector:
             self._steps[key] = self._make_step(key)
         step, r = self._steps[key]
         out, valid, det_image = step(self.variables, jnp.asarray(frame_bgr))
+        return out, valid, det_image, r
+
+    def wait(self, handle) -> DetectorOutput:
+        """Fetch a :meth:`detect_async` handle (blocks until the device step
+        finished) and build the host-side :class:`DetectorOutput`."""
+        out, valid, det_image, r = handle
         out = np.asarray(out)
         valid = np.asarray(valid)
         rows = out[valid]
@@ -264,6 +329,11 @@ class YoloxDetector:
             image=det_image,  # device-resident; see DetectorOutput docstring
             scale=r,
         )
+
+    def detect(self, frame_bgr) -> DetectorOutput:
+        """Run the detector on one uint8 BGR frame (original resolution);
+        accepts a host array or a ``put_frame`` device array."""
+        return self.wait(self.detect_async(frame_bgr))
 
 
 class TransCenterDetector:
@@ -692,9 +762,36 @@ def track_sequences_lockstep(
     active = [True] * b
     results = [[] for _ in range(b)]
     frame_ids = [0] * b
+    # pipelined double-buffer (SURVEY §7.3.4): the batch for lockstep frame
+    # t+1 is dispatched before frame t's results are fetched, overlapping all
+    # host-side tracker bookkeeping with device compute
+    dispatch = getattr(detector, "detect_batch_async", None)
+    if dispatch is None:
+        dispatch = lambda f: ("sync", detector.detect_batch(f))  # noqa: E731
+        wait = lambda h: h[1]  # noqa: E731
+    else:
+        wait = detector.wait_batch
     t0 = time.perf_counter()
-    while any(active):
-        dets = detector.detect_batch(np.stack(current))
+    inflight = (dispatch(np.stack(current)), list(active))
+    while inflight is not None:
+        handle, active = inflight
+        # advance iterators and enqueue the next batch BEFORE blocking on
+        # this one; finished sequences keep feeding their last frame so the
+        # batch shape stays static (their outputs are skipped below)
+        nxt_active = list(active)
+        for i in range(b):
+            if not nxt_active[i]:
+                continue
+            nf = next(iters[i], None)
+            if nf is None:
+                nxt_active[i] = False
+            else:
+                current[i] = nf
+        if any(nxt_active):
+            inflight = (dispatch(np.stack(current)), nxt_active)
+        else:
+            inflight = None
+        dets = wait(handle)
         # phase 1: run every tracker's update up to its (optional) BUSCA
         # third round; collect the suspended requests
         onlines = [None] * b
@@ -731,16 +828,6 @@ def track_sequences_lockstep(
                 onlines[i], min_box_area, vertical_thresh
             )
             results[i].append((frame_ids[i], tlwhs, ids, confs))
-        # advance; finished sequences keep feeding their last frame so the
-        # batch shape stays static (their outputs are skipped above)
-        for i in range(b):
-            if not active[i]:
-                continue
-            nxt = next(iters[i], None)
-            if nxt is None:
-                active[i] = False
-            else:
-                current[i] = nxt
     dt = time.perf_counter() - t0
     # sequences ran concurrently: stamp each with its proportional share of
     # the wall time, so res.fps reports the combined lockstep pipeline rate
@@ -801,6 +888,13 @@ def track_frames_with_detector(
         tracker, "get_detector_positions"
     )
     can_prefetch = hasattr(detector, "put_frame")
+    # Software pipelining (SURVEY §7.3.4): dispatch the device step for frame
+    # t+1 BEFORE fetching frame t, so host tracker bookkeeping for t runs
+    # while the device computes t+1 — steady-state frame period becomes
+    # max(device, host) instead of device + host.  Feedback detectors
+    # (TransCenter) cannot pipeline: their t+1 input depends on the tracker
+    # state after update(t).
+    can_pipeline = hasattr(detector, "detect_async") and not feedback
     results = []
     det_s = trk_s = 0.0
     t0 = time.perf_counter()
@@ -808,6 +902,8 @@ def track_frames_with_detector(
     pending = next(it, None)
     if pending is not None and can_prefetch:
         pending = detector.put_frame(pending)
+    if pending is not None and can_pipeline:
+        pending = detector.detect_async(pending)
     idx = -1
     while pending is not None:
         idx += 1
@@ -816,8 +912,13 @@ def track_frames_with_detector(
         pending = next(it, None)
         if pending is not None and can_prefetch:
             pending = detector.put_frame(pending)
+        if pending is not None and can_pipeline:
+            # enqueue t+1 on the device before we block on t's results
+            pending = detector.detect_async(pending)
         t_det = time.perf_counter()
-        if feedback:
+        if can_pipeline:
+            det = detector.wait(frame)
+        elif feedback:
             det = detector.detect(
                 frame, current_pos=tracker.get_detector_positions()
             )

@@ -606,6 +606,12 @@ def main(argv=None):
                         help="batch the detector across sequences of the "
                              "same resolution (TPU throughput mode; "
                              "yolox detectors only)")
+    parser.add_argument("--lockstep-dp", type=int, default=0,
+                        help="shard the lockstep detector batch over this "
+                             "many devices (dp axis of a jax.sharding.Mesh;"
+                             " the DDP-eval role scaled the TPU way — one "
+                             "sequence group per chip, no steady-state "
+                             "collectives)")
     # offline post-processing (strong_sort.py:29-46)
     parser.add_argument("--hota", action="store_true",
                         help="also print per-sequence HOTA/DetA/AssA (the "
@@ -676,6 +682,14 @@ def main(argv=None):
                 conf_thresh=args.det_conf,
                 nms_thresh=args.det_nms,
             )
+            if args.lockstep_dp:
+                if not args.lockstep:
+                    parser.error("--lockstep-dp requires --lockstep")
+                from busca_tpu.parallel.mesh import make_mesh
+
+                detector.shard_lockstep(
+                    make_mesh(args.lockstep_dp, tp_size=1)
+                )
 
         feature_extractor = None
         if args.reid_ckpt:

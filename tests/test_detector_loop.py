@@ -123,6 +123,39 @@ def test_full_detector_tracker_loop(tiny_detector, rng):
         assert len(tlwhs) == len(ids) == len(confs)
 
 
+class _SerialOnly:
+    """Detector proxy hiding the async API — forces the non-pipelined path."""
+
+    def __init__(self, det):
+        self._det = det
+        self.put_frame = det.put_frame
+        self.detect = det.detect
+
+
+def test_pipelined_loop_matches_serial(tiny_detector, rng):
+    """The software-pipelined frame loop (dispatch t+1 before fetching t,
+    SURVEY §7.3.4) is an execution-schedule change only: identical outputs
+    to the serial loop, frame by frame."""
+    from busca_tpu.trackers import ByteTracker, ByteTrackerConfig
+
+    frames = [_frame(rng) for _ in range(6)]
+    runs = []
+    for det in (tiny_detector, _SerialOnly(tiny_detector)):
+        tracker = ByteTracker(ByteTrackerConfig(track_thresh=0.5))
+        runs.append(track_frames_with_detector(
+            det, tracker, frames, name="pipe", min_box_area=0.0
+        ))
+    piped, serial = runs
+    assert len(piped.results) == len(serial.results)
+    for (fa, ta, ia, ca), (fb, tb, ib, cb) in zip(
+        piped.results, serial.results
+    ):
+        assert fa == fb
+        assert ia == ib
+        np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+
+
 @pytest.mark.slow
 def test_det_log_feeds_coco_table(tiny_detector, rng):
     """det_log collects per-frame raw detections in original coordinates and

@@ -573,3 +573,252 @@ def test_motdt_pipeline_matches_oracle():
 
     assert frames_with_output > N_FRAMES // 2
     assert len(ids_seen) >= 4
+
+
+@pytest.mark.slow
+def test_centertrack_pipeline_matches_torch_oracle():
+    """The CenterTrack adapter (dict-in/dict-out shim over the mot20-style
+    BYTE strategy, trackers/centertrack.py mirroring
+    adapters/CenterTrack/src/lib/utils/tracker.py:7-74) runs the same
+    110-frame BUSCA-attached stream as an mot20 torch oracle: identical
+    tracking_ids and boxes every frame, third-round probabilities within
+    crop noise, clear-margin decisions equal.  Non-pedestrian results
+    (class != 1) must be dropped before tracking."""
+    import busca_tpu.trackers.byte as byte_mod
+
+    from busca_tpu.trackers.centertrack import CenterTrackAdapter
+
+    seq = _make_sequence()
+    torch_model, engine = _build_shared_models()
+
+    probs_log_jax = []
+    orig_assoc = engine.associate
+
+    def logged(*a, **k):
+        out = orig_assoc(*a, **k)
+        probs_log_jax[-1] = None if out[0] is None else np.array(out[0])
+        return out
+
+    engine.associate = logged
+
+    NEW_THRESH = 0.55
+    Track.reset_id_counter()
+    adapter = CenterTrackAdapter(
+        ByteTrackerConfig(
+            use_busca=True, track_thresh=0.5, busca_thresh=BUSCA_THRESH,
+            seq_len=SEQ_LEN, num_candidates=C, crop_hw=CROP_HW,
+            use_camera_motion_compensation=False,
+            select_highest_candidate=False,
+        ),
+        engine, new_thresh=NEW_THRESH,
+    )
+    oracle_tracker = OracleByteTracker(
+        torch_model, track_thresh=0.5, busca_thresh=BUSCA_THRESH,
+        seq_len=SEQ_LEN, num_candidates=C, crop_hw=CROP_HW,
+        select_highest_candidate=False, mot20=True,
+    )
+    oracle_tracker.det_thresh = NEW_THRESH  # tracker.py:11 new_thresh
+
+    # capture the jax third-round outcome as it happens (the adapter's
+    # update is self-contained), then force it into the oracle so a
+    # crop-LSB near-tie cannot fork the histories (the oracle's own
+    # decision is still computed and compared below)
+    captured = {"jax": None, "oracle": None}
+    orig_run = byte_mod.run_third_round
+
+    def capturing_run(*a, **k):
+        out = orig_run(*a, **k)
+        captured["jax"] = out
+        return out
+
+    orig_third = oracle_tracker._third_round
+
+    def forced_third(pool, considered, kalman_cands):
+        out = orig_third(pool, considered, kalman_cands)
+        captured["oracle"] = out
+        return captured["jax"] if captured["jax"] is not None else out
+
+    oracle_tracker._third_round = forced_third
+
+    third_rounds = rescues = decisions_checked = 0
+    byte_mod.run_third_round = capturing_run
+    try:
+        for t in range(N_FRAMES):
+            frame = seq.frame(t)
+            boxes, scores = seq.detections(t)
+            dicts = [
+                {"bbox": b, "score": s, "class": 1}
+                for b, s in zip(boxes, scores)
+            ]
+            # a non-pedestrian result the shim must drop (detector.py:143-156
+            # passes every class through; tracker.py:40-74 keeps class 1)
+            dicts.append({"bbox": np.array([1.0, 1.0, 9.0, 9.0]),
+                          "score": 0.99, "class": 2})
+
+            probs_log_jax.append(None)
+            captured["jax"] = None
+            out_dicts = adapter.step(dicts, frame)
+            captured["oracle"] = None
+            online_oracle = oracle_tracker.update(
+                boxes.copy(), scores.copy(), 1.0, frame
+            )
+
+            ids_jax = sorted(d["tracking_id"] for d in out_dicts)
+            ids_oracle = sorted(tr.track_id for tr in online_oracle)
+            assert ids_jax == ids_oracle, (
+                f"frame {t + 1}: {ids_jax} vs {ids_oracle}"
+            )
+            box_jax = {d["tracking_id"]: d["bbox"] for d in out_dicts}
+            for tr in online_oracle:
+                np.testing.assert_allclose(
+                    box_jax[tr.track_id], tr.tlbr, rtol=0, atol=1e-6,
+                    err_msg=f"frame {t + 1} track {tr.track_id}",
+                )
+            for d in out_dicts:
+                assert d["class"] == 1
+                np.testing.assert_allclose(
+                    d["ct"],
+                    [(d["bbox"][0] + d["bbox"][2]) / 2,
+                     (d["bbox"][1] + d["bbox"][3]) / 2],
+                )
+
+            pj = probs_log_jax[-1]
+            po = oracle_tracker.probs_log[-1]
+            assert (pj is None) == (po is None), f"frame {t + 1}"
+            if pj is not None:
+                third_rounds += 1
+                assert pj.shape == po.shape
+                np.testing.assert_allclose(
+                    pj, po, rtol=0, atol=TIE_TOL,
+                    err_msg=f"frame {t + 1}: probabilities diverged",
+                )
+                if len(pj):
+                    d = pj.shape[1] - len(pj)
+                    idx = (np.arange(len(pj)), d + np.arange(len(pj)))
+                    kal_j, kal_o = pj[idx], po[idx]
+                    clear = np.abs(kal_o - BUSCA_THRESH) > TIE_TOL
+                    np.testing.assert_array_equal(
+                        (kal_j > BUSCA_THRESH)[clear],
+                        (kal_o > BUSCA_THRESH)[clear],
+                        err_msg=f"frame {t + 1}: decisions diverged",
+                    )
+                    decisions_checked += int(clear.sum())
+                    rescues += int((kal_j > BUSCA_THRESH).sum())
+    finally:
+        byte_mod.run_third_round = orig_run
+
+    assert third_rounds >= 15, f"only {third_rounds} third rounds fired"
+    assert decisions_checked >= 15
+    assert rescues >= 1
+
+
+@pytest.mark.slow
+def test_transcenter_pipeline_matches_torch_oracle():
+    """The TransCenter adapter (BYTE strategy + the detector-feedback
+    position export, trackers/transcenter.py mirroring
+    adapters/TransCenter/tracking/byte_tracker.py:658-692) over the same
+    BUSCA-attached stream: byte-identical tracking vs the torch oracle AND
+    a per-frame check that the exported query priors equal the oracle's
+    tracked+lost box set."""
+    import busca_tpu.trackers.byte as byte_mod
+
+    from busca_tpu.trackers.transcenter import (
+        TransCenterByteTracker,
+        boxes_to_center_priors,
+    )
+
+    seq = _make_sequence()
+    torch_model, engine = _build_shared_models()
+
+    Track.reset_id_counter()
+    jax_tracker = TransCenterByteTracker(
+        ByteTrackerConfig(
+            use_busca=True, track_thresh=0.5, busca_thresh=BUSCA_THRESH,
+            seq_len=SEQ_LEN, num_candidates=C, crop_hw=CROP_HW,
+            use_camera_motion_compensation=False,
+            select_highest_candidate=False,
+        ),
+        engine,
+    )
+    oracle_tracker = OracleByteTracker(
+        torch_model, track_thresh=0.5, busca_thresh=BUSCA_THRESH,
+        seq_len=SEQ_LEN, num_candidates=C, crop_hw=CROP_HW,
+        select_highest_candidate=False,
+    )
+
+    captured = {"jax": None}
+    orig_run = byte_mod.run_third_round
+
+    def capturing_run(*a, **k):
+        out = orig_run(*a, **k)
+        captured["jax"] = out
+        return out
+
+    orig_third = oracle_tracker._third_round
+
+    def forced_third(pool, considered, kalman_cands):
+        out = orig_third(pool, considered, kalman_cands)
+        return captured["jax"] if captured["jax"] is not None else out
+
+    oracle_tracker._third_round = forced_third
+
+    def sorted_rows(arr):
+        arr = np.asarray(arr, np.float64).reshape(-1, 4)
+        return arr[np.lexsort(arr.T[::-1])]
+
+    pos_checked = 0
+    byte_mod.run_third_round = capturing_run
+    try:
+        for t in range(N_FRAMES):
+            frame = seq.frame(t)
+            boxes, scores = seq.detections(t)
+            # the export the detector would consume NEXT frame
+            # (mot_evaluator.py:158 feeds it before this frame's update;
+            # here we validate it against the oracle's post-update state
+            # at every frame boundary)
+            captured["jax"] = None
+            online_jax = jax_tracker.update(boxes.copy(), scores.copy(),
+                                            1.0, frame)
+            online_oracle = oracle_tracker.update(boxes.copy(),
+                                                  scores.copy(), 1.0, frame)
+            ids_jax = sorted(tr.track_id for tr in online_jax)
+            ids_oracle = sorted(tr.track_id for tr in online_oracle)
+            assert ids_jax == ids_oracle, (
+                f"frame {t + 1}: {ids_jax} vs {ids_oracle}"
+            )
+
+            pos = jax_tracker.get_detector_positions()
+            o_tracked = list(oracle_tracker.tracked_stracks)
+            seen = {tr.track_id for tr in o_tracked}
+            o_pool = o_tracked + [
+                tr for tr in oracle_tracker.lost_stracks
+                if tr.track_id not in seen
+            ]
+            if not o_pool:
+                assert pos is None
+            else:
+                expected = np.stack([tr.tlbr for tr in o_pool])
+                np.testing.assert_allclose(
+                    sorted_rows(pos), sorted_rows(expected),
+                    rtol=0, atol=1e-4,
+                    err_msg=f"frame {t + 1}: exported priors diverged",
+                )
+                pos_checked += len(o_pool)
+                # variant exports restrict the pool
+                # (byte_tracker.py:664-677)
+                only_tracked = jax_tracker.get_detector_positions(
+                    omit_lost=True
+                )
+                n_tracked = len(o_tracked)
+                assert (only_tracked is None and n_tracked == 0) or len(
+                    only_tracked
+                ) == n_tracked
+                pri = boxes_to_center_priors(pos)
+                np.testing.assert_allclose(
+                    pri,
+                    (np.asarray(pos)[:, :2] + np.asarray(pos)[:, 2:]) / 8.0,
+                )
+    finally:
+        byte_mod.run_third_round = orig_run
+
+    assert pos_checked >= 100, "position export exercised too little"

@@ -189,3 +189,40 @@ def test_sharded_inference_lowers_to_collectives():
                      for a in arr))
     assert len(out.addressable_shards) == n_dev
     assert out.addressable_shards[0].data.shape[0] * mesh.shape["dp"] == t
+
+
+def test_sharded_lockstep_detector_matches_unsharded():
+    """detect_batch with the batch dp-sharded over the mesh (the TPU-native
+    scale-out of the reference's DDP eval, tools/track.py:305-316) returns
+    exactly the per-frame results of the unsharded call: per-sample compute
+    is independent, so GSPMD partitions it with zero steady-state
+    collectives and unchanged numerics."""
+    import jax
+
+    from busca_tpu.eval.detector import YoloxDetector, init_variables
+    from busca_tpu.models.yolox import YoloxConfig
+
+    config = YoloxConfig(depth=0.33, width=0.125, num_classes=1)
+    test_size = (64, 96)
+    variables = init_variables(config, test_size)
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 256, (8, 50, 70, 3)).astype(np.uint8)
+
+    base = YoloxDetector(config, variables, test_size=test_size,
+                         conf_thresh=0.05, nms_thresh=0.7, max_outputs=32)
+    ref = base.detect_batch(frames)
+
+    mesh = make_mesh(len(jax.devices()), tp_size=1)  # dp=8
+    sharded = YoloxDetector(
+        config, variables, test_size=test_size, conf_thresh=0.05,
+        nms_thresh=0.7, max_outputs=32,
+    ).shard_lockstep(mesh)
+    out = sharded.detect_batch(frames)
+
+    assert len(out) == len(ref) == 8
+    for a, b in zip(out, ref):
+        assert a.scale == b.scale
+        np.testing.assert_array_equal(a.boxes_tlbr, b.boxes_tlbr)
+        np.testing.assert_array_equal(a.scores, b.scores)
+        np.testing.assert_array_equal(np.asarray(a.image),
+                                      np.asarray(b.image))

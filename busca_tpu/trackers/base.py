@@ -127,14 +127,34 @@ class Track:
         self.frame_id = frame_id
         self.start_frame = frame_id
 
+    @staticmethod
+    def multi_update_posterior(pairs):
+        """Batched Kalman posterior for matched ``(track, detection)`` pairs.
+
+        One stacked ``HostKalman.update`` replaces len(pairs) per-track
+        calls — numpy's per-call overhead on the tiny 8x8 systems dominates
+        the host tracker otherwise (the batched LAPACK/einsum path is
+        bit-identical per slice).  Pass each returned ``(mean, cov)`` to
+        :meth:`update` / :meth:`re_activate` via ``kf_posterior``.
+        """
+        if not pairs:
+            return []
+        means = np.stack([t.mean for t, _ in pairs])
+        covs = np.stack([t.covariance for t, _ in pairs])
+        z = np.stack([hostmath.tlwh_to_xyah(d.tlwh) for _, d in pairs])
+        m, c = _KF.update(means, covs, z)
+        return list(zip(m, c))
+
     def re_activate(self, new_track: "Track", frame_id: int, new_id=False,
-                    update_mems=True):
-        m, c = _KF.update(
-            self.mean[None],
-            self.covariance[None],
-            hostmath.tlwh_to_xyah(new_track.tlwh)[None],
-        )
-        self.mean, self.covariance = m[0], c[0]
+                    update_mems=True, kf_posterior=None):
+        if kf_posterior is None:
+            m, c = _KF.update(
+                self.mean[None],
+                self.covariance[None],
+                hostmath.tlwh_to_xyah(new_track.tlwh)[None],
+            )
+            kf_posterior = (m[0], c[0])
+        self.mean, self.covariance = kf_posterior
         self.tracklet_len = 0
         self.state = TrackState.Tracked
         self.is_activated = True
@@ -145,15 +165,18 @@ class Track:
         self.scale = new_track.scale
         self._extend_mems(new_track, update_mems)
 
-    def update(self, new_track: "Track", frame_id: int, update_mems=True):
+    def update(self, new_track: "Track", frame_id: int, update_mems=True,
+               kf_posterior=None):
         self.frame_id = frame_id
         self.tracklet_len += 1
-        m, c = _KF.update(
-            self.mean[None],
-            self.covariance[None],
-            hostmath.tlwh_to_xyah(new_track.tlwh)[None],
-        )
-        self.mean, self.covariance = m[0], c[0]
+        if kf_posterior is None:
+            m, c = _KF.update(
+                self.mean[None],
+                self.covariance[None],
+                hostmath.tlwh_to_xyah(new_track.tlwh)[None],
+            )
+            kf_posterior = (m[0], c[0])
+        self.mean, self.covariance = kf_posterior
         self.state = TrackState.Tracked
         self.is_activated = True
         self.score = new_track.score

@@ -196,14 +196,18 @@ class ByteTracker:
             )
         matches, u_track, u_det = lap.linear_assignment(dists, cfg.match_thresh)
 
-        for it, idet in matches:
+        post = Track.multi_update_posterior(
+            [(pool[it], detections[idet]) for it, idet in matches]
+        )
+        for (it, idet), kf in zip(matches, post):
             track, det = pool[it], detections[idet]
             update_mems = det.score >= self.det_thresh
             if track.state == TrackState.Tracked:
-                track.update(det, self.frame_id, update_mems)
+                track.update(det, self.frame_id, update_mems, kf_posterior=kf)
                 activated.append(track)
             else:
-                track.re_activate(det, self.frame_id, False, update_mems)
+                track.re_activate(det, self.frame_id, False, update_mems,
+                                  kf_posterior=kf)
                 refind.append(track)
 
         # ---- round 2: low-score detections vs remaining tracked tracks ------
@@ -224,10 +228,13 @@ class ByteTracker:
             else np.zeros((0, 4)),
         )
         matches, u_track, _ = lap.linear_assignment(dists, 0.5)
-        for it, idet in matches:
+        post = Track.multi_update_posterior(
+            [(r_tracked[it], detections_second[idet]) for it, idet in matches]
+        )
+        for (it, idet), kf in zip(matches, post):
             track, det = r_tracked[it], detections_second[idet]
             update_mems = not cfg.transformer_update_mems_only_first_round
-            track.update(det, self.frame_id, update_mems)
+            track.update(det, self.frame_id, update_mems, kf_posterior=kf)
             activated.append(track)
 
         unassigned = joint_tracks([r_tracked[i] for i in u_track], r_lost)
@@ -248,11 +255,16 @@ class ByteTracker:
                     third_pool, considered_dets, kalman_cands,
                     cfg.busca_thresh, self._engine_kwargs(), self.engine,
                 )
-                for it, _prob in third_matches:
+                post = Track.multi_update_posterior(
+                    [(third_pool[it], kalman_cands[it])
+                     for it, _prob in third_matches]
+                )
+                for (it, _prob), kf in zip(third_matches, post):
                     track = third_pool[it]
                     det = kalman_cands[it]
                     if track.state == TrackState.Tracked:
-                        track.update(det, self.frame_id, update_mems=False)
+                        track.update(det, self.frame_id, update_mems=False,
+                                     kf_posterior=kf)
                         activated.append(track)
 
         for it in u_track:
@@ -272,8 +284,12 @@ class ByteTracker:
                 dists, np.array([d.score for d in detections])
             )
         matches, u_unconfirmed, u_det = lap.linear_assignment(dists, 0.7)
-        for it, idet in matches:
-            unconfirmed[it].update(detections[idet], self.frame_id, True)
+        post = Track.multi_update_posterior(
+            [(unconfirmed[it], detections[idet]) for it, idet in matches]
+        )
+        for (it, idet), kf in zip(matches, post):
+            unconfirmed[it].update(detections[idet], self.frame_id, True,
+                                   kf_posterior=kf)
             activated.append(unconfirmed[it])
         for it in u_unconfirmed:
             track = unconfirmed[it]

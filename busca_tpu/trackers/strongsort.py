@@ -145,16 +145,36 @@ class SSTrack:
         w, h = p2[0] - p1[0], p2[1] - p1[1]
         self.mean[:4] = [p1[0] + w / 2, p1[1] + h / 2, w / h, h]
 
-    def update(self, xyah, confidence, feature, image, save_memory=False,
-               nsa=True):
-        m, c = _KF.update(
-            self.mean[None],
-            self.covariance[None],
-            np.asarray(xyah)[None],
-            # NSA Kalman (track.py:242) — off = vanilla DeepSORT noise
-            confidence=np.array([confidence]) if nsa else None,
+    @staticmethod
+    def multi_update_posterior(triples, nsa=True):
+        """Batched Kalman posterior for ``(track, xyah, confidence)`` triples
+        — one stacked ``HostKalman.update`` (bit-identical per slice)
+        replacing per-track calls whose numpy small-matrix overhead
+        dominates the host loop.  Feed results to :meth:`update` via
+        ``kf_posterior``."""
+        if not triples:
+            return []
+        means = np.stack([t.mean for t, _, _ in triples])
+        covs = np.stack([t.covariance for t, _, _ in triples])
+        z = np.stack([np.asarray(x, np.float64) for _, x, _ in triples])
+        conf = (
+            np.array([c for _, _, c in triples], np.float64) if nsa else None
         )
-        self.mean, self.covariance = m[0], c[0]
+        m, c = _KF.update(means, covs, z, confidence=conf)
+        return list(zip(m, c))
+
+    def update(self, xyah, confidence, feature, image, save_memory=False,
+               nsa=True, kf_posterior=None):
+        if kf_posterior is None:
+            m, c = _KF.update(
+                self.mean[None],
+                self.covariance[None],
+                np.asarray(xyah)[None],
+                # NSA Kalman (track.py:242) — off = vanilla DeepSORT noise
+                confidence=np.array([confidence]) if nsa else None,
+            )
+            kf_posterior = (m[0], c[0])
+        self.mean, self.covariance = kf_posterior
         if feature is not None:
             f = feature / np.linalg.norm(feature)
             if self.features:
@@ -395,7 +415,11 @@ class StrongSortTracker:
                     unmatched_tracks.remove(third_idx[it])
 
         # ---- standard DeepSORT bookkeeping -----------------------------------
-        for ti, di in matches:
+        post = SSTrack.multi_update_posterior(
+            [(self.tracks[ti], xyah[di], scores[di]) for ti, di in matches],
+            nsa=cfg.nsa,
+        )
+        for (ti, di), kf in zip(matches, post):
             self.tracks[ti].update(
                 xyah[di],
                 scores[di],
@@ -403,6 +427,7 @@ class StrongSortTracker:
                 det_images[di],
                 save_memory=cfg.avoid_memory_leak,
                 nsa=cfg.nsa,
+                kf_posterior=kf,
             )
         for ti in unmatched_tracks:
             self.tracks[ti].mark_missed()

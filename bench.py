@@ -887,6 +887,9 @@ def main():
     busca_dev_ms_lockstep = (
         hp["duty"] * busca_call_8["ms"] / 8.0 + busca_crop_ms
     )
+    # serial pays each enqueue inline (detector + duty-weighted third round
+    # + crop calls) — busca_disp_ms is added to both serial compositions
+    # once dispatch_ms enters scope below
     e2e_busca_ms = (
         e2e["device_ms"] + hp["busca_tracker_ms"] + busca_dev_ms
     )
@@ -901,6 +904,8 @@ def main():
     busca_disp_ms = e2e["dispatch_ms"] * (
         1.0 + hp["duty"] + hp["crop_calls_per_frame"]
     )
+    e2e_busca_ms += busca_disp_ms
+    e2e_busca_lockstep_ms += busca_disp_ms
     e2e_busca_pipe_ms = max(
         e2e["device_ms"] + busca_dev_ms,
         hp["busca_tracker_ms"] + busca_disp_ms,
@@ -922,7 +927,8 @@ def main():
     # RTT (absent on any production host) dominate the wall number here and
     # drift with shared-host load run-to-run; both are still reported in
     # detail as tunnel_*.
-    serial_ms = e2e["device_ms"] + e2e["tracker_ms"]
+    # serial pays the enqueue inline too: dispatch + device + tracker
+    serial_ms = e2e["device_ms"] + e2e["tracker_ms"] + e2e["dispatch_ms"]
     prod_ms = max(
         e2e["device_ms"], e2e["tracker_ms"] + e2e["dispatch_ms"]
     )

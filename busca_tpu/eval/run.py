@@ -550,7 +550,8 @@ def main(argv=None):
     parser.add_argument("--crop-w", type=int, default=128)
     # live detector-in-the-loop (reference mot_evaluator.py:131-235)
     parser.add_argument("--detector", default=None,
-                        choices=["yolox-s", "yolox-m", "yolox-l", "yolox-x",
+                        choices=["yolox-tiny", "yolox-s", "yolox-m",
+                                 "yolox-l", "yolox-x",
                                  "transcenter", "centertrack"],
                         help="run the detector per frame instead of reading "
                              "cached det/det.txt")

@@ -303,6 +303,7 @@ class YoloxConfig:
     @classmethod
     def size(cls, name: str, **kw) -> "YoloxConfig":
         table = {
+            "tiny": (0.33, 0.375),
             "s": (0.33, 0.50),
             "m": (0.67, 0.75),
             "l": (1.0, 1.0),

@@ -161,11 +161,18 @@ class ByteTracker:
         dets_considered = bboxes_tlbr[considered_mask]
         scores_considered = scores[considered_mask]
 
-        # One fused crop call for every detection group (device).
+        # One fused crop call for every detection group (device).  The
+        # considered set IS first ∪ second (same boxes, same order within
+        # each mask), so a single device call over the considered boxes
+        # serves all three groups — the reference crops per detection per
+        # group (byte_tracker.py:278-287); r3 cut this from 3 device
+        # calls/frame to 1 (index-subset the shared call's outputs).
         if self.use_busca and cfg.busca_thresh > 0 and frame is not None:
-            imgs_first = self._crops(frame, dets_first * scale)
-            imgs_second = self._crops(frame, dets_second * scale)
             imgs_considered = self._crops(frame, dets_considered * scale)
+            fidx = np.where(first_mask[considered_mask])[0]
+            sidx = np.where(second_mask[considered_mask])[0]
+            imgs_first = [imgs_considered[i] for i in fidx]
+            imgs_second = [imgs_considered[i] for i in sidx]
         else:
             imgs_first = [None] * len(dets_first)
             imgs_second = [None] * len(dets_second)

@@ -87,3 +87,18 @@ def test_strongsort_tracker_mot_mode(mot_fixture, tmp_path):
     out = main(["--mot-dir", mot_fixture, "--tracker", "strongsort",
                 "--output-dir", str(tmp_path / "o6")])
     assert out["MOT17-05-FRCNN"].num_gt == 6
+
+
+@pytest.mark.slow
+def test_live_detector_lockstep_dp(mot_fixture, tmp_path):
+    """The live-detector lockstep path through the CLI with the batch
+    dp-sharded over the virtual 8-device mesh (--lockstep-dp): one
+    sequence pads B=1 -> dp=8, exercising the pad-and-drop lanes through
+    the whole runner (random yolox-tiny weights; structure, not metrics)."""
+    out = main(["--mot-dir", mot_fixture, "--detector", "yolox-tiny",
+                "--test-h", "64", "--test-w", "96",
+                "--det-conf", "0.05",
+                "--lockstep", "--lockstep-dp", "8",
+                "--output-dir", str(tmp_path / "dp")])
+    assert "MOT17-05-FRCNN" in out
+    assert os.path.exists(tmp_path / "dp" / "MOT17-05-FRCNN.txt")

@@ -78,6 +78,7 @@ class AssociationEngine:
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         debug_dir: Optional[str] = None,
         dedup_candidates: bool = True,
+        bank=None,
     ):
         self.config = config
         self.model = BuscaModel(config)
@@ -86,6 +87,13 @@ class AssociationEngine:
         self.num_candidates = num_candidates
         self.crop_hw = crop_hw
         self.buckets = tuple(sorted(buckets))
+        # Device-resident crop bank (assoc/bank.py): tracks' memory crops
+        # stay in HBM and the scorer gathers them by slot index — the host
+        # never re-assembles/re-uploads the [T, L, H, W, 3] memory tensor
+        # (the reference re-ships it every call, network.py:293-398).
+        if bank is not None and tuple(bank.crop_hw) != tuple(crop_hw):
+            raise ValueError("bank crop_hw mismatch")
+        self.bank = bank
         # Deduplicated candidate ReID: tracks share one detection pool, so
         # the [T, C] candidate batch is mostly repeats — run ReID once per
         # unique crop with multiplicity-weighted BN statistics (numerics
@@ -171,6 +179,61 @@ class AssociationEngine:
 
         self._score_unique_grouped = _score_unique_grouped
 
+        @functools.partial(jax.jit, static_argnames=("normalize_ims",))
+        def _score_unique_banked(variables, bank_arr, mem_slots, uniq_slots,
+                                 can_weights, can_gather, mem_boxes,
+                                 can_boxes, mask, normalize_ims=True):
+            """Banked dedup mode: crops gathered from the HBM bank by slot
+            index (slot 0 = the zero crop)."""
+            logits = model.apply(
+                {"params": variables["params"]},
+                prep(bank_arr[mem_slots], normalize_ims),
+                prep(bank_arr[uniq_slots], normalize_ims),
+                mem_boxes,
+                can_boxes,
+                mask,
+                can_weights=can_weights,
+                can_gather=can_gather,
+            )
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._score_unique_banked = _score_unique_banked
+
+        @functools.partial(
+            jax.jit, static_argnames=("normalize_ims", "num_groups")
+        )
+        def _score_unique_grouped_banked(variables, bank_arr, mem_slots,
+                                         uniq_slots, can_weights, can_gather,
+                                         mem_boxes, can_boxes, mask,
+                                         mem_group, can_group, num_groups,
+                                         normalize_ims=True):
+            logits = model.apply(
+                {"params": variables["params"]},
+                prep(bank_arr[mem_slots], normalize_ims),
+                prep(bank_arr[uniq_slots], normalize_ims),
+                mem_boxes,
+                can_boxes,
+                mask,
+                can_weights=can_weights,
+                can_gather=can_gather,
+                mem_group=mem_group,
+                can_group=can_group,
+                num_groups=num_groups,
+            )
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._score_unique_grouped_banked = _score_unique_grouped_banked
+
+    @property
+    def banked(self) -> bool:
+        """Whether scoring ships bank slot indices instead of pixel tensors
+        (requires dedup mode; the debug montage needs the pixels on host)."""
+        return (
+            self.bank is not None
+            and self.dedup_candidates
+            and self.debug_dir is None
+        )
+
     # ------------------------------------------------------------------ api --
     def associate(
         self,
@@ -207,6 +270,11 @@ class AssociationEngine:
         """Score one prepped request (dedup or duplicated path)."""
         (mem_crops, mem_boxes, reliable, det_inds, can_boxes, unit_crop,
          num_available, d_count, t_count) = req
+        if self.banked:
+            return self._score_bucketed_unique_b(
+                mem_crops, det_inds, unit_crop, mem_boxes, can_boxes,
+                normalize_ims,
+            )  # [T, c + extras]
         if self.dedup_candidates and self.debug_dir is None:
             return self._score_bucketed_unique(
                 mem_crops, det_inds, unit_crop, mem_boxes, can_boxes,
@@ -289,7 +357,11 @@ class AssociationEngine:
         while r_pad < r:
             r_pad *= 2
 
-        mem_crops = np.zeros((b, seq_len, h, w, 3), np.uint8)
+        banked = self.banked
+        if banked:
+            mem_entries_flat: List[Optional[list]] = []
+        else:
+            mem_crops = np.zeros((b, seq_len, h, w, 3), np.uint8)
         mem_boxes = np.zeros((b, seq_len, 4), np.float32)
         can_boxes_all = np.zeros((b, c, 4), np.float32)
         mask = np.zeros(b, np.float32)
@@ -298,8 +370,9 @@ class AssociationEngine:
 
         # per-request unique candidate units; every request gets its OWN
         # zero "missing slot" entry so its weight lands in that request's
-        # BN group
-        uniq_crops: List[np.ndarray] = []
+        # BN group (in banked mode the zero unit keeps its weight row but
+        # maps to the bank's zero slot)
+        uniq_crops: List[Optional[np.ndarray]] = []
         uniq_weights: List[float] = []
         uniq_group: List[int] = []
         row = 0
@@ -308,7 +381,7 @@ class AssociationEngine:
             (m_crops, m_boxes, reliable, det_inds, can_boxes, unit_crop,
              num_available, d_count, t_count) = req
             zero_idx = len(uniq_crops)
-            uniq_crops.append(np.zeros((h, w, 3), np.uint8))
+            uniq_crops.append(None if banked else np.zeros((h, w, 3), np.uint8))
             uniq_weights.append(0.0)
             uniq_group.append(slot)
             unit_to_idx = {}
@@ -326,7 +399,10 @@ class AssociationEngine:
                     ui = unit_to_idx[di]
                     gather[row + ti, ci] = ui
                     uniq_weights[ui] += 1.0
-            mem_crops[row:row + t_count] = m_crops
+            if banked:
+                mem_entries_flat.extend(m_crops)
+            else:
+                mem_crops[row:row + t_count] = m_crops
             mem_boxes[row:row + t_count] = m_boxes
             can_boxes_all[row:row + t_count] = can_boxes
             mask[row:row + t_count] = 1.0
@@ -339,29 +415,58 @@ class AssociationEngine:
         u_pad = 8
         while u_pad < u:
             u_pad *= 2
-        uniq = np.zeros((u_pad, h, w, 3), np.uint8)
-        uniq[:u] = np.stack(uniq_crops)
         w_arr = np.zeros(u_pad, np.float32)
         w_arr[:u] = uniq_weights
         g_arr = np.zeros(u_pad, np.int32)
         g_arr[:u] = uniq_group
 
-        probs = np.asarray(
-            self._score_unique_grouped(
-                self.variables,
-                jnp.asarray(mem_crops),
-                jnp.asarray(uniq),
-                jnp.asarray(w_arr),
-                jnp.asarray(gather),
-                jnp.asarray(mem_boxes),
-                jnp.asarray(can_boxes_all),
-                jnp.asarray(mask),
-                jnp.asarray(mem_group),
-                jnp.asarray(g_arr),
-                num_groups=r_pad,
-                normalize_ims=normalize_ims,
+        if banked:
+            flat: list = []
+            for e in mem_entries_flat:
+                flat.extend(e if e is not None else [None] * seq_len)
+            flat.extend(uniq_crops)
+            slots = self.bank.resolve(flat)
+            n_mem = row * seq_len
+            mem_slots = np.zeros((b, seq_len), np.int32)
+            mem_slots[:row] = slots[:n_mem].reshape(row, seq_len)
+            uniq_slots = np.zeros(u_pad, np.int32)
+            uniq_slots[:u] = slots[n_mem:]
+            probs = np.asarray(
+                self._score_unique_grouped_banked(
+                    self.variables,
+                    self.bank.array,
+                    jnp.asarray(mem_slots),
+                    jnp.asarray(uniq_slots),
+                    jnp.asarray(w_arr),
+                    jnp.asarray(gather),
+                    jnp.asarray(mem_boxes),
+                    jnp.asarray(can_boxes_all),
+                    jnp.asarray(mask),
+                    jnp.asarray(mem_group),
+                    jnp.asarray(g_arr),
+                    num_groups=r_pad,
+                    normalize_ims=normalize_ims,
+                )
             )
-        )
+        else:
+            uniq = np.zeros((u_pad, h, w, 3), np.uint8)
+            uniq[:u] = np.stack(uniq_crops)
+            probs = np.asarray(
+                self._score_unique_grouped(
+                    self.variables,
+                    jnp.asarray(mem_crops),
+                    jnp.asarray(uniq),
+                    jnp.asarray(w_arr),
+                    jnp.asarray(gather),
+                    jnp.asarray(mem_boxes),
+                    jnp.asarray(can_boxes_all),
+                    jnp.asarray(mask),
+                    jnp.asarray(mem_group),
+                    jnp.asarray(g_arr),
+                    num_groups=r_pad,
+                    normalize_ims=normalize_ims,
+                )
+            )
         for i, row0, t_count, reliable, det_inds, num_available, ndt in spans:
             results[i] = self._postprocess(
                 probs[row0:row0 + t_count], reliable, det_inds,
@@ -396,14 +501,20 @@ class AssociationEngine:
         t_count = len(tracks)
         d_count = len(dets)
 
-        mem_crops = np.zeros((t_count, seq_len, h, w, 3), dtype=np.uint8)
+        banked = self.banked
+        if banked:
+            # mem crops stay as per-track host-mirror lists; the scorer
+            # gathers them from the device bank by slot (None = zero memory)
+            mem_crops: list = [None] * t_count
+        else:
+            mem_crops = np.zeros((t_count, seq_len, h, w, 3), dtype=np.uint8)
         mem_boxes = np.zeros((t_count, seq_len, 4), dtype=np.float64)
         reliable = np.zeros(t_count, dtype=bool)
         for ti, track in enumerate(tracks):
             crops, bboxes = _get_track_mem(track, seq_len, use_broader_memory)
             if len(crops) == seq_len:
                 reliable[ti] = True
-                mem_crops[ti] = np.stack(crops)
+                mem_crops[ti] = crops if banked else np.stack(crops)
                 mem_boxes[ti] = bboxes
             else:
                 mem_boxes[ti] = INCOMPLETE_MEM_BBOX_TLWH  # zero crops stay
@@ -570,6 +681,86 @@ class AssociationEngine:
                 self.variables,
                 jnp.asarray(padded(mem_crops)),
                 jnp.asarray(uniq),
+                jnp.asarray(w_arr),
+                jnp.asarray(gather),
+                jnp.asarray(padded(mem_boxes)),
+                jnp.asarray(padded(can_boxes)),
+                jnp.asarray(mask),
+                normalize_ims=normalize_ims,
+            )
+            out.append(np.asarray(probs)[:n])
+        return np.concatenate(out, axis=0)
+
+    def _score_bucketed_unique_b(
+        self, mem_entries, det_inds, unit_crop, mem_boxes, can_boxes,
+        normalize_ims,
+    ) -> np.ndarray:
+        """Banked dedup scoring: one :meth:`DeviceCropBank.resolve` per chunk
+        covers the chunk's memory crops AND its unique candidate units; the
+        jitted scorer receives only slot indices (plus boxes/weights) and
+        gathers pixels from HBM.  Numerics are identical to
+        :meth:`_score_bucketed_unique` — the bank stores the same uint8
+        crops the host mirrors hold.
+        """
+        t_count = len(mem_entries)
+        seq_len = self.seq_len
+        c = can_boxes.shape[1]
+        max_b = self.buckets[-1]
+        out = []
+        for start in range(0, t_count, max_b):
+            end = min(start + max_b, t_count)
+            n = end - start
+            b = self._bucket(n)
+            pad = b - n
+
+            unit_to_idx = {}
+            gather = np.zeros((b, c), dtype=np.int32)  # 0 = zero crop
+            weights = [0.0]  # [0] = missing slots
+            crops_list = [None]  # index 0 = the bank's zero slot
+            for ti in range(start, end):
+                for ci, di in enumerate(det_inds[ti]):
+                    if di is None:
+                        weights[0] += 1.0
+                        continue
+                    if di not in unit_to_idx:
+                        unit_to_idx[di] = len(crops_list)
+                        crops_list.append(unit_crop(di))
+                        weights.append(0.0)
+                    ui = unit_to_idx[di]
+                    gather[ti - start, ci] = ui
+                    weights[ui] += 1.0
+
+            u = len(crops_list)
+            u_pad = 8
+            while u_pad < u:
+                u_pad *= 2
+            w_arr = np.zeros(u_pad, dtype=np.float32)
+            w_arr[:u] = weights
+
+            flat: list = []
+            for ti in range(start, end):
+                e = mem_entries[ti]
+                flat.extend(e if e is not None else [None] * seq_len)
+            flat.extend(crops_list[1:])
+            slots = self.bank.resolve(flat)
+            mem_slots = np.zeros((b, seq_len), np.int32)
+            mem_slots[:n] = slots[: n * seq_len].reshape(n, seq_len)
+            uniq_slots = np.zeros(u_pad, np.int32)
+            uniq_slots[1:u] = slots[n * seq_len:]
+
+            def padded(x):
+                if pad == 0:
+                    return x[start:end]
+                widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+                return np.pad(x[start:end], widths)
+
+            mask = np.zeros(b, dtype=np.float32)
+            mask[:n] = 1.0
+            probs = self._score_unique_banked(
+                self.variables,
+                self.bank.array,
+                jnp.asarray(mem_slots),
+                jnp.asarray(uniq_slots),
                 jnp.asarray(w_arr),
                 jnp.asarray(gather),
                 jnp.asarray(padded(mem_boxes)),

@@ -37,15 +37,22 @@ import numpy as np
 
 
 def build_engine(busca_config_path: str, ckpt_path: Optional[str],
-                 crop_hw=(384, 128), dtype: Optional[str] = None):
+                 crop_hw=(384, 128), dtype: Optional[str] = None,
+                 bank_slots: Optional[int] = None):
     """Materialize an AssociationEngine from YAML + checkpoint.
 
     ``dtype`` overrides the YAML's compute dtype; the production default is
     bfloat16 (MXU-native, agreement-tested vs float32 in tests/test_bf16.py).
     Pass ``float32`` for bit-faithful reference-parity runs.
+
+    ``bank_slots``: capacity of the device-resident crop bank (assoc/bank.py)
+    — None picks 4096 on TPU (~600 MB HBM at 384x128) and a small 256 on the
+    CPU backend; 0 disables banking (crops re-uploaded per call, the
+    reference's traffic pattern).
     """
     import jax
 
+    from busca_tpu.assoc.bank import DeviceCropBank
     from busca_tpu.assoc.engine import AssociationEngine
     from busca_tpu.config import load_tracker_bundle
     from busca_tpu.models.busca import BuscaModel
@@ -83,12 +90,16 @@ def build_engine(busca_config_path: str, ckpt_path: Optional[str],
                 load_torch_checkpoint(ckpt_path), ignore_reid_fc=True
             )
         params = merge_params(params, loaded.get("params", loaded))
+    if bank_slots is None:
+        bank_slots = 4096 if jax.default_backend() == "tpu" else 256
+    bank = DeviceCropBank(crop_hw, bank_slots) if bank_slots else None
     engine = AssociationEngine(
         busca_cfg,
         {"params": params},
         seq_len=seq_len,
         num_candidates=num_candidates,
         crop_hw=crop_hw,
+        bank=bank,
     )
     return engine, tracker_kwargs
 
@@ -541,6 +552,10 @@ def main(argv=None):
                         help="BUSCA compute dtype: bfloat16 (MXU-native "
                              "production default, ~1.8x faster, agreement-"
                              "tested) or float32 for bit-faithful parity")
+    parser.add_argument("--crop-bank-slots", type=int, default=None,
+                        help="device crop-bank capacity (assoc/bank.py); "
+                             "default: 4096 on TPU / 256 on CPU, 0 disables "
+                             "banking")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--num-frames", type=int, default=40)
     parser.add_argument("--mot-dir", nargs="*", default=[],
@@ -633,7 +648,7 @@ def main(argv=None):
             parser.error("--use-busca requires --busca-config")
         engine, tracker_kwargs = build_engine(
             args.busca_config, args.busca_ckpt, args.crop_hw,
-            dtype=args.busca_dtype,
+            dtype=args.busca_dtype, bank_slots=args.crop_bank_slots,
         )
         tracker_kwargs["use_busca"] = True
 

@@ -273,7 +273,7 @@ def remove_duplicate_tracks(a: List[Track], b: List[Track]):
 KALMAN_CANDIDATE_CONF = 0.10000001
 
 
-def extract_uint8_crops(frame, boxes_tlbr, crop_hw) -> List[np.ndarray]:
+def extract_uint8_crops(frame, boxes_tlbr, crop_hw, bank=None) -> List[np.ndarray]:
     """Uint8 BGR ReID crops for a batch of boxes — one fused device call
     (ops/crop.py) replacing the reference's per-box cv2 loop.  Normalization
     happens later in the association engine (normalize_ims=True path).
@@ -281,6 +281,12 @@ def extract_uint8_crops(frame, boxes_tlbr, crop_hw) -> List[np.ndarray]:
     The box count is padded to the next power of two (degenerate zero boxes
     produce zero crops) so the per-frame detection-count churn never
     recompiles the crop kernel.
+
+    With a :class:`~busca_tpu.assoc.bank.DeviceCropBank`, the freshly
+    cropped device batch is also scattered into the bank *before* the host
+    fetch and the returned host mirrors carry their unit ids — the
+    association engine then ships slot indices instead of re-uploading
+    pixels every third round.
     """
     if frame is None or len(boxes_tlbr) == 0:
         return []
@@ -293,18 +299,24 @@ def extract_uint8_crops(frame, boxes_tlbr, crop_hw) -> List[np.ndarray]:
         boxes = np.concatenate(
             [boxes, np.zeros((bucket - n, 4), np.float32)], axis=0
         )
-    crops = np.asarray(
-        crop_resize_normalize(
-            frame,
-            boxes,
-            crop_hw,
-            normalize=False,
-            bgr_input=True,
-            rgb_output=False,
-            quantize_uint8=True,
-        )
-    ).astype(np.uint8)
-    return list(crops[:n])
+    crops_dev = crop_resize_normalize(
+        frame,
+        boxes,
+        crop_hw,
+        normalize=False,
+        bgr_input=True,
+        rgb_output=False,
+        quantize_uint8=True,
+    )
+    uids = None
+    if bank is not None:
+        uids = bank.put_device(crops_dev, n)
+    crops = np.asarray(crops_dev).astype(np.uint8)
+    if uids is None:
+        return list(crops[:n])
+    from busca_tpu.assoc.bank import tag
+
+    return [tag(crops[i], uids[i]) for i in range(n)]
 
 
 def run_third_round(

@@ -346,7 +346,10 @@ class ByteTracker:
     def _crops(self, frame: np.ndarray, boxes_tlbr: np.ndarray):
         """Uint8 BGR crops for the track memories (normalize happens in the
         association engine, like the reference's normalize_ims=True path)."""
-        return extract_uint8_crops(frame, boxes_tlbr, self.cfg.crop_hw)
+        return extract_uint8_crops(
+            frame, boxes_tlbr, self.cfg.crop_hw,
+            bank=getattr(self.engine, "bank", None),
+        )
 
     def _kalman_candidates(self, pool: List[Track], frame) -> List[Track]:
         """Pseudo-detections at each track's Kalman-predicted position

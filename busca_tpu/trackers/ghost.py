@@ -254,7 +254,10 @@ class GhostTracker:
 
         det_images = [None] * n
         if self.use_busca and frame is not None and n:
-            det_images = extract_uint8_crops(frame, boxes_tlbr, cfg.crop_hw)
+            det_images = extract_uint8_crops(
+                frame, boxes_tlbr, cfg.crop_hw,
+                bank=getattr(self.engine, "bank", None),
+            )
 
         curr_inactive = {
             k: t
@@ -462,7 +465,10 @@ class GhostTracker:
 
     def _kalman_candidates(self, pool, frame):
         boxes = np.array([t.pos for t in pool]).reshape(-1, 4)
-        crops = extract_uint8_crops(frame, boxes, self.cfg.crop_hw)
+        crops = extract_uint8_crops(
+            frame, boxes, self.cfg.crop_hw,
+            bank=getattr(self.engine, "bank", None),
+        )
         if self.feature_extractor is not None and len(crops):
             fresh = np.asarray(self.feature_extractor(crops))
         else:

@@ -373,7 +373,10 @@ class StrongSortTracker:
         # BUSCA crops for all detections (one fused device call)
         det_images = [None] * n
         if self.use_busca and cfg.busca_thresh > 0 and frame is not None and n:
-            det_images = extract_uint8_crops(frame, boxes_tlbr, cfg.crop_hw)
+            det_images = extract_uint8_crops(
+                frame, boxes_tlbr, cfg.crop_hw,
+                bank=getattr(self.engine, "bank", None),
+            )
 
         # ---- BUSCA third round over unmatched confirmed age-1 tracks --------
         if self.use_busca and cfg.busca_thresh > 0 and frame is not None:
@@ -580,7 +583,10 @@ class StrongSortTracker:
     def _kalman_candidates(self, pool, frame):
         cands = []
         boxes = np.array([t.tlbr for t in pool]).reshape(-1, 4)
-        crops = extract_uint8_crops(frame, boxes, self.cfg.crop_hw)
+        crops = extract_uint8_crops(
+            frame, boxes, self.cfg.crop_hw,
+            bank=getattr(self.engine, "bank", None),
+        )
         for t, im in zip(pool, crops):
             # admission conf = the track threshold (tracker.py:149-150)
             cands.append(

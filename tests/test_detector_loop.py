@@ -258,12 +258,16 @@ def test_lockstep_sequences(tiny_detector, rng):
 
 
 @pytest.mark.slow
-def test_live_detector_with_busca_engine(tiny_detector, rng):
+@pytest.mark.parametrize("banked", [False, True])
+def test_live_detector_with_busca_engine(tiny_detector, rng, banked):
     """Detector-in-the-loop WITH the BUSCA engine attached: crops must come
     off the device-resident detector image and the third round must execute
-    (the full reference call stack 3.1 + 3.2 combined, live)."""
+    (the full reference call stack 3.1 + 3.2 combined, live).  ``banked``
+    runs the same loop with the device crop bank (assoc/bank.py): crops are
+    admitted at extraction and the scorer gathers slot indices."""
     import jax
 
+    from busca_tpu.assoc.bank import DeviceCropBank
     from busca_tpu.assoc.engine import AssociationEngine
     from busca_tpu.models.busca import BuscaConfig, BuscaModel
     from busca_tpu.trackers import ByteTracker, ByteTrackerConfig
@@ -283,6 +287,7 @@ def test_live_detector_with_busca_engine(tiny_detector, rng):
     engine = AssociationEngine(
         cfg, {"params": variables["params"]}, seq_len=seq_len,
         num_candidates=num_can, crop_hw=(h, w), buckets=(1, 2, 4),
+        bank=DeviceCropBank((h, w), capacity=64) if banked else None,
     )
     tcfg = ByteTrackerConfig(
         track_thresh=0.0, use_busca=True, busca_thresh=0.01,

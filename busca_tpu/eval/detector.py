@@ -762,6 +762,7 @@ def track_sequences_lockstep(
     active = [True] * b
     results = [[] for _ in range(b)]
     frame_ids = [0] * b
+    prev_images = [None] * b  # previous batch's frames (ECC prefetch)
     # pipelined double-buffer (SURVEY §7.3.4): the batch for lockstep frame
     # t+1 is dispatched before frame t's results are fetched, overlapping all
     # host-side tracker bookkeeping with device compute
@@ -792,6 +793,26 @@ def track_sequences_lockstep(
         else:
             inflight = None
         dets = wait(handle)
+        # phase 0: kick off every CMC-enabled sequence's ECC alignment on
+        # the shared thread pool — the ~148 ms/pair cv2 solves (MOT17
+        # configs) run concurrently with each other and with the already-
+        # dispatched next device batch, instead of serially inside each
+        # tracker's update (the reference's schedule, byte_tracker.py:377)
+        for i in range(b):
+            trk = trackers[i]
+            if (
+                active[i]
+                and prev_images[i] is not None
+                and getattr(trk, "use_busca", False)
+                and hasattr(trk, "set_warp_hint")
+                and getattr(trk.cfg, "use_camera_motion_compensation",
+                            False)
+            ):
+                from busca_tpu.trackers import cmc
+
+                trk.set_warp_hint(
+                    cmc.submit_warp(prev_images[i], dets[i].image).result
+                )
         # phase 1: run every tracker's update up to its (optional) BUSCA
         # third round; collect the suspended requests
         onlines = [None] * b
@@ -828,6 +849,9 @@ def track_sequences_lockstep(
                 onlines[i], min_box_area, vertical_thresh
             )
             results[i].append((frame_ids[i], tlwhs, ids, confs))
+        for i in range(b):
+            if active[i]:
+                prev_images[i] = dets[i].image
     dt = time.perf_counter() - t0
     # sequences ran concurrently: stamp each with its proportional share of
     # the wall time, so res.fps reports the combined lockstep pipeline rate

@@ -151,6 +151,7 @@ def run_mot_sequences_lockstep(
         for i in infos
     ]
     results = [[] for _ in seq_dirs]
+    prev_frames = {}  # previous decoded frame per sequence (ECC prefetch)
     t0 = time.perf_counter()
     step = 0
     while True:
@@ -170,11 +171,31 @@ def run_mot_sequences_lockstep(
             for t in trackers
         )
         for i in live:
-            frame = (
+            frames_now[i] = (
                 cv2.imread(infos[i].frame_path(frame_id))
                 if need_pixels else None
             )
-            frames_now[i] = frame
+        # ECC prefetch: CMC-enabled trackers get their frame-pair alignment
+        # scheduled on the shared thread pool before any update runs, so
+        # the cv2 solves overlap each other and the remaining decodes
+        # (cmc.submit_warp; identical warps to the inline path)
+        for i in live:
+            trk = trackers[i]
+            if (
+                frames_now[i] is not None
+                and prev_frames.get(i) is not None
+                and getattr(trk, "use_busca", False)
+                and hasattr(trk, "set_warp_hint")
+                and getattr(getattr(trk, "cfg", None),
+                            "use_camera_motion_compensation", False)
+            ):
+                from busca_tpu.trackers import cmc
+
+                trk.set_warp_hint(
+                    cmc.submit_warp(prev_frames[i], frames_now[i]).result
+                )
+        for i in live:
+            frame = frames_now[i]
             boxes, scores = dets_all[i].get(
                 frame_id, (np.zeros((0, 4)), np.zeros(0))
             )
@@ -199,6 +220,7 @@ def run_mot_sequences_lockstep(
                 vd = viz_dir_fn(infos[i].name)
                 if vd:
                     write_viz_frame(vd, frame_id, frames_now[i], tlwhs, ids)
+            prev_frames[i] = frames_now[i]
         step += 1
     dt = time.perf_counter() - t0
     total = max(sum(len(r) for r in results), 1)

@@ -83,6 +83,10 @@ class ByteTracker:
         self.max_time_lost = self.buffer_size
         self.last_image: Optional[np.ndarray] = None
         self.use_busca = config.use_busca and assoc_engine is not None
+        # one-shot prefetched ECC warp for the NEXT update (lockstep
+        # drivers overlap the cv2 alignment with device work and other
+        # sequences' alignments; see cmc.submit_warp)
+        self._warp_hint = None
 
     # ------------------------------------------------------------------ main --
     def update(
@@ -126,6 +130,14 @@ class ByteTracker:
         output tracks via ``StopIteration.value``."""
         return self._update_gen(bboxes_tlbr, scores, scale, frame)
 
+    def set_warp_hint(self, warp_fn):
+        """Provide a zero-arg callable yielding ``(cc, warp_2x3)`` for the
+        next update's camera-motion compensation — computed from the SAME
+        frame pair the tracker would align itself (its ``last_image`` and
+        the incoming frame), so results are identical to the inline path.
+        Consumed once; ignored when CMC is off or the third round skips."""
+        self._warp_hint = warp_fn
+
     def _engine_kwargs(self) -> dict:
         """The engine kwargs _third_round passes (for batched servicing)."""
         return dict(
@@ -145,6 +157,7 @@ class ByteTracker:
     ):
         self.frame_id += 1
         cfg = self.cfg
+        warp_hint, self._warp_hint = self._warp_hint, None
         activated, refind, lost, removed = [], [], [], []
 
         bboxes_tlbr = np.asarray(bboxes_tlbr, dtype=np.float64).reshape(-1, 4)
@@ -256,7 +269,13 @@ class ByteTracker:
             else:
                 third_pool = unassigned
                 if cfg.use_camera_motion_compensation and self.frame_id > 1:
-                    cmc.compensate_tracks(third_pool, self.last_image, frame)
+                    if warp_hint is not None:
+                        _cc, warp = warp_hint()
+                        cmc.apply_warp(third_pool, warp)
+                    else:
+                        cmc.compensate_tracks(
+                            third_pool, self.last_image, frame
+                        )
                 kalman_cands = self._kalman_candidates(third_pool, frame)
                 third_matches, u_track = yield ThirdRoundRequest(
                     third_pool, considered_dets, kalman_cands,

@@ -75,6 +75,39 @@ def ecc_align(
     return float(cc), warp
 
 
+def apply_warp(tracks: Sequence, warp: np.ndarray):
+    """Warp every track's position by a precomputed 2x3 matrix."""
+    for t in tracks:
+        t.apply_camera_motion(warp)
+
+
+_EXECUTOR = None
+
+
+def submit_warp(prev_frame, cur_frame):
+    """Schedule ``ecc_align(prev, cur)`` on the shared CMC thread pool.
+
+    ECC is the single dominant host cost of the MOT17 configs (~148 ms/pair
+    cv2 at 800x1440, and the reference pays it serially inside every
+    third-round frame, byte_tracker.py:377).  cv2 releases the GIL during
+    the native solve, so in lockstep mode B sequences' alignments run
+    concurrently on the host cores while the device batch proceeds — the
+    drivers hand the returned future's ``.result`` to
+    ``Tracker.set_warp_hint``.  Returns a ``concurrent.futures.Future``
+    yielding ``(cc, warp_matrix)``.
+    """
+    global _EXECUTOR
+    if _EXECUTOR is None:
+        import concurrent.futures
+        import os
+
+        _EXECUTOR = concurrent.futures.ThreadPoolExecutor(
+            max_workers=min(8, os.cpu_count() or 1),
+            thread_name_prefix="cmc-ecc",
+        )
+    return _EXECUTOR.submit(ecc_align, prev_frame, cur_frame)
+
+
 def compensate_tracks(
     tracks: Sequence,
     prev_frame: Optional[np.ndarray],

@@ -38,9 +38,9 @@ class _StubBatchDetector:
         return outs
 
 
-def _mk_tracker():
+def _mk_tracker(**cfg_kw):
     return ByteTracker(
-        ByteTrackerConfig(use_busca=True),
+        ByteTrackerConfig(use_busca=True, **cfg_kw),
         assoc_engine=StubEngine(kalman_prob=1.0),
     )
 
@@ -130,6 +130,61 @@ def test_lockstep_rescues_through_dropout():
         counts = [len(ids) for _, _, ids, _ in res.results]
         # through the dropout window every object stays tracked
         assert min(counts[3:]) >= 2
+
+
+def test_lockstep_cmc_warp_prefetch_matches_inline():
+    """With camera-motion compensation on, the lockstep driver prefetches
+    each sequence's ECC warp on the CMC thread pool (eval/detector.py phase
+    0) — outputs must equal the sequential trackers' inline cv2 path
+    exactly (same frame pairs, same solver)."""
+    n = 20
+    seqs = [default_dropout_sequence(n, seed=s) for s in (0, 3)]
+    dets = [[s.detections(t) for t in range(n)] for s in seqs]
+    frames = [[s.frame(t) for t in range(n)] for s in seqs]
+    mk = lambda: _mk_tracker(use_camera_motion_compensation=True)  # noqa
+
+    from busca_tpu.trackers import cmc
+
+    submits = []
+    orig_submit = cmc.submit_warp
+    cmc.submit_warp = lambda p, c: submits.append(1) or orig_submit(p, c)
+    try:
+        Track.reset_id_counter()
+        det = _StubBatchDetector(dets)
+        trackers = [mk() for _ in seqs]
+        lock = track_sequences_lockstep(
+            det, trackers, [_frames(f) for f in frames], names=["a", "b"],
+        )
+    finally:
+        cmc.submit_warp = orig_submit
+    # the prefetch actually ran: one alignment per sequence per frame pair
+    assert len(submits) == 2 * (n - 1)
+    assert all(t._warp_hint is None for t in trackers)
+
+    Track.reset_id_counter()
+    seq_results = []
+    for si in range(len(seqs)):
+        trk = mk()
+        rows = []
+        for t in range(n):
+            boxes, scores = dets[si][t]
+            online = trk.update(boxes, scores, 1.0, frames[si][t])
+            rows.append(
+                sorted(
+                    (round(float(o.tlwh[0]), 6), round(float(o.tlwh[1]), 6))
+                    for o in online
+                    if o.tlwh[2] * o.tlwh[3] > 100
+                )
+            )
+        seq_results.append(rows)
+    for i, res in enumerate(lock):
+        for (fid, tlwhs, ids, confs), want in zip(res.results,
+                                                  seq_results[i]):
+            got = sorted(
+                (round(float(t[0]), 6), round(float(t[1]), 6))
+                for t in tlwhs
+            )
+            assert got == want, f"seq {i} frame {fid}"
 
 
 def test_cached_det_lockstep_matches_run_mot_sequence(tmp_path):

@@ -232,7 +232,9 @@ def evaluate_hota(
     DetA = TP/(TP+FN+FP), AssA = mean association Jaccard over TPs,
     HOTA_alpha = sqrt(DetA * AssA), HOTA = mean over alphas.
 
-    Returns {'hota', 'deta', 'assa'} (alpha-averaged).
+    Returns the alpha-averaged TrackEval summary row: {'hota', 'deta',
+    'assa', 'detre', 'detpr', 'assre', 'asspr', 'loca'} (LocA = mean TP
+    similarity; Re/Pr per TrackEval hota.py's AssRe/AssPr/DetRe/DetPr).
     """
     if alphas is None:
         alphas = np.arange(0.05, 0.99, 0.05)
@@ -247,7 +249,9 @@ def evaluate_hota(
     ng, np_ = len(gt_ids_all), len(pr_ids_all)
     if ng == 0 or np_ == 0:
         deta = 0.0 if (ng or np_) else 1.0
-        return {"hota": deta, "deta": deta, "assa": deta}
+        return {k: deta for k in
+                ("hota", "deta", "assa", "detre", "detpr", "assre", "asspr",
+                 "loca")}
 
     potential = np.zeros((ng, np_))
     gt_count = np.zeros(ng)
@@ -273,9 +277,11 @@ def evaluate_hota(
         gt_count[:, None] + pr_count[None, :] - potential, 1e-8
     )
 
-    hotas, detas, assas = [], [], []
+    acc = {k: [] for k in ("hota", "deta", "assa", "detre", "detpr",
+                           "assre", "asspr", "loca")}
     for alpha in alphas:
         tp = fn = fp = 0
+        tp_sim = 0.0
         match_count = np.zeros((ng, np_))
         for gi, pi, sim in per_frame:
             if len(gi) == 0 or len(pi) == 0:
@@ -290,6 +296,7 @@ def evaluate_hota(
                 if sim[r, c] >= alpha - 1e-8:
                     match_count[gi[r], pi[c]] += 1
                     matched += 1
+                    tp_sim += float(sim[r, c])
             tp += matched
             fn += len(gi) - matched
             fp += len(pi) - matched
@@ -298,14 +305,20 @@ def evaluate_hota(
             gt_count[:, None] + pr_count[None, :] - match_count, 1e-8
         )
         assa = float((match_count * ass_jaccard).sum() / max(tp, 1))
-        detas.append(deta)
-        assas.append(assa)
-        hotas.append(np.sqrt(deta * assa))
-    return {
-        "hota": float(np.mean(hotas)),
-        "deta": float(np.mean(detas)),
-        "assa": float(np.mean(assas)),
-    }
+        acc["deta"].append(deta)
+        acc["assa"].append(assa)
+        acc["hota"].append(np.sqrt(deta * assa))
+        acc["detre"].append(tp / max(tp + fn, 1))
+        acc["detpr"].append(tp / max(tp + fp, 1))
+        acc["assre"].append(float(
+            (match_count * match_count / np.maximum(gt_count[:, None], 1))
+            .sum() / max(tp, 1)))
+        acc["asspr"].append(float(
+            (match_count * match_count / np.maximum(pr_count[None, :], 1))
+            .sum() / max(tp, 1)))
+        # TrackEval: LocA = max(eps, sum_sim) / max(eps, TP) -> 1.0 when TP=0
+        acc["loca"].append(max(tp_sim, 1e-10) / max(tp, 1e-10))
+    return {k: float(np.mean(v)) for k, v in acc.items()}
 
 
 def accumulate(per_seq: Dict[str, MotMetrics]) -> MotMetrics:

@@ -422,7 +422,12 @@ def _run_lockstep_cached_det(args, engine, seq_tracker_kwargs,
                 h = evaluate_hota(gt, pred)
                 print(f"  HOTA {h['hota'] * 100:.3f}  "
                       f"DetA {h['deta'] * 100:.3f}  "
-                      f"AssA {h['assa'] * 100:.3f}")
+                      f"AssA {h['assa'] * 100:.3f}  "
+                      f"DetRe {h['detre'] * 100:.3f}  "
+                      f"DetPr {h['detpr'] * 100:.3f}  "
+                      f"AssRe {h['assre'] * 100:.3f}  "
+                      f"AssPr {h['asspr'] * 100:.3f}  "
+                      f"LocA {h['loca'] * 100:.3f}")
     if per_seq:
         agg = global_metrics(per_seq)
         print(_json.dumps(agg.as_dict(), indent=2))
@@ -863,7 +868,12 @@ def main(argv=None):
                     h = evaluate_hota(gt, pred)
                     print(f"  HOTA {h['hota'] * 100:.3f}  "
                           f"DetA {h['deta'] * 100:.3f}  "
-                          f"AssA {h['assa'] * 100:.3f}")
+                          f"AssA {h['assa'] * 100:.3f}  "
+                          f"DetRe {h['detre'] * 100:.3f}  "
+                          f"DetPr {h['detpr'] * 100:.3f}  "
+                          f"AssRe {h['assre'] * 100:.3f}  "
+                          f"AssPr {h['asspr'] * 100:.3f}  "
+                          f"LocA {h['loca'] * 100:.3f}")
         if eval_inputs:
             # per-sequence CLEAR metrics over a process pool when asked
             # (the GHOST TrackEval USE_PARALLEL / 8-cores role,

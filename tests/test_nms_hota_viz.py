@@ -189,3 +189,42 @@ def test_viz_smoke(rng):
     img = create_batch_image(mem, can, probs)
     assert img.ndim == 3 and img.shape[2] == 3
     assert img.dtype == np.uint8
+
+
+def test_hota_submetrics_identity_switch():
+    # TrackEval summary-row extras on the id-switch case: detection is
+    # perfect (DetRe = DetPr = LocA = 1); each pred id covers half the gt
+    # track (AssRe 0.5) but is pure (AssPr 1).
+    gt = [[(1, _box(10 + t))] for t in range(8)]
+    pr = [[(100 if t < 4 else 200, _box(10 + t))] for t in range(8)]
+    h = evaluate_hota(_seq(gt), _pred(pr))
+    np.testing.assert_allclose(h["detre"], 1.0, atol=1e-6)
+    np.testing.assert_allclose(h["detpr"], 1.0, atol=1e-6)
+    np.testing.assert_allclose(h["assre"], 0.5, atol=1e-6)
+    np.testing.assert_allclose(h["asspr"], 1.0, atol=1e-6)
+    np.testing.assert_allclose(h["loca"], 1.0, atol=1e-6)
+
+
+def test_hota_submetrics_misses():
+    # half the frames unpredicted: recall 0.5, precision 1 on both axes
+    gt = [[(1, _box(10))] for _ in range(10)]
+    pr = [[(9, _box(10))] if t < 5 else [] for t in range(10)]
+    h = evaluate_hota(_seq(gt), _pred(pr))
+    np.testing.assert_allclose(h["detre"], 0.5, atol=1e-6)
+    np.testing.assert_allclose(h["detpr"], 1.0, atol=1e-6)
+    np.testing.assert_allclose(h["assre"], 0.5, atol=1e-6)
+    np.testing.assert_allclose(h["asspr"], 1.0, atol=1e-6)
+    np.testing.assert_allclose(h["loca"], 1.0, atol=1e-6)
+
+
+def test_hota_loca_tracks_overlap():
+    # pred shifted by half a box width: IoU = (10*40)/(2*800 - 400) = 1/3.
+    # Matches exist only for the 6 alphas <= 0.30; there LocA = 1/3, and at
+    # the 13 TP-free alphas TrackEval defines LocA = eps/eps = 1.
+    gt = [[(1, _box(10))] for _ in range(10)]
+    pr = [[(9, _box(20))] for _ in range(10)]
+    h = evaluate_hota(_seq(gt), _pred(pr))
+    alphas = np.arange(0.05, 0.99, 0.05)
+    n_match = int((alphas <= 1 / 3 + 1e-8).sum())
+    expect = (n_match * (1 / 3) + (len(alphas) - n_match) * 1.0) / len(alphas)
+    np.testing.assert_allclose(h["loca"], expect, atol=1e-6)

@@ -895,12 +895,43 @@ def _torch_threads():
 
 def main():
     if os.environ.get("BENCH_BUSCA_HOSTPREP"):
+        # The JAX_PLATFORMS=cpu env var set by the parent is ignored when
+        # the axon TPU plugin registers (and plugin discovery can even dial
+        # the tunnel); forcing the config pins this subprocess to the host
+        # CPU backend unconditionally — same recipe as tests/conftest.py.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         print(json.dumps(bench_busca_hostprep()))
         return
 
     import jax
 
+    # Watchdog: device discovery goes through the axon network tunnel, which
+    # can hang indefinitely when the tunnel is down — emit an honest error
+    # line and exit rather than stalling the caller forever.  Disarmed the
+    # moment the backend answers; compiles (which can be slow) happen later.
+    import threading
+
+    _init_ok = threading.Event()
+
+    def _watchdog(timeout_s=600):
+        if not _init_ok.wait(timeout_s):
+            print(json.dumps({
+                "metric": "e2e_frames_per_s",
+                "value": 0.0,
+                "unit": "frames/s",
+                "vs_baseline": 0.0,
+                "detail": {
+                    "error": "TPU backend failed to initialize within "
+                             f"{timeout_s}s (device tunnel down?)"
+                },
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     device = jax.devices()[0]
+    _init_ok.set()
     peak = _peak_flops(device)
 
     e2e = bench_e2e("bfloat16")

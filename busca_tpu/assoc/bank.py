@@ -143,16 +143,20 @@ class DeviceCropBank:
         n_pad = crops_device.shape[0]
         uids = []
         slots = np.zeros(n_pad, np.int32)
-        for i in range(n):
-            slot = self._alloc()
-            uid = self.new_uid()
-            self._register(slot, uid)
-            uids.append(uid)
-            slots[i] = slot
-        self._array = self._scatter(
-            self.array, jnp.asarray(slots), crops_device
-        )
-        self._pinned.clear()
+        try:
+            for i in range(n):
+                slot = self._alloc()
+                uid = self.new_uid()
+                self._register(slot, uid)
+                uids.append(uid)
+                slots[i] = slot
+            self._array = self._scatter(
+                self.array, jnp.asarray(slots), crops_device
+            )
+        finally:
+            # pins protect this call's slots only; a mid-loop exhaustion
+            # error must not leave slots permanently unevictable
+            self._pinned.clear()
         return uids
 
     # --------------------------------------------------------------- resolve --

@@ -77,6 +77,27 @@ class TestBankBookkeeping:
         with pytest.raises(RuntimeError, match="exhausted"):
             bank.resolve([tag(_crop(rng), bank.new_uid()) for _ in range(4)])
 
+    def test_put_device_exhaustion_recovers(self, rng):
+        # mid-put exhaustion must clear the call's pins so the bank stays
+        # usable (bank.py::put_device's finally clause)
+        import jax.numpy as jnp
+
+        bank = DeviceCropBank((H, W), capacity=4)  # 3 usable slots
+        crops = jnp.asarray(
+            rng.randint(0, 255, (8, H, W, 3), np.uint8)
+        )
+        with pytest.raises(RuntimeError, match="exhausted"):
+            bank.put_device(crops, 8)
+        assert not bank._pinned
+        uids = bank.put_device(crops[:2], 2)
+        assert len(uids) == 2
+        slots = bank.resolve(
+            [tag(np.asarray(crops[i]), uids[i]) for i in range(2)]
+        )
+        arr = _bank_host(bank)
+        for i, s in enumerate(slots):
+            np.testing.assert_array_equal(arr[s], np.asarray(crops[i]))
+
     def test_untagged_crop_uploads(self, rng):
         bank = DeviceCropBank((H, W), capacity=8)
         plain = _crop(rng)  # no uid attribute

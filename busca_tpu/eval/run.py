@@ -579,6 +579,11 @@ def main(argv=None):
                         choices=["mot17", "mot20"],
                         help="TransCenter per-dataset preset (K/clip, "
                              "models/transcenter.py:31-48)")
+    parser.add_argument("--detector-artifact", default=None,
+                        help="directory of a serve.export detector artifact "
+                             "(AOT StableHLO) to run instead of building the "
+                             "model — the reference's --trt engine-file flow "
+                             "(tools/track.py:83,215-224)")
     parser.add_argument("--detector-ckpt", default=None,
                         help="official YOLOX .pth (or converted .npz); "
                              "random weights if omitted")
@@ -669,7 +674,15 @@ def main(argv=None):
         from busca_tpu.eval.runner import results_to_pred, run_mot_sequence
 
         detector = None
-        if args.detector == "centertrack":
+        if args.detector_artifact:
+            if args.detector or args.lockstep:
+                parser.error("--detector-artifact replaces --detector and "
+                             "does not support --lockstep (the artifact is "
+                             "a single-frame step)")
+            from busca_tpu.serve.detector import ArtifactDetector
+
+            detector = ArtifactDetector(args.detector_artifact)
+        elif args.detector == "centertrack":
             from busca_tpu.eval.detector import CenterTrackDetector
 
             if args.tracker != "centertrack":
@@ -734,7 +747,8 @@ def main(argv=None):
             return seq_kwargs
 
         if args.det_ap and (args.lockstep or args.npy_det
-                            or args.detector in (None, "centertrack")):
+                            or (args.detector in (None, "centertrack")
+                                and not args.detector_artifact)):
             print("WARNING: --det-ap only applies to the per-sequence "
                   "yolox/transcenter live-detector path; no detection-AP "
                   "table will be produced for this mode", file=sys.stderr)

@@ -5,6 +5,7 @@ path (adapters/ByteTrack/tools/track.py:83,215-224 — torch2trt engine
 files; Dockerfile:88-95).  See :mod:`busca_tpu.serve.export`.
 """
 
+from busca_tpu.serve.detector import ArtifactDetector  # noqa: F401
 from busca_tpu.serve.export import (  # noqa: F401
     ExportedArtifact,
     export_associate_scorer,

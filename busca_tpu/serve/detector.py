@@ -1,0 +1,87 @@
+"""Frame-loop detector backed by an exported AOT artifact.
+
+The serving half of the TRT role: the reference converts the detector once
+with torch2trt and the eval loop loads the engine file instead of building
+the torch model (adapters/ByteTrack/tools/track.py:83,215-224).  Here the
+eval loop (`--detector-artifact`) loads a `serve.export` directory and runs
+the deserialized StableHLO step — no Flax module construction or weight
+conversion at serve time.  Duck-type compatible with
+:class:`busca_tpu.eval.detector.YoloxDetector` for the software-pipelined
+frame loop (put_frame / detect_async / wait / detect).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+class ArtifactDetector:
+    """Runs an exported ``yolox_detector_step`` artifact per frame.
+
+    The artifact is compiled for ONE frame geometry (``manifest.frame_hw``);
+    frames of any other size are a hard error — resize upstream or export a
+    second artifact (the TRT engine file has the same contract).
+    """
+
+    def __init__(self, artifact_or_dir, variables: Optional[dict] = None):
+        from busca_tpu.serve.export import ExportedArtifact, load_artifact
+
+        art = (
+            artifact_or_dir
+            if isinstance(artifact_or_dir, ExportedArtifact)
+            else load_artifact(str(artifact_or_dir))
+        )
+        m = art.manifest
+        if m.get("kind") != "yolox_detector_step":
+            raise ValueError(
+                f"not a detector artifact: kind={m.get('kind')!r}"
+            )
+        if not m.get("bake_weights", True) and variables is None:
+            raise ValueError(
+                "artifact was exported without baked weights; pass the "
+                "`variables` pytree"
+            )
+        self._art = art
+        self._variables = variables
+        self.frame_hw = tuple(m["frame_hw"])
+        self.scale = float(m["scale"])
+        self.test_size = tuple(m["test_size"])
+        self.conf_thresh = float(m.get("conf_thresh", 0.0))
+
+    # ------------------------------------------------------- frame-loop API --
+    def put_frame(self, frame_bgr: np.ndarray):
+        import jax
+
+        return jax.device_put(np.ascontiguousarray(frame_bgr))
+
+    def detect_async(self, frame_bgr):
+        hw = (int(frame_bgr.shape[0]), int(frame_bgr.shape[1]))
+        if hw != self.frame_hw:
+            raise ValueError(
+                f"artifact compiled for frame_hw={self.frame_hw}, got {hw}"
+            )
+        import jax.numpy as jnp
+
+        frame = jnp.asarray(frame_bgr)
+        if self._variables is None:
+            out, valid, det_image = self._art.call(frame)
+        else:
+            out, valid, det_image = self._art.call(self._variables, frame)
+        return out, valid, det_image, self.scale
+
+    def wait(self, handle):
+        from busca_tpu.eval.detector import DetectorOutput
+
+        out, valid, det_image, r = handle
+        rows = np.asarray(out)[np.asarray(valid)]
+        return DetectorOutput(
+            boxes_tlbr=rows[:, :4].astype(np.float64),
+            scores=(rows[:, 4] * rows[:, 5]).astype(np.float64),
+            image=det_image,
+            scale=r,
+        )
+
+    def detect(self, frame_bgr):
+        return self.wait(self.detect_async(frame_bgr))

@@ -17,6 +17,7 @@ from busca_tpu.serve import (
 )
 
 from test_engine import H, NUM_CAN, SEQ_LEN, W, _engine
+from test_run_cli import mot_fixture  # noqa: F401 (fixture)
 
 
 @pytest.fixture(scope="module", name="detector")
@@ -99,6 +100,35 @@ def test_associate_scorer_export_roundtrip(tmp_path, rng):
     export_associate_scorer(engine, b, u_pad, out_dir2, bake_weights=False)
     got2 = load_artifact(out_dir2).call(engine.variables, *args)
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
+
+
+def test_cli_detector_artifact_matches_live(tmp_path, mot_fixture):
+    """--detector-artifact reproduces the live --detector run track-for-track
+    (same deterministic init_variables weights on both sides)."""
+    from busca_tpu.eval.detector import YoloxDetector
+    from busca_tpu.eval.run import main
+
+    live_dir = tmp_path / "live"
+    art_out = tmp_path / "artifact"
+    out_live = main([
+        "--mot-dir", mot_fixture, "--detector", "yolox-tiny",
+        "--test-h", "64", "--test-w", "96", "--det-conf", "0.05",
+        "--output-dir", str(live_dir),
+    ])
+
+    det = YoloxDetector.build(
+        size="tiny", test_size=(64, 96), conf_thresh=0.05
+    )
+    art_dir = str(tmp_path / "det_art")
+    export_detector_step(det, (64, 80), art_dir)  # the fixture's frame size
+    out_art = main([
+        "--mot-dir", mot_fixture, "--detector-artifact", art_dir,
+        "--output-dir", str(art_out),
+    ])
+    assert out_live.keys() == out_art.keys()
+    name = "MOT17-05-FRCNN"
+    with open(live_dir / f"{name}.txt") as a, open(art_out / f"{name}.txt") as b:
+        assert a.read() == b.read()
 
 
 def test_cross_platform_export_lowers_for_tpu(tmp_path, rng, detector):

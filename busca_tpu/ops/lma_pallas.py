@@ -176,8 +176,8 @@ def local_tap_sum(values: jnp.ndarray, weights: jnp.ndarray,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, TILE_R, w4, cb), lambda r, hblk, lvl: (0, r, 0, hblk)

@@ -1,0 +1,289 @@
+"""Online tracking server: frames in over a socket, tracks out.
+
+The deployment half of the framework: a long-lived process owns the
+compiled detector (live :class:`~busca_tpu.eval.detector.YoloxDetector` or
+an AOT :class:`~busca_tpu.serve.detector.ArtifactDetector`) plus a tracker
+(+ optional BUSCA engine), and clients stream frames to it — the serving
+shape of the reference's offline eval loop (mot_evaluator.py:131-235),
+with the same per-sequence tracker-reset semantics (mot_evaluator.py:166-173).
+
+Wire protocol (symmetric both directions)::
+
+    [4-byte big-endian header length][JSON header][payload bytes]
+
+where ``header["payload_bytes"]`` (default 0) sizes the raw payload.
+Client→server commands:
+
+- ``{"cmd": "start", "name": ...}`` — begin a sequence (fresh tracker).
+- ``{"cmd": "frame", "shape": [H, W, 3], "payload_bytes": N}`` + raw uint8
+  BGR pixels — track one frame; reply carries the online tracks.
+- ``{"cmd": "stop"}`` — close the connection.
+
+Replies: ``{"ok": true, ...}`` or ``{"ok": false, "error": msg}`` (protocol
+errors are reported, not fatal: the sequence state survives a bad request).
+
+The device work per frame is identical to the eval loop, so every latency
+number in README's performance table applies per connection; the socket adds
+one frame copy.  Concurrency model: one sequence per connection, connections
+served one at a time per :meth:`TrackingServer.serve_unix` loop — scale-out
+is processes × chips (sequences are embarrassingly parallel; SURVEY §2.5),
+not threads sharing one chip.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+from typing import Callable, Optional
+
+import numpy as np
+
+_LEN = struct.Struct(">I")
+_MAX_HEADER = 1 << 20
+_MAX_PAYLOAD = 1 << 28
+
+
+def _recv_exact(conn: socket.socket, n: int) -> Optional[bytes]:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = conn.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def send_msg(conn: socket.socket, header: dict, payload: bytes = b""):
+    if payload:
+        header = dict(header, payload_bytes=len(payload))
+    raw = json.dumps(header).encode()
+    conn.sendall(_LEN.pack(len(raw)) + raw + payload)
+
+
+def recv_msg(conn: socket.socket):
+    """Returns ``(header, payload)`` or ``None`` on a closed connection."""
+    raw = _recv_exact(conn, _LEN.size)
+    if raw is None:
+        return None
+    (hlen,) = _LEN.unpack(raw)
+    if hlen > _MAX_HEADER:
+        raise ValueError(f"header too large: {hlen}")
+    hraw = _recv_exact(conn, hlen)
+    if hraw is None:
+        return None
+    header = json.loads(hraw)
+    n = int(header.get("payload_bytes", 0))
+    if not 0 <= n <= _MAX_PAYLOAD:
+        raise ValueError(f"bad payload size: {n}")
+    payload = _recv_exact(conn, n) if n else b""
+    if n and payload is None:
+        return None
+    return header, payload
+
+
+class TrackingServer:
+    """Serve one tracker pipeline over stream sockets.
+
+    Args:
+      detector: any frame-loop detector (``detect(frame) -> DetectorOutput``).
+      tracker_factory: zero-arg callable returning a fresh tracker per
+        sequence (the per-video reset, mot_evaluator.py:166-173) — e.g.
+        ``lambda: make_tracker("byte", kwargs, engine)``.
+      min_box_area / vertical_thresh: output filters, identical to the eval
+        loop (mot_evaluator.py:211-220 semantics).
+    """
+
+    def __init__(
+        self,
+        detector,
+        tracker_factory: Callable[[], object],
+        min_box_area: float = 100.0,
+        vertical_thresh: Optional[float] = 1.6,
+    ):
+        self.detector = detector
+        self.tracker_factory = tracker_factory
+        self.min_box_area = min_box_area
+        self.vertical_thresh = vertical_thresh
+
+    # ------------------------------------------------------------- handlers --
+    def _handle_frame(self, state: dict, header: dict, payload: bytes) -> dict:
+        from busca_tpu.eval.runner import filter_output_tracks
+
+        tracker = state.get("tracker")
+        if tracker is None:
+            return {"ok": False, "error": "no sequence started (send 'start')"}
+        shape = tuple(header.get("shape", ()))
+        if len(shape) != 3 or shape[2] != 3:
+            return {"ok": False, "error": f"bad frame shape {shape}"}
+        want = int(np.prod(shape))
+        if len(payload) != want:
+            return {
+                "ok": False,
+                "error": f"payload is {len(payload)} bytes, shape needs {want}",
+            }
+        frame = np.frombuffer(payload, np.uint8).reshape(shape)
+        if hasattr(self.detector, "reset") and state["frame_id"] == 0:
+            self.detector.reset()
+        det = self.detector.detect(frame)
+        online = tracker.update(
+            det.boxes_tlbr / det.scale, det.scores, det.scale, det.image
+        )
+        tlwhs, ids, confs = filter_output_tracks(
+            online, self.min_box_area, self.vertical_thresh
+        )
+        state["frame_id"] += 1
+        return {
+            "ok": True,
+            "frame_id": state["frame_id"],
+            "tracks": [
+                {
+                    "id": int(i),
+                    "tlwh": [float(v) for v in t],
+                    "score": float(c),
+                }
+                for t, i, c in zip(tlwhs, ids, confs)
+            ],
+        }
+
+    # ---------------------------------------------------------------- serve --
+    def serve_connection(self, conn: socket.socket):
+        """Blocking request loop for one connection (one sequence at a time)."""
+        state = {"tracker": None, "frame_id": 0, "name": None}
+        while True:
+            msg = recv_msg(conn)
+            if msg is None:
+                return
+            header, payload = msg
+            cmd = header.get("cmd")
+            try:
+                if cmd == "start":
+                    state["tracker"] = self.tracker_factory()
+                    state["frame_id"] = 0
+                    state["name"] = header.get("name")
+                    reply = {"ok": True, "name": state["name"]}
+                elif cmd == "frame":
+                    reply = self._handle_frame(state, header, payload)
+                elif cmd == "stop":
+                    send_msg(conn, {"ok": True, "bye": True})
+                    return
+                else:
+                    reply = {"ok": False, "error": f"unknown cmd {cmd!r}"}
+            except Exception as e:  # report, keep serving
+                reply = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+            send_msg(conn, reply)
+
+    def serve_unix(self, path: str, max_connections: Optional[int] = None):
+        """Accept loop on a unix socket (connections served sequentially —
+        one chip, one pipeline; run multiple server processes to scale)."""
+        srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        srv.bind(path)
+        srv.listen(1)
+        served = 0
+        try:
+            while max_connections is None or served < max_connections:
+                conn, _ = srv.accept()
+                try:
+                    self.serve_connection(conn)
+                finally:
+                    conn.close()
+                served += 1
+        finally:
+            srv.close()
+
+
+class TrackingClient:
+    """Convenience client for :class:`TrackingServer`."""
+
+    def __init__(self, conn: socket.socket):
+        self.conn = conn
+
+    @classmethod
+    def connect_unix(cls, path: str) -> "TrackingClient":
+        conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        conn.connect(path)
+        return cls(conn)
+
+    def _roundtrip(self, header: dict, payload: bytes = b"") -> dict:
+        send_msg(self.conn, header, payload)
+        msg = recv_msg(self.conn)
+        if msg is None:
+            raise ConnectionError("server closed the connection")
+        return msg[0]
+
+    def start(self, name: str = "seq") -> dict:
+        return self._roundtrip({"cmd": "start", "name": name})
+
+    def frame(self, frame_bgr: np.ndarray) -> dict:
+        frame_bgr = np.ascontiguousarray(frame_bgr, np.uint8)
+        return self._roundtrip(
+            {"cmd": "frame", "shape": list(frame_bgr.shape)},
+            frame_bgr.tobytes(),
+        )
+
+    def stop(self) -> dict:
+        reply = self._roundtrip({"cmd": "stop"})
+        self.conn.close()
+        return reply
+
+
+def main(argv=None):
+    """``python -m busca_tpu.serve.server`` — serve a detector+tracker on a
+    unix socket.  ``--detector-artifact`` loads an AOT artifact; otherwise a
+    live detector is built like the eval CLI."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--socket", required=True, help="unix socket path")
+    p.add_argument("--detector", default=None, help="yolox size name, e.g. "
+                   "yolox-x (live detector)")
+    p.add_argument("--detector-ckpt", default=None)
+    p.add_argument("--detector-artifact", default=None,
+                   help="serve.export artifact directory (AOT)")
+    p.add_argument("--test-h", type=int, default=800)
+    p.add_argument("--test-w", type=int, default=1440)
+    p.add_argument("--det-conf", type=float, default=0.1)
+    p.add_argument("--tracker", default="byte")
+    p.add_argument("--track-thresh", type=float, default=0.6)
+    p.add_argument("--use-busca", action="store_true")
+    p.add_argument("--busca-config", default=None)
+    p.add_argument("--busca-ckpt", default=None)
+    p.add_argument("--max-connections", type=int, default=None)
+    args = p.parse_args(argv)
+
+    if args.detector_artifact:
+        from busca_tpu.serve.detector import ArtifactDetector
+
+        detector = ArtifactDetector(args.detector_artifact)
+    elif args.detector:
+        from busca_tpu.eval.detector import YoloxDetector
+
+        detector = YoloxDetector.build(
+            size=args.detector.split("-")[-1],
+            ckpt_path=args.detector_ckpt,
+            test_size=(args.test_h, args.test_w),
+            conf_thresh=args.det_conf,
+        )
+    else:
+        p.error("pick --detector or --detector-artifact")
+
+    engine = None
+    if args.use_busca:
+        from busca_tpu.eval.run import build_engine
+
+        engine = build_engine(args.busca_config, args.busca_ckpt)
+
+    from busca_tpu.eval.run import make_tracker
+
+    def factory():
+        return make_tracker(
+            args.tracker, {"track_thresh": args.track_thresh}, engine
+        )
+
+    server = TrackingServer(detector, factory)
+    print(f"serving on {args.socket}", flush=True)
+    server.serve_unix(args.socket, max_connections=args.max_connections)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""Tracking server (serve/server.py): wire protocol, frame loop equivalence
+with the in-process eval loop, error handling, unix-socket serving."""
+
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from busca_tpu.serve.server import (
+    TrackingClient,
+    TrackingServer,
+    recv_msg,
+    send_msg,
+)
+
+
+def _tiny_detector():
+    from busca_tpu.eval.detector import YoloxDetector, init_variables
+    from busca_tpu.models.yolox import YoloxConfig
+
+    cfg = YoloxConfig(depth=0.33, width=0.125, num_classes=1)
+    variables = init_variables(cfg, (64, 96))
+    return YoloxDetector(
+        cfg, variables, test_size=(64, 96), conf_thresh=0.05, max_outputs=16,
+        pre_nms_topk=64,
+    )
+
+
+def _byte_factory():
+    from busca_tpu.trackers import ByteTracker, ByteTrackerConfig
+    from busca_tpu.trackers.base import Track
+
+    Track.reset_id_counter()
+    return ByteTracker(ByteTrackerConfig(track_thresh=0.3), None)
+
+
+def _frames(rng, n=5, hw=(48, 80)):
+    frames = []
+    for f in range(n):
+        img = rng.randint(0, 255, (*hw, 3)).astype(np.uint8)
+        x = 8 + 4 * f
+        img[16:40, x:x + 14] = (0, 255, 0)
+        frames.append(img)
+    return frames
+
+
+def test_protocol_roundtrip():
+    a, b = socket.socketpair()
+    payload = bytes(range(256))
+    send_msg(a, {"cmd": "frame", "shape": [2, 2]}, payload)
+    header, got = recv_msg(b)
+    assert header["cmd"] == "frame" and header["payload_bytes"] == 256
+    assert got == payload
+    # close -> None (clean EOF), not an exception
+    a.close()
+    assert recv_msg(b) is None
+    b.close()
+
+
+@pytest.fixture(scope="module")
+def detector():
+    return _tiny_detector()
+
+
+def _serve_on_thread(server):
+    srv_sock, cli_sock = socket.socketpair()
+    t = threading.Thread(
+        target=server.serve_connection, args=(srv_sock,), daemon=True
+    )
+    t.start()
+    return TrackingClient(cli_sock), t
+
+
+def test_server_matches_inprocess_loop(detector):
+    server = TrackingServer(detector, _byte_factory)
+    client, thread = _serve_on_thread(server)
+
+    frames = _frames(np.random.RandomState(0))
+    assert client.start("seq-a")["ok"]
+    via_server = [client.frame(f) for f in frames]
+    assert client.stop()["ok"]
+    thread.join(timeout=10)
+    assert not thread.is_alive()
+
+    # the same frames through the in-process loop
+    from busca_tpu.eval.runner import filter_output_tracks
+
+    tracker = _byte_factory()
+    for reply, frame in zip(via_server, frames):
+        det = detector.detect(frame)
+        online = tracker.update(
+            det.boxes_tlbr / det.scale, det.scores, det.scale, det.image
+        )
+        tlwhs, ids, confs = filter_output_tracks(online, 100.0, 1.6)
+        assert reply["ok"]
+        assert [t["id"] for t in reply["tracks"]] == [int(i) for i in ids]
+        for t, tlwh, c in zip(reply["tracks"], tlwhs, confs):
+            np.testing.assert_allclose(t["tlwh"], tlwh, rtol=1e-6)
+            assert t["score"] == pytest.approx(float(c))
+
+
+def test_server_error_handling_keeps_serving(detector):
+    server = TrackingServer(detector, _byte_factory)
+    client, thread = _serve_on_thread(server)
+
+    frame = _frames(np.random.RandomState(1), n=1)[0]
+    # frame before start: error, connection survives
+    r = client.frame(frame)
+    assert not r["ok"] and "start" in r["error"]
+    assert client.start()["ok"]
+    # bad payload size: error, sequence survives
+    r = client._roundtrip({"cmd": "frame", "shape": [48, 80, 3]}, b"xy")
+    assert not r["ok"] and "bytes" in r["error"]
+    r = client._roundtrip({"cmd": "nope"})
+    assert not r["ok"]
+    # the sequence still tracks
+    assert client.frame(frame)["ok"]
+    client.stop()
+    thread.join(timeout=10)
+
+
+def test_start_resets_sequence(detector):
+    server = TrackingServer(detector, _byte_factory)
+    client, thread = _serve_on_thread(server)
+    frame = _frames(np.random.RandomState(2), n=1)[0]
+    client.start("a")
+    assert client.frame(frame)["frame_id"] == 1
+    assert client.frame(frame)["frame_id"] == 2
+    client.start("b")
+    assert client.frame(frame)["frame_id"] == 1  # fresh tracker + counter
+    client.stop()
+    thread.join(timeout=10)
+
+
+def test_unix_socket_serving(detector, tmp_path):
+    path = str(tmp_path / "trk.sock")
+    server = TrackingServer(detector, _byte_factory)
+    t = threading.Thread(
+        target=server.serve_unix, args=(path,),
+        kwargs={"max_connections": 1}, daemon=True,
+    )
+    t.start()
+    # wait for the socket to appear
+    import time
+
+    for _ in range(100):
+        try:
+            client = TrackingClient.connect_unix(path)
+            break
+        except (FileNotFoundError, ConnectionRefusedError):
+            time.sleep(0.05)
+    else:
+        pytest.fail("server socket never came up")
+    assert client.start()["ok"]
+    assert client.frame(_frames(np.random.RandomState(3), n=1)[0])["ok"]
+    client.stop()
+    t.join(timeout=10)
+    assert not t.is_alive()

@@ -249,9 +249,18 @@ def main(argv=None):
     p.add_argument("--busca-config", default=None)
     p.add_argument("--busca-ckpt", default=None)
     p.add_argument("--max-connections", type=int, default=None)
+    p.add_argument("--lockstep", action="store_true",
+                   help="serve concurrent connections with one batched "
+                        "device step per tick (serve/lockstep.py) instead "
+                        "of sequentially")
+    p.add_argument("--tick-timeout", type=float, default=0.010,
+                   help="lockstep straggler wait per tick, seconds")
     args = p.parse_args(argv)
 
     if args.detector_artifact:
+        if args.lockstep:
+            p.error("--lockstep needs a batch-capable live --detector "
+                    "(artifacts are single-frame steps)")
         from busca_tpu.serve.detector import ArtifactDetector
 
         detector = ArtifactDetector(args.detector_artifact)
@@ -280,7 +289,14 @@ def main(argv=None):
             args.tracker, {"track_thresh": args.track_thresh}, engine
         )
 
-    server = TrackingServer(detector, factory)
+    if args.lockstep:
+        from busca_tpu.serve.lockstep import LockstepTrackingServer
+
+        server = LockstepTrackingServer(
+            detector, factory, tick_timeout=args.tick_timeout
+        )
+    else:
+        server = TrackingServer(detector, factory)
     print(f"serving on {args.socket}", flush=True)
     server.serve_unix(args.socket, max_connections=args.max_connections)
 

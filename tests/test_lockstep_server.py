@@ -1,0 +1,208 @@
+"""Lockstep serving (serve/lockstep.py): N concurrent client streams, one
+batched detector call + one batched third round per tick, per-stream results
+identical to the sequential per-sequence loop."""
+
+import socket
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from busca_tpu.eval.synthetic import default_dropout_sequence
+from busca_tpu.serve.lockstep import LockstepTrackingServer
+from busca_tpu.serve.server import TrackingClient
+from busca_tpu.trackers.base import Track
+from busca_tpu.trackers.byte import ByteTracker, ByteTrackerConfig
+
+from test_byte_tracker import StubEngine
+from test_lockstep_busca import _canon
+
+
+class _StubBatchDetector:
+    """Content-keyed stub: each frame's [0,0] pixel encodes (seq, t), so
+    detections are deterministic regardless of tick composition/order."""
+
+    def __init__(self, dets_per_seq):
+        self.dets = dets_per_seq
+        self.batch_sizes = []
+
+    def detect_batch(self, frames):
+        frames = np.asarray(frames)
+        self.batch_sizes.append(len(frames))
+
+        class Out:
+            pass
+
+        outs = []
+        for f in frames:
+            si, t = int(f[0, 0, 0]), int(f[0, 0, 1])
+            boxes, scores = self.dets[si][t]
+            o = Out()
+            o.boxes_tlbr = boxes
+            o.scores = scores
+            o.scale = 1.0
+            o.image = f
+            outs.append(o)
+        return outs
+
+    def detect(self, frame):
+        return self.detect_batch(np.asarray(frame)[None])[0]
+
+
+def _mk_tracker():
+    return ByteTracker(
+        ByteTrackerConfig(use_busca=True),
+        assoc_engine=StubEngine(kalman_prob=1.0),
+    )
+
+
+def _marked_sequences(n_seqs=3, n_frames=20):
+    seqs = [default_dropout_sequence(n_frames, seed=s) for s in range(n_seqs)]
+    dets, frames = [], []
+    for si, s in enumerate(seqs):
+        dets.append([s.detections(t) for t in range(n_frames)])
+        fs = []
+        for t in range(n_frames):
+            f = s.frame(t).copy()
+            f[0, 0] = (si, t, 0)
+            fs.append(f)
+        frames.append(fs)
+    return dets, frames
+
+
+def _sequential_reference(dets, frames):
+    want = []
+    for si in range(len(dets)):
+        Track.reset_id_counter()
+        trk = _mk_tracker()
+        rows = []
+        from busca_tpu.eval.runner import filter_output_tracks
+
+        for t, (boxes_scores, frame) in enumerate(zip(dets[si], frames[si])):
+            boxes, scores = boxes_scores
+            online = trk.update(boxes, scores, 1.0, frame)
+            tlwhs, ids, confs = filter_output_tracks(online, 100.0, 1.6)
+            rows.append((t + 1, tlwhs, ids, confs))
+        want.append(_canon(rows))
+    return want
+
+
+def test_lockstep_server_matches_sequential_and_batches():
+    dets, frames = _marked_sequences(n_seqs=3, n_frames=20)
+    detector = _StubBatchDetector(dets)
+    server = LockstepTrackingServer(
+        detector, _mk_tracker, tick_timeout=0.25
+    )
+    server.start_scheduler()
+
+    conns = [socket.socketpair() for _ in range(3)]
+    serv_threads = [
+        threading.Thread(
+            target=server.serve_connection, args=(srv,), daemon=True
+        )
+        for srv, _ in conns
+    ]
+    for t in serv_threads:
+        t.start()
+
+    barrier = threading.Barrier(3)
+
+    def run_client(si):
+        client = TrackingClient(conns[si][1])
+        assert client.start(f"seq-{si}")["ok"]
+        rows = []
+        for t, frame in enumerate(frames[si]):
+            barrier.wait(timeout=30)  # submit each tick together
+            r = client.frame(frame)
+            assert r["ok"], r
+            rows.append((
+                t + 1,
+                [trk["tlwh"] for trk in r["tracks"]],
+                [trk["id"] for trk in r["tracks"]],
+                [trk["score"] for trk in r["tracks"]],
+            ))
+        client.stop()
+        return rows
+
+    with ThreadPoolExecutor(3) as pool:
+        got = list(pool.map(run_client, range(3)))
+    for t in serv_threads:
+        t.join(timeout=10)
+    server.close()
+
+    want = _sequential_reference(dets, frames)
+    for si in range(3):
+        assert _canon(got[si]) == want[si], f"stream {si} diverged"
+
+    # the scheduler actually batched: with 3 synchronized streams most ticks
+    # coalesce (pad buckets make full ticks 4-wide)
+    assert max(detector.batch_sizes) >= 2, detector.batch_sizes
+    assert sum(detector.batch_sizes) >= 60  # every frame was served
+
+
+def test_straggler_does_not_stall_peers():
+    dets, frames = _marked_sequences(n_seqs=2, n_frames=3)
+    server = LockstepTrackingServer(
+        _StubBatchDetector(dets), _mk_tracker, tick_timeout=0.05
+    )
+    server.start_scheduler()
+    conns = [socket.socketpair() for _ in range(2)]
+    threads = [
+        threading.Thread(
+            target=server.serve_connection, args=(srv,), daemon=True
+        )
+        for srv, _ in conns
+    ]
+    for t in threads:
+        t.start()
+    fast = TrackingClient(conns[0][1])
+    slow = TrackingClient(conns[1][1])
+    fast.start("fast")
+    slow.start("slow")  # active but never sends a frame
+    import time
+
+    t0 = time.monotonic()
+    for t in range(3):
+        r = fast.frame(frames[0][t])
+        assert r["ok"]
+    # 3 frames each waiting <= tick_timeout for the idle peer
+    assert time.monotonic() - t0 < 3.0
+    fast.stop()
+    slow.stop()
+    for t in threads:
+        t.join(timeout=10)
+    server.close()
+
+
+def test_unix_socket_lockstep_serving(tmp_path):
+    dets, frames = _marked_sequences(n_seqs=2, n_frames=4)
+    path = str(tmp_path / "lock.sock")
+    server = LockstepTrackingServer(
+        _StubBatchDetector(dets), _mk_tracker, tick_timeout=0.05
+    )
+    t = threading.Thread(
+        target=server.serve_unix, args=(path,),
+        kwargs={"max_connections": 2}, daemon=True,
+    )
+    t.start()
+    import time
+
+    def stream(si):
+        for _ in range(100):
+            try:
+                client = TrackingClient.connect_unix(path)
+                break
+            except (FileNotFoundError, ConnectionRefusedError):
+                time.sleep(0.05)
+        else:
+            raise AssertionError("socket never came up")
+        client.start(f"s{si}")
+        out = [client.frame(f)["ok"] for f in frames[si]]
+        client.stop()
+        return out
+
+    with ThreadPoolExecutor(2) as pool:
+        oks = list(pool.map(stream, range(2)))
+    assert all(all(o) for o in oks)
+    t.join(timeout=30)
+    assert not t.is_alive()

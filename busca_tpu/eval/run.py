@@ -675,13 +675,24 @@ def main(argv=None):
 
         detector = None
         if args.detector_artifact:
-            if args.detector or args.lockstep:
-                parser.error("--detector-artifact replaces --detector and "
-                             "does not support --lockstep (the artifact is "
-                             "a single-frame step)")
-            from busca_tpu.serve.detector import ArtifactDetector
+            if args.detector:
+                parser.error("--detector-artifact replaces --detector")
+            from busca_tpu.serve.detector import (
+                ArtifactBatchDetector,
+                ArtifactDetector,
+            )
 
-            detector = ArtifactDetector(args.detector_artifact)
+            with open(os.path.join(args.detector_artifact,
+                                   "manifest.json")) as f:
+                kind = json.load(f).get("kind")
+            if kind == "yolox_detector_batch_steps":
+                detector = ArtifactBatchDetector(args.detector_artifact)
+            else:
+                detector = ArtifactDetector(args.detector_artifact)
+            if args.lockstep and kind != "yolox_detector_batch_steps":
+                parser.error("--lockstep with --detector-artifact needs a "
+                             "--batches artifact family "
+                             "(busca-export --batches 1 2 4 8)")
         elif args.detector == "centertrack":
             from busca_tpu.eval.detector import CenterTrackDetector
 

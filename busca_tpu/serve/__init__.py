@@ -5,11 +5,16 @@ path (adapters/ByteTrack/tools/track.py:83,215-224 — torch2trt engine
 files; Dockerfile:88-95).  See :mod:`busca_tpu.serve.export`.
 """
 
-from busca_tpu.serve.detector import ArtifactDetector  # noqa: F401
+from busca_tpu.serve.detector import (  # noqa: F401
+    ArtifactBatchDetector,
+    ArtifactDetector,
+)
 from busca_tpu.serve.export import (  # noqa: F401
     ExportedArtifact,
     export_associate_scorer,
+    export_detector_batch_steps,
     export_detector_step,
     export_jitted,
     load_artifact,
+    load_batch_artifacts,
 )

@@ -85,3 +85,81 @@ class ArtifactDetector:
 
     def detect(self, frame_bgr):
         return self.wait(self.detect_async(frame_bgr))
+
+
+class ArtifactBatchDetector:
+    """Runs an exported ``yolox_detector_batch_steps`` artifact family.
+
+    Provides the ``detect_batch`` API the lockstep paths need (the eval
+    ``track_sequences_lockstep`` loop and serve/lockstep.py's scheduler):
+    each call pads the batch with its last frame up to the nearest exported
+    bucket and discards the pad lanes' outputs.  Batches beyond the largest
+    exported bucket are a hard error — export a bigger family.
+    """
+
+    def __init__(self, artifact_dir: str, variables: Optional[dict] = None):
+        from busca_tpu.serve.export import load_batch_artifacts
+
+        manifest, steps = load_batch_artifacts(artifact_dir)
+        if not manifest.get("bake_weights", True) and variables is None:
+            raise ValueError(
+                "artifact family was exported without baked weights; pass "
+                "the `variables` pytree"
+            )
+        self.manifest = manifest
+        self._steps = steps
+        self._variables = variables
+        self.frame_hw = tuple(manifest["frame_hw"])
+        self.scale = float(manifest["scale"])
+        self.test_size = tuple(manifest["test_size"])
+        self.conf_thresh = float(manifest.get("conf_thresh", 0.0))
+        self.batches = sorted(steps)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.batches:
+            if n <= b:
+                return b
+        raise ValueError(
+            f"batch {n} exceeds the largest exported bucket "
+            f"{self.batches[-1]} — re-export with a bigger family"
+        )
+
+    def detect_batch(self, frames_bgr) -> list:
+        from busca_tpu.eval.detector import DetectorOutput
+
+        frames = np.asarray(frames_bgr)
+        n = frames.shape[0]
+        hw = (int(frames.shape[1]), int(frames.shape[2]))
+        if hw != self.frame_hw:
+            raise ValueError(
+                f"artifact compiled for frame_hw={self.frame_hw}, got {hw}"
+            )
+        bp = self._bucket(n)
+        if bp > n:
+            frames = np.concatenate([frames, frames[-1:].repeat(bp - n, 0)])
+        import jax.numpy as jnp
+
+        step = self._steps[bp]
+        if self._variables is None:
+            outs, valids, canvases = step.call(jnp.asarray(frames))
+        else:
+            outs, valids, canvases = step.call(
+                self._variables, jnp.asarray(frames)
+            )
+        outs = np.asarray(outs)
+        valids = np.asarray(valids)
+        results = []
+        for i in range(n):
+            rows = outs[i][valids[i]]
+            results.append(
+                DetectorOutput(
+                    boxes_tlbr=rows[:, :4].astype(np.float64),
+                    scores=(rows[:, 4] * rows[:, 5]).astype(np.float64),
+                    image=canvases[i],
+                    scale=self.scale,
+                )
+            )
+        return results
+
+    def detect(self, frame_bgr):
+        return self.detect_batch(np.asarray(frame_bgr)[None])[0]

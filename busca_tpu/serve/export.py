@@ -172,6 +172,89 @@ def export_detector_step(
     )
 
 
+def export_detector_batch_steps(
+    detector,
+    frame_hw: Tuple[int, int],
+    batches: Sequence[int],
+    out_dir: str,
+    *,
+    platforms: Optional[Sequence[str]] = None,
+    bake_weights: bool = True,
+) -> dict:
+    """Export the detector's lockstep batch step at several batch sizes.
+
+    One serialized function per bucket (``fn_b{N}.stablehlo``), one shared
+    manifest — the artifact family a lockstep server needs: it pads each
+    tick to the nearest bucket and calls that step (serve/lockstep.py pads
+    to powers of two, so ``batches=(1, 2, 4, 8)`` covers up to 8 streams).
+    Weights are baked once per step (self-contained, TRT-engine style)
+    unless ``bake_weights=False``.
+    """
+    from jax import export as jexport
+
+    key = (int(frame_hw[0]), int(frame_hw[1]))
+    os.makedirs(out_dir, exist_ok=True)
+    sizes = {}
+    r = None
+    for b in sorted(set(int(b) for b in batches)):
+        skey = ("batch", key[0], key[1], b)
+        if skey not in detector._steps:
+            detector._steps[skey] = detector._make_batch_step(key, b)
+        step, r = detector._steps[skey]
+        frames_spec = jax.ShapeDtypeStruct((b, key[0], key[1], 3), jnp.uint8)
+        if bake_weights:
+            variables = detector.variables
+            fn = jax.jit(lambda frames, _s=step: _s(variables, frames))
+            exported = jexport.export(fn, platforms=platforms)(frames_spec)
+        else:
+            var_spec = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(
+                    jnp.shape(x), jnp.asarray(x).dtype
+                ),
+                detector.variables,
+            )
+            exported = jexport.export(step, platforms=platforms)(
+                var_spec, frames_spec
+            )
+        data = exported.serialize()
+        with open(os.path.join(out_dir, f"fn_b{b}.stablehlo"), "wb") as f:
+            f.write(data)
+        sizes[str(b)] = len(data)
+    manifest = {
+        "kind": "yolox_detector_batch_steps",
+        "frame_hw": list(key),
+        "test_size": list(detector.test_size),
+        "scale": r,
+        "conf_thresh": detector.conf_thresh,
+        "nms_thresh": detector.nms_thresh,
+        "max_outputs": detector.max_outputs,
+        "bake_weights": bool(bake_weights),
+        "batches": sorted(int(b) for b in sizes),
+        "size_bytes": sizes,
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(out_dir, _MANIFEST_FILE), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def load_batch_artifacts(out_dir: str):
+    """Load a batch-steps artifact directory -> (manifest, {batch: Exported})."""
+    from jax import export as jexport
+
+    with open(os.path.join(out_dir, _MANIFEST_FILE)) as f:
+        manifest = json.load(f)
+    if manifest.get("kind") != "yolox_detector_batch_steps":
+        raise ValueError(
+            f"not a batch-steps artifact: kind={manifest.get('kind')!r}"
+        )
+    steps = {}
+    for b in manifest["batches"]:
+        with open(os.path.join(out_dir, f"fn_b{b}.stablehlo"), "rb") as f:
+            steps[int(b)] = jexport.deserialize(bytearray(f.read()))
+    return manifest, steps
+
+
 # --------------------------------------------------------------- associate --
 def export_associate_scorer(
     engine,
@@ -257,6 +340,11 @@ def main(argv: Optional[Sequence[str]] = None):
         help="target platforms, e.g. 'tpu' (default: current backend)",
     )
     p.add_argument("--no-bake-weights", action="store_true")
+    p.add_argument(
+        "--batches", type=int, nargs="*", default=None,
+        help="export a lockstep batch-step family at these batch sizes "
+             "(e.g. --batches 1 2 4 8) instead of the single-frame step",
+    )
     args = p.parse_args(argv)
 
     from busca_tpu.eval.detector import YoloxDetector
@@ -264,10 +352,16 @@ def main(argv: Optional[Sequence[str]] = None):
     det = YoloxDetector.build(
         size=args.size, ckpt_path=args.ckpt, test_size=tuple(args.test_size)
     )
-    m = export_detector_step(
-        det, tuple(args.frame_hw), args.out,
-        platforms=args.platforms, bake_weights=not args.no_bake_weights,
-    )
+    if args.batches:
+        m = export_detector_batch_steps(
+            det, tuple(args.frame_hw), args.batches, args.out,
+            platforms=args.platforms, bake_weights=not args.no_bake_weights,
+        )
+    else:
+        m = export_detector_step(
+            det, tuple(args.frame_hw), args.out,
+            platforms=args.platforms, bake_weights=not args.no_bake_weights,
+        )
     print(json.dumps(m))
 
 

@@ -258,12 +258,25 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.detector_artifact:
-        if args.lockstep:
-            p.error("--lockstep needs a batch-capable live --detector "
-                    "(artifacts are single-frame steps)")
-        from busca_tpu.serve.detector import ArtifactDetector
+        import json as _json
+        import os as _os
 
-        detector = ArtifactDetector(args.detector_artifact)
+        from busca_tpu.serve.detector import (
+            ArtifactBatchDetector,
+            ArtifactDetector,
+        )
+
+        with open(_os.path.join(args.detector_artifact,
+                                "manifest.json")) as f:
+            kind = _json.load(f).get("kind")
+        if kind == "yolox_detector_batch_steps":
+            detector = ArtifactBatchDetector(args.detector_artifact)
+        else:
+            if args.lockstep:
+                p.error("--lockstep needs a batch-capable detector: a live "
+                        "--detector or a --batches artifact family "
+                        "(busca-export --batches 1 2 4 8)")
+            detector = ArtifactDetector(args.detector_artifact)
     elif args.detector:
         from busca_tpu.eval.detector import YoloxDetector
 

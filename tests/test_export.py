@@ -102,6 +102,35 @@ def test_associate_scorer_export_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
 
 
+def test_batch_steps_family_roundtrip(tmp_path, rng, detector):
+    from busca_tpu.serve.detector import ArtifactBatchDetector
+    from busca_tpu.serve.export import export_detector_batch_steps
+
+    out_dir = str(tmp_path / "det_batch")
+    manifest = export_detector_batch_steps(
+        detector, (48, 80), (1, 2, 4), out_dir
+    )
+    assert manifest["batches"] == [1, 2, 4]
+
+    art = ArtifactBatchDetector(out_dir)
+    frames = rng.randint(0, 255, (3, 48, 80, 3), np.uint8)
+    want = detector.detect_batch(frames)          # live batch-4 bucket? no:
+    # the live path compiles exactly batch 3; the artifact pads 3 -> bucket 4.
+    # Same math over the same rows — compare per-frame outputs numerically.
+    got = art.detect_batch(frames)
+    assert len(got) == 3
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g.boxes_tlbr, w.boxes_tlbr,
+                                   rtol=1e-6, atol=1e-3)
+        np.testing.assert_allclose(g.scores, w.scores, rtol=1e-6, atol=1e-5)
+    # single-frame convenience + beyond-max-bucket error
+    one = art.detect(frames[0])
+    np.testing.assert_allclose(one.boxes_tlbr, want[0].boxes_tlbr,
+                               rtol=1e-6, atol=1e-3)
+    with pytest.raises(ValueError, match="largest exported bucket"):
+        art.detect_batch(rng.randint(0, 255, (5, 48, 80, 3), np.uint8))
+
+
 def test_cli_detector_artifact_matches_live(tmp_path, mot_fixture):
     """--detector-artifact reproduces the live --detector run track-for-track
     (same deterministic init_variables weights on both sides)."""
@@ -126,6 +155,36 @@ def test_cli_detector_artifact_matches_live(tmp_path, mot_fixture):
         "--output-dir", str(art_out),
     ])
     assert out_live.keys() == out_art.keys()
+    name = "MOT17-05-FRCNN"
+    with open(live_dir / f"{name}.txt") as a, open(art_out / f"{name}.txt") as b:
+        assert a.read() == b.read()
+
+
+def test_cli_lockstep_batch_artifact(tmp_path, mot_fixture, detector):
+    """--lockstep --detector-artifact with a --batches family drives the
+    lockstep runner end-to-end and matches the live lockstep run."""
+    from busca_tpu.eval.run import main
+    from busca_tpu.serve.export import export_detector_batch_steps
+
+    live_dir = tmp_path / "live_ls"
+    main([
+        "--mot-dir", mot_fixture, "--detector", "yolox-tiny",
+        "--test-h", "64", "--test-w", "96", "--det-conf", "0.05",
+        "--lockstep", "--output-dir", str(live_dir),
+    ])
+
+    from busca_tpu.eval.detector import YoloxDetector
+
+    det = YoloxDetector.build(
+        size="tiny", test_size=(64, 96), conf_thresh=0.05
+    )
+    art_dir = str(tmp_path / "fam")
+    export_detector_batch_steps(det, (64, 80), (1, 2), art_dir)
+    art_out = tmp_path / "art_ls"
+    main([
+        "--mot-dir", mot_fixture, "--detector-artifact", art_dir,
+        "--lockstep", "--output-dir", str(art_out),
+    ])
     name = "MOT17-05-FRCNN"
     with open(live_dir / f"{name}.txt") as a, open(art_out / f"{name}.txt") as b:
         assert a.read() == b.read()

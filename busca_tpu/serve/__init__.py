@@ -9,6 +9,11 @@ from busca_tpu.serve.detector import (  # noqa: F401
     ArtifactBatchDetector,
     ArtifactDetector,
 )
+from busca_tpu.serve.lockstep import LockstepTrackingServer  # noqa: F401
+from busca_tpu.serve.server import (  # noqa: F401
+    TrackingClient,
+    TrackingServer,
+)
 from busca_tpu.serve.export import (  # noqa: F401
     ExportedArtifact,
     export_associate_scorer,

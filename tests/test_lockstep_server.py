@@ -174,6 +174,55 @@ def test_straggler_does_not_stall_peers():
     server.close()
 
 
+def test_chaotic_joins_and_leaves_keep_streams_independent():
+    """Streams of different lengths joining at staggered times: every
+    stream's results must equal its own sequential loop regardless of the
+    tick compositions it happened to share."""
+    lengths = [6, 14, 10, 18, 4]
+    dets, frames = _marked_sequences(n_seqs=5, n_frames=20)
+    dets = [d[:n] for d, n in zip(dets, lengths)]
+    frames = [f[:n] for f, n in zip(frames, lengths)]
+    detector = _StubBatchDetector([d + d[-1:] * 20 for d in dets])
+    server = LockstepTrackingServer(detector, _mk_tracker, tick_timeout=0.02)
+    server.start_scheduler()
+    conns = [socket.socketpair() for _ in range(5)]
+    serv_threads = [
+        threading.Thread(
+            target=server.serve_connection, args=(srv,), daemon=True
+        )
+        for srv, _ in conns
+    ]
+    for t in serv_threads:
+        t.start()
+    import time
+
+    def run_client(si):
+        time.sleep(0.01 * si)  # staggered joins
+        client = TrackingClient(conns[si][1])
+        assert client.start(f"seq-{si}")["ok"]
+        rows = []
+        for t, frame in enumerate(frames[si]):
+            r = client.frame(frame)
+            assert r["ok"], r
+            rows.append((
+                t + 1,
+                [trk["tlwh"] for trk in r["tracks"]],
+                [trk["id"] for trk in r["tracks"]],
+                [trk["score"] for trk in r["tracks"]],
+            ))
+        client.stop()  # early leavers shrink the active set
+        return rows
+
+    with ThreadPoolExecutor(5) as pool:
+        got = list(pool.map(run_client, range(5)))
+    for t in serv_threads:
+        t.join(timeout=10)
+    server.close()
+    want = _sequential_reference(dets, frames)
+    for si in range(5):
+        assert _canon(got[si]) == want[si], f"stream {si} diverged"
+
+
 def test_unix_socket_lockstep_serving(tmp_path):
     dets, frames = _marked_sequences(n_seqs=2, n_frames=4)
     path = str(tmp_path / "lock.sock")

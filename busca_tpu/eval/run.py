@@ -693,6 +693,10 @@ def main(argv=None):
                 parser.error("--lockstep with --detector-artifact needs a "
                              "--batches artifact family "
                              "(busca-export --batches 1 2 4 8)")
+            if args.lockstep_dp:
+                parser.error("--lockstep-dp needs a live --detector "
+                             "(artifacts are compiled without mesh "
+                             "shardings)")
         elif args.detector == "centertrack":
             from busca_tpu.eval.detector import CenterTrackDetector
 

@@ -131,6 +131,8 @@ class LockstepTrackingServer:
                 self._run_tick(items)
             except Exception as e:  # a failing tick must not kill serving
                 for s, _ in items:
+                    if s.done.is_set():
+                        continue  # this stream was already serviced
                     s.reply = {
                         "ok": False, "error": f"{type(e).__name__}: {e}"
                     }

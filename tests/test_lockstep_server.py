@@ -223,6 +223,82 @@ def test_chaotic_joins_and_leaves_keep_streams_independent():
         assert _canon(got[si]) == want[si], f"stream {si} diverged"
 
 
+def test_tick_error_isolated_to_unserviced_streams():
+    """A stream whose output breaks mid-tick gets an error reply; a stream
+    already serviced in the same tick keeps its good reply, and the
+    scheduler keeps serving afterwards."""
+    dets, frames = _marked_sequences(n_seqs=2, n_frames=4)
+
+    class _Poison:
+        pass  # lacks .tlwh -> filter_output_tracks raises
+
+    made = []
+
+    def factory():
+        trk = _mk_tracker()
+        if len(made) == 1:  # the second stream to start
+            orig = trk.update_deferred
+            calls = [0]
+
+            def poisoned(*a, **k):
+                calls[0] += 1
+                if calls[0] == 1:
+                    # a generator returning poison output on frame 1 only;
+                    # the scheduler's final loop chokes on it AFTER the
+                    # first stream was already serviced
+                    def gen():
+                        return [_Poison()]
+                        yield  # pragma: no cover - generator marker
+
+                    return gen()
+                return orig(*a, **k)
+
+            trk.update_deferred = poisoned
+        made.append(trk)
+        return trk
+
+    server = LockstepTrackingServer(
+        _StubBatchDetector(dets), factory, tick_timeout=0.25
+    )
+    server.start_scheduler()
+    conns = [socket.socketpair() for _ in range(2)]
+    threads = [
+        threading.Thread(
+            target=server.serve_connection, args=(srv,), daemon=True
+        )
+        for srv, _ in conns
+    ]
+    for t in threads:
+        t.start()
+    a = TrackingClient(conns[0][1])
+    b = TrackingClient(conns[1][1])
+    assert a.start("a")["ok"]
+    assert b.start("b")["ok"]
+
+    barrier = threading.Barrier(2)
+    replies = {0: [], 1: []}
+
+    def run(si, client):
+        for t in range(4):
+            barrier.wait(timeout=30)
+            replies[si].append(client.frame(frames[si][t]))
+        client.stop()
+
+    ta = threading.Thread(target=run, args=(0, a), daemon=True)
+    tb = threading.Thread(target=run, args=(1, b), daemon=True)
+    ta.start(), tb.start()
+    ta.join(timeout=30), tb.join(timeout=30)
+    for t in threads:
+        t.join(timeout=10)
+    server.close()
+
+    # stream a: every frame fine (serviced before b in each tick)
+    assert all(r["ok"] for r in replies[0]), replies[0]
+    # stream b: exactly its first frame errored, later frames recovered
+    assert not replies[1][0]["ok"]
+    assert all(r["ok"] for r in replies[1][1:]), replies[1]
+
+
 def test_unix_socket_lockstep_serving(tmp_path):
     dets, frames = _marked_sequences(n_seqs=2, n_frames=4)
     path = str(tmp_path / "lock.sock")

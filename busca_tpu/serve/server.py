@@ -255,6 +255,9 @@ def main(argv=None):
                         "of sequentially")
     p.add_argument("--tick-timeout", type=float, default=0.010,
                    help="lockstep straggler wait per tick, seconds")
+    p.add_argument("--lockstep-dp", type=int, default=None,
+                   help="shard the lockstep batch over a dp-way device mesh "
+                        "(multi-chip serving; needs a live --detector)")
     args = p.parse_args(argv)
 
     if args.detector_artifact:
@@ -286,8 +289,17 @@ def main(argv=None):
             test_size=(args.test_h, args.test_w),
             conf_thresh=args.det_conf,
         )
+        if args.lockstep_dp:
+            if not args.lockstep:
+                p.error("--lockstep-dp requires --lockstep")
+            from busca_tpu.parallel.mesh import make_mesh
+
+            detector.shard_lockstep(make_mesh(args.lockstep_dp, tp_size=1))
     else:
         p.error("pick --detector or --detector-artifact")
+    if args.lockstep_dp and args.detector_artifact:
+        p.error("--lockstep-dp needs a live --detector (artifacts are "
+                "compiled without mesh shardings)")
 
     engine = None
     if args.use_busca:

@@ -223,6 +223,53 @@ def test_chaotic_joins_and_leaves_keep_streams_independent():
         assert _canon(got[si]) == want[si], f"stream {si} diverged"
 
 
+def test_lockstep_server_with_dp_sharded_live_detector():
+    """Multi-chip serving: the lockstep server over a dp=8-sharded live
+    detector on the virtual mesh — client batches pad 2 -> pow2 -> dp=8 and
+    every stream gets its replies (numeric sharded==unsharded equality is
+    pinned separately in test_sharded_numerics)."""
+    from busca_tpu.eval.detector import YoloxDetector, init_variables
+    from busca_tpu.models.yolox import YoloxConfig
+    from busca_tpu.parallel.mesh import make_mesh
+
+    cfg = YoloxConfig(depth=0.33, width=0.125, num_classes=1)
+    det = YoloxDetector(
+        cfg, init_variables(cfg, (64, 96)), test_size=(64, 96),
+        conf_thresh=0.05, max_outputs=16, pre_nms_topk=64,
+    ).shard_lockstep(make_mesh(8, tp_size=1))
+
+    server = LockstepTrackingServer(det, _mk_tracker, tick_timeout=0.25)
+    server.start_scheduler()
+    conns = [socket.socketpair() for _ in range(2)]
+    threads = [
+        threading.Thread(
+            target=server.serve_connection, args=(srv,), daemon=True
+        )
+        for srv, _ in conns
+    ]
+    for t in threads:
+        t.start()
+    rng = np.random.RandomState(0)
+    frames = [rng.randint(0, 255, (48, 80, 3)).astype(np.uint8)
+              for _ in range(3)]
+
+    def run_client(si):
+        client = TrackingClient(conns[si][1])
+        assert client.start(f"s{si}")["ok"]
+        out = [client.frame(f) for f in frames]
+        client.stop()
+        return out
+
+    with ThreadPoolExecutor(2) as pool:
+        got = list(pool.map(run_client, range(2)))
+    for t in threads:
+        t.join(timeout=10)
+    server.close()
+    for replies in got:
+        assert all(r["ok"] for r in replies), replies
+        assert [r["frame_id"] for r in replies] == [1, 2, 3]
+
+
 def test_tick_error_isolated_to_unserviced_streams():
     """A stream whose output breaks mid-tick gets an error reply; a stream
     already serviced in the same tick keeps its good reply, and the

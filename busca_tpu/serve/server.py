@@ -245,6 +245,9 @@ def main(argv=None):
     p.add_argument("--det-conf", type=float, default=0.1)
     p.add_argument("--tracker", default="byte")
     p.add_argument("--track-thresh", type=float, default=0.6)
+    p.add_argument("--reid-ckpt", default=None,
+                   help="ReID checkpoint for feature trackers "
+                        "(strongsort/ghost/motdt)")
     p.add_argument("--use-busca", action="store_true")
     p.add_argument("--busca-config", default=None)
     p.add_argument("--busca-ckpt", default=None)
@@ -307,12 +310,21 @@ def main(argv=None):
 
         engine = build_engine(args.busca_config, args.busca_ckpt)
 
-    from busca_tpu.eval.run import make_tracker
+    from busca_tpu.eval.run import make_tracker, shim_for_runner
+
+    feature_extractor = None
+    if args.reid_ckpt:
+        from busca_tpu.eval.features import ReidFeatureExtractor
+
+        feature_extractor = ReidFeatureExtractor.from_checkpoint(
+            args.reid_ckpt
+        )
 
     def factory():
-        return make_tracker(
+        trk = make_tracker(
             args.tracker, {"track_thresh": args.track_thresh}, engine
         )
+        return shim_for_runner(args.tracker, trk, feature_extractor)
 
     if args.lockstep:
         from busca_tpu.serve.lockstep import LockstepTrackingServer

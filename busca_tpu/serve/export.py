@@ -20,6 +20,9 @@ Layout of an artifact directory::
     <dir>/fn.stablehlo   serialized jax.export.Exported bytes
     <dir>/manifest.json  {"kind", "arg_specs", "platforms", ...}
 
+Batch-step families (export_detector_batch_steps) write one
+``fn_b{N}.stablehlo`` per batch bucket instead, under the same manifest.
+
 Numerical contract: with weights passed as call-time arguments the
 deserialized function is bit-identical to the live jitted call (same trace);
 with ``bake_weights`` the weights become StableHLO constants, which lets XLA

@@ -163,6 +163,9 @@ def run_golden(args) -> dict:
 
 
 def main(argv=None):
+    from busca_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--mot-root", required=True,
                         help="directory holding MOT17-XX-FRCNN sequence dirs")

@@ -542,6 +542,9 @@ def _run_lockstep(args, detector, engine, seq_tracker_kwargs,
 
 
 def main(argv=None):
+    from busca_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--tracker", default="byte",
                         choices=["byte", "strongsort", "ghost", "centertrack",

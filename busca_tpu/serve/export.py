@@ -332,6 +332,9 @@ def main(argv: Optional[Sequence[str]] = None):
     """
     import argparse
 
+    from busca_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=main.__doc__)
     p.add_argument("--out", required=True, help="artifact directory")
     p.add_argument("--size", default="x", help="YOLOX size (tiny/s/m/l/x)")

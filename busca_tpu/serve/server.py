@@ -233,6 +233,9 @@ def main(argv=None):
     live detector is built like the eval CLI."""
     import argparse
 
+    from busca_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=main.__doc__)
     p.add_argument("--socket", required=True, help="unix socket path")
     p.add_argument("--detector", default=None, help="yolox size name, e.g. "

@@ -252,10 +252,10 @@ class LockstepTrackingServer:
     def serve_unix(self, path: str, max_connections: Optional[int] = None):
         """Accept loop: a thread per connection, the shared scheduler batches
         across them (contrast TrackingServer.serve_unix, which is serial)."""
+        from busca_tpu.serve.server import _bind_unix, _unlink_quiet
+
         self.start_scheduler()
-        srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-        srv.bind(path)
-        srv.listen(16)
+        srv = _bind_unix(path)
         threads = []
         accepted = 0
         try:
@@ -269,6 +269,7 @@ class LockstepTrackingServer:
                 threads.append(t)
         finally:
             srv.close()
+            _unlink_quiet(path)
             for t in threads:
                 t.join(timeout=30)
             self.close()

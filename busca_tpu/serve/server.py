@@ -82,6 +82,32 @@ def recv_msg(conn: socket.socket):
     return header, payload
 
 
+def _unlink_quiet(path: str):
+    import os
+
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
+
+
+def _bind_unix(path: str, backlog: int = 16) -> socket.socket:
+    """Bind a unix listener, replacing a stale socket file from a previous
+    run (a dead server otherwise leaves 'Address already in use' behind)."""
+    import os
+    import stat
+
+    try:
+        if stat.S_ISSOCK(os.stat(path).st_mode):
+            os.unlink(path)
+    except OSError:
+        pass
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(path)
+    srv.listen(backlog)
+    return srv
+
+
 class TrackingServer:
     """Serve one tracker pipeline over stream sockets.
 
@@ -176,9 +202,7 @@ class TrackingServer:
     def serve_unix(self, path: str, max_connections: Optional[int] = None):
         """Accept loop on a unix socket (connections served sequentially —
         one chip, one pipeline; run multiple server processes to scale)."""
-        srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-        srv.bind(path)
-        srv.listen(1)
+        srv = _bind_unix(path)
         served = 0
         try:
             while max_connections is None or served < max_connections:
@@ -190,6 +214,7 @@ class TrackingServer:
                 served += 1
         finally:
             srv.close()
+            _unlink_quiet(path)
 
 
 class TrackingClient:

@@ -146,7 +146,10 @@ class LockstepTrackingServer:
         by_hw: Dict[tuple, list] = {}
         for s, frame in items:
             by_hw.setdefault(frame.shape, []).append((s, frame))
+        import time
+
         for group in by_hw.values():
+            t0 = time.perf_counter()
             frames = np.stack([f for _, f in group])
             n = len(group)
             n_pad = 1
@@ -174,6 +177,7 @@ class LockstepTrackingServer:
             if pending:
                 # ONE batched association serves every stream's third round
                 onlines.update(service_deferred_updates(pending))
+            tick_ms = (time.perf_counter() - t0) * 1e3
             for s, _ in group:
                 tlwhs, ids, confs = filter_output_tracks(
                     onlines[s.sid], self.min_box_area, self.vertical_thresh
@@ -182,6 +186,7 @@ class LockstepTrackingServer:
                     "ok": True,
                     "frame_id": s.frame_id,
                     "batch": n,
+                    "tick_ms": round(tick_ms, 3),
                     "tracks": [
                         {
                             "id": int(i),

@@ -151,10 +151,14 @@ class TrackingServer:
         frame = np.frombuffer(payload, np.uint8).reshape(shape)
         if hasattr(self.detector, "reset") and state["frame_id"] == 0:
             self.detector.reset()
+        import time
+
+        t0 = time.perf_counter()
         det = self.detector.detect(frame)
         online = tracker.update(
             det.boxes_tlbr / det.scale, det.scores, det.scale, det.image
         )
+        ms = (time.perf_counter() - t0) * 1e3
         tlwhs, ids, confs = filter_output_tracks(
             online, self.min_box_area, self.vertical_thresh
         )
@@ -162,6 +166,7 @@ class TrackingServer:
         return {
             "ok": True,
             "frame_id": state["frame_id"],
+            "ms": round(ms, 3),
             "tracks": [
                 {
                     "id": int(i),

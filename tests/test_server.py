@@ -133,6 +133,57 @@ def test_start_resets_sequence(detector):
     thread.join(timeout=10)
 
 
+def test_server_busca_rescue_through_dropout():
+    """The whole point, through the serving surface: a detector dropout
+    window does not kill the track when BUSCA's third round votes Kalman."""
+    from busca_tpu.eval.synthetic import default_dropout_sequence
+    from test_byte_tracker import StubEngine
+
+    n = 24
+    seq = default_dropout_sequence(n, seed=0)
+    dets = [seq.detections(t) for t in range(n)]
+
+    class _StubDetector:
+        def __init__(self):
+            self.t = -1
+
+        def detect(self, frame):
+            self.t += 1
+
+            class Out:
+                pass
+
+            o = Out()
+            o.boxes_tlbr, o.scores = dets[self.t]
+            o.scale = 1.0
+            o.image = np.asarray(frame)
+            return o
+
+    def factory():
+        from busca_tpu.trackers import ByteTracker, ByteTrackerConfig
+        from busca_tpu.trackers.base import Track
+
+        Track.reset_id_counter()
+        return ByteTracker(
+            ByteTrackerConfig(use_busca=True),
+            assoc_engine=StubEngine(kalman_prob=1.0),
+        )
+
+    server = TrackingServer(_StubDetector(), factory)
+    client, thread = _serve_on_thread(server)
+    assert client.start("dropout")["ok"]
+    counts = []
+    for t in range(n):
+        r = client.frame(seq.frame(t))
+        assert r["ok"]
+        assert "ms" in r
+        counts.append(len(r["tracks"]))
+    client.stop()
+    thread.join(timeout=10)
+    # through the dropout window every object stays tracked
+    assert min(counts[3:]) >= 2
+
+
 def test_unix_socket_serving(detector, tmp_path):
     path = str(tmp_path / "trk.sock")
     server = TrackingServer(detector, _byte_factory)

@@ -154,7 +154,16 @@ class TrackingServer:
         import time
 
         t0 = time.perf_counter()
-        det = self.detector.detect(frame)
+        if getattr(self.detector, "uses_feedback", False) and hasattr(
+            tracker, "get_detector_positions"
+        ):
+            # the stateful detector<->tracker loop (TransCenter
+            # mot_evaluator.py:158): current track boxes become query priors
+            det = self.detector.detect(
+                frame, current_pos=tracker.get_detector_positions()
+            )
+        else:
+            det = self.detector.detect(frame)
         online = tracker.update(
             det.boxes_tlbr / det.scale, det.scores, det.scale, det.image
         )
@@ -316,6 +325,22 @@ def main(argv=None):
                         "--detector or a --batches artifact family "
                         "(busca-export --batches 1 2 4 8)")
             detector = ArtifactDetector(args.detector_artifact)
+    elif args.detector == "transcenter":
+        if args.lockstep:
+            p.error("transcenter cannot lockstep: its detector is stateful "
+                    "per sequence and takes per-frame tracker feedback")
+        from busca_tpu.eval.detector import TransCenterDetector
+        from busca_tpu.models.transcenter import TransCenterConfig
+
+        detector = TransCenterDetector(
+            TransCenterConfig.for_dataset("mot17"),
+            test_size=(args.test_h, args.test_w),
+            out_thresh=args.det_conf,
+        )
+    elif args.detector == "centertrack":
+        p.error("centertrack serving is not wired (its detector consumes "
+                "the adapter's track dicts per frame); use the eval CLI's "
+                "--detector centertrack loop")
     elif args.detector:
         from busca_tpu.eval.detector import YoloxDetector
 

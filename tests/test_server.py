@@ -184,6 +184,48 @@ def test_server_busca_rescue_through_dropout():
     assert min(counts[3:]) >= 2
 
 
+def test_server_passes_feedback_to_stateful_detector():
+    """uses_feedback detectors (TransCenter) get the tracker's current
+    positions each frame — the detector<->tracker loop through the server."""
+    seen = []
+
+    class _FeedbackDetector:
+        uses_feedback = True
+
+        def reset(self):
+            seen.append("reset")
+
+        def detect(self, frame, current_pos="MISSING"):
+            # empty tracker -> None priors (get_detector_positions contract);
+            # the point is that the kwarg was PASSED, not defaulted
+            seen.append(current_pos)
+
+            class Out:
+                boxes_tlbr = np.zeros((0, 4))
+                scores = np.zeros(0)
+                scale = 1.0
+                image = np.asarray(frame)
+
+            return Out()
+
+    def factory():
+        from busca_tpu.trackers import TransCenterByteTracker
+        from busca_tpu.trackers.byte import ByteTrackerConfig
+
+        return TransCenterByteTracker(ByteTrackerConfig(), None)
+
+    server = TrackingServer(_FeedbackDetector(), factory)
+    client, thread = _serve_on_thread(server)
+    assert client.start("tc")["ok"]
+    frame = np.zeros((48, 80, 3), np.uint8)
+    assert client.frame(frame)["ok"]
+    assert client.frame(frame)["ok"]
+    client.stop()
+    thread.join(timeout=10)
+    assert seen[0] == "reset"  # per-sequence reset (mot_evaluator.py:148-150)
+    assert len(seen) == 3 and all(s is None for s in seen[1:])
+
+
 def test_unix_socket_serving(detector, tmp_path):
     path = str(tmp_path / "trk.sock")
     server = TrackingServer(detector, _byte_factory)

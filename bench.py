@@ -907,10 +907,49 @@ def main():
 
     import jax
 
-    # Watchdog: device discovery goes through the axon network tunnel, which
-    # can hang indefinitely when the tunnel is down — emit an honest error
-    # line and exit rather than stalling the caller forever.  Disarmed the
-    # moment the backend answers; compiles (which can be slow) happen later.
+    # The axon tunnel flaps: a down tunnel makes jax.devices() hang FOREVER
+    # in-process (no timeout, not interruptible).  Probe in killable
+    # subprocesses first and wait out a transient outage before committing
+    # this process to device init.
+    import subprocess
+    import sys
+    import time as _time
+
+    def _wait_for_tpu(total_s=900, probe_timeout=90):
+        deadline = _time.time() + total_s
+        attempt = 0
+        while _time.time() < deadline:
+            attempt += 1
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c", "import jax; jax.devices()"],
+                    timeout=probe_timeout,
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                )
+                if r.returncode == 0:
+                    return True
+            except subprocess.TimeoutExpired:
+                pass
+            print(f"# tpu probe {attempt} failed; retrying", file=sys.stderr,
+                  flush=True)
+            _time.sleep(15)
+        return False
+
+    if not _wait_for_tpu():
+        print(json.dumps({
+            "metric": "e2e_frames_per_s",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "detail": {"error": "TPU tunnel unreachable for 900s"},
+        }), flush=True)
+        return
+
+    # Watchdog: the tunnel can still drop between the probe and this
+    # process's own device init — emit an honest error line and exit rather
+    # than stalling the caller forever.  Disarmed the moment the backend
+    # answers; compiles (which can be slow) happen later.
     import threading
 
     _init_ok = threading.Event()

@@ -51,6 +51,23 @@ class DetectorOutput:
     scale: float  # detector coords = original coords * scale
 
 
+def rows_to_detector_output(out, valid, image, scale) -> DetectorOutput:
+    """Postprocessed step rows -> :class:`DetectorOutput`.
+
+    Single source of the output-row contract (columns 0-3 tlbr boxes,
+    tracker input scores = obj_conf * cls_conf, byte_tracker.py:230-234) —
+    shared by the live detectors and the AOT artifact detectors
+    (serve/detector.py) so the convention cannot silently diverge.
+    """
+    rows = np.asarray(out)[np.asarray(valid)]
+    return DetectorOutput(
+        boxes_tlbr=rows[:, :4].astype(np.float64),
+        scores=(rows[:, 4] * rows[:, 5]).astype(np.float64),
+        image=image,
+        scale=scale,
+    )
+
+
 class YoloxDetector:
     """Flax YOLOX wrapped for the per-frame tracking loop.
 
@@ -275,18 +292,10 @@ class YoloxDetector:
         outs, valids, canvases, r, b = handle
         outs = np.asarray(outs)
         valids = np.asarray(valids)
-        results = []
-        for i in range(b):
-            rows = outs[i][valids[i]]
-            results.append(
-                DetectorOutput(
-                    boxes_tlbr=rows[:, :4].astype(np.float64),
-                    scores=(rows[:, 4] * rows[:, 5]).astype(np.float64),
-                    image=canvases[i],
-                    scale=r,
-                )
-            )
-        return results
+        return [
+            rows_to_detector_output(outs[i], valids[i], canvases[i], r)
+            for i in range(b)
+        ]
 
     # ----------------------------------------------------------------- api --
     def put_frame(self, frame_bgr: np.ndarray):
@@ -319,16 +328,8 @@ class YoloxDetector:
         """Fetch a :meth:`detect_async` handle (blocks until the device step
         finished) and build the host-side :class:`DetectorOutput`."""
         out, valid, det_image, r = handle
-        out = np.asarray(out)
-        valid = np.asarray(valid)
-        rows = out[valid]
-        # tracker input scores = obj_conf * cls_conf (byte_tracker.py:230-234)
-        return DetectorOutput(
-            boxes_tlbr=rows[:, :4].astype(np.float64),
-            scores=(rows[:, 4] * rows[:, 5]).astype(np.float64),
-            image=det_image,  # device-resident; see DetectorOutput docstring
-            scale=r,
-        )
+        # det_image stays device-resident; see DetectorOutput docstring
+        return rows_to_detector_output(out, valid, det_image, r)
 
     def detect(self, frame_bgr) -> DetectorOutput:
         """Run the detector on one uint8 BGR frame (original resolution);

@@ -72,16 +72,10 @@ class ArtifactDetector:
         return out, valid, det_image, self.scale
 
     def wait(self, handle):
-        from busca_tpu.eval.detector import DetectorOutput
+        from busca_tpu.eval.detector import rows_to_detector_output
 
         out, valid, det_image, r = handle
-        rows = np.asarray(out)[np.asarray(valid)]
-        return DetectorOutput(
-            boxes_tlbr=rows[:, :4].astype(np.float64),
-            scores=(rows[:, 4] * rows[:, 5]).astype(np.float64),
-            image=det_image,
-            scale=r,
-        )
+        return rows_to_detector_output(out, valid, det_image, r)
 
     def detect(self, frame_bgr):
         return self.wait(self.detect_async(frame_bgr))
@@ -125,7 +119,7 @@ class ArtifactBatchDetector:
         )
 
     def detect_batch(self, frames_bgr) -> list:
-        from busca_tpu.eval.detector import DetectorOutput
+        from busca_tpu.eval.detector import rows_to_detector_output
 
         frames = np.asarray(frames_bgr)
         n = frames.shape[0]
@@ -148,18 +142,11 @@ class ArtifactBatchDetector:
             )
         outs = np.asarray(outs)
         valids = np.asarray(valids)
-        results = []
-        for i in range(n):
-            rows = outs[i][valids[i]]
-            results.append(
-                DetectorOutput(
-                    boxes_tlbr=rows[:, :4].astype(np.float64),
-                    scores=(rows[:, 4] * rows[:, 5]).astype(np.float64),
-                    image=canvases[i],
-                    scale=self.scale,
-                )
-            )
-        return results
+        return [
+            rows_to_detector_output(outs[i], valids[i], canvases[i],
+                                    self.scale)
+            for i in range(n)
+        ]
 
     def detect(self, frame_bgr):
         return self.detect_batch(np.asarray(frame_bgr)[None])[0]

@@ -271,13 +271,17 @@ def export_associate_scorer(
 ) -> dict:
     """Export the engine's dedup scorer at one (bucket, u_pad) shape.
 
-    This is the jitted ``_score_unique`` dispatch the production third round
-    issues (`assoc/engine.py`; the reference's hot loop is
-    busca/network.py:176-244): memory crops ``[B, L, H, W, 3]`` uint8 +
-    ``[u_pad]`` unique candidate crops with occurrence weights and a
-    ``[B, C]`` gather map → ``[B, num_choices]`` probabilities.  One artifact
-    per production bucket (engine.buckets); serving picks the artifact the
-    way the engine picks the bucket.
+    Exports the jitted ``_score_unique`` dispatch (`assoc/engine.py`; the
+    reference's hot loop is busca/network.py:176-244): memory crops
+    ``[B, L, H, W, 3]`` uint8 + ``[u_pad]`` unique candidate crops with
+    occurrence weights and a ``[B, C]`` gather map → ``[B, num_choices]``
+    probabilities.  NOTE: this is the pixel-shipping single-request variant
+    — a standalone scoring artifact for external/embedded consumers.  The
+    in-repo servers build the LIVE engine, whose production dispatches are
+    the grouped/banked variants (``_score_unique_grouped[_banked]``) with
+    state (the crop bank) that cannot live in an AOT artifact; their
+    recompile cost is covered by the persistent compilation cache instead
+    (utils/cache.py).
     """
     h, w = engine.crop_hw
     b, l, c = int(bucket), engine.seq_len, engine.num_candidates

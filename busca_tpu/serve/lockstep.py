@@ -88,6 +88,11 @@ class LockstepTrackingServer:
             self._lock.notify_all()
         if self._scheduler is not None:
             self._scheduler.join(timeout=10)
+            if self._scheduler.is_alive():
+                # stuck past the timeout (e.g. a long device compile): leave
+                # _stop set so it exits at its next wake instead of resuming
+                # as a zombie racing a future scheduler
+                return
             self._scheduler = None
         self._stop = False
 
@@ -126,19 +131,29 @@ class LockstepTrackingServer:
                 for s in batch:
                     s.pending_frame = None
             # device + tracker work happens OUTSIDE the lock: new frames may
-            # queue meanwhile (they wait for the next tick)
-            try:
-                self._run_tick(items)
-            except Exception as e:  # a failing tick must not kill serving
-                for s, _ in items:
-                    if s.done.is_set():
-                        continue  # this stream was already serviced
-                    s.reply = {
-                        "ok": False, "error": f"{type(e).__name__}: {e}"
-                    }
-                    s.done.set()
+            # queue meanwhile (they wait for the next tick).  _run_tick
+            # handles its own failures (it must know which streams it already
+            # serviced — a serviced client may have SUBMITTED its next frame
+            # by the time a later lane fails, so done.is_set() is not a
+            # reliable marker here).
+            self._run_tick(items)
 
     def _run_tick(self, items):
+        """Service one tick; never raises.  Failures error only the streams
+        NOT yet serviced this tick — a serviced stream's client may already
+        be waiting on its next frame (done cleared, new frame queued), so
+        overwriting its reply would desynchronize that stream by a frame."""
+        serviced = set()
+        try:
+            self._run_tick_inner(items, serviced)
+        except Exception as e:
+            for s, _ in items:
+                if s.sid in serviced:
+                    continue
+                s.reply = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+                s.done.set()
+
+    def _run_tick_inner(self, items, serviced):
         from busca_tpu.eval.runner import filter_output_tracks
         from busca_tpu.trackers.base import service_deferred_updates
 
@@ -197,6 +212,7 @@ class LockstepTrackingServer:
                     ],
                 }
                 s.done.set()
+                serviced.add(s.sid)
 
     # ------------------------------------------------------------ connections --
     def serve_connection(self, conn: socket.socket):
@@ -210,23 +226,27 @@ class LockstepTrackingServer:
                 if msg is None:
                     return
                 header, payload = msg
-                cmd = header.get("cmd")
-                if cmd == "start":
-                    with self._lock:
-                        sess.tracker = self.tracker_factory()
-                        sess.frame_id = 0
-                        sess.name = header.get("name")
-                    send_msg(conn, {"ok": True, "name": sess.name})
-                elif cmd == "frame":
-                    reply = self._submit_frame(sess, header, payload)
-                    send_msg(conn, reply)
-                elif cmd == "stop":
-                    send_msg(conn, {"ok": True, "bye": True})
-                    return
-                else:
-                    send_msg(
-                        conn, {"ok": False, "error": f"unknown cmd {cmd!r}"}
-                    )
+                cmd = header.get("cmd") if isinstance(header, dict) else None
+                try:
+                    if cmd == "start":
+                        with self._lock:
+                            sess.tracker = self.tracker_factory()
+                            sess.frame_id = 0
+                            sess.name = header.get("name")
+                        reply = {"ok": True, "name": sess.name}
+                    elif cmd == "frame":
+                        reply = self._submit_frame(sess, header, payload)
+                    elif cmd == "stop":
+                        send_msg(conn, {"ok": True, "bye": True})
+                        return
+                    else:
+                        reply = {
+                            "ok": False, "error": f"unknown cmd {cmd!r}"
+                        }
+                except Exception as e:  # report, keep serving (protocol
+                    # contract shared with TrackingServer.serve_connection)
+                    reply = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+                send_msg(conn, reply)
         finally:
             with self._lock:
                 del self._sessions[sess.sid]

@@ -92,15 +92,32 @@ def _unlink_quiet(path: str):
 
 
 def _bind_unix(path: str, backlog: int = 16) -> socket.socket:
-    """Bind a unix listener, replacing a stale socket file from a previous
-    run (a dead server otherwise leaves 'Address already in use' behind)."""
+    """Bind a unix listener, replacing a STALE socket file from a previous
+    run (a dead server otherwise leaves 'Address already in use' behind).
+    A live server's socket (connect succeeds) is never stolen."""
+    import errno
     import os
     import stat
 
     try:
         if stat.S_ISSOCK(os.stat(path).st_mode):
-            os.unlink(path)
-    except OSError:
+            probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            try:
+                probe.settimeout(1.0)
+                probe.connect(path)
+            except OSError as e:
+                if e.errno == errno.ECONNREFUSED:
+                    os.unlink(path)  # confirmed stale
+                # timeout/other: leave it; bind below will report in-use
+            else:
+                probe.close()
+                raise OSError(
+                    errno.EADDRINUSE,
+                    f"a live server is already bound to {path}",
+                )
+            finally:
+                probe.close()
+    except FileNotFoundError:
         pass
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     srv.bind(path)
@@ -188,14 +205,18 @@ class TrackingServer:
 
     # ---------------------------------------------------------------- serve --
     def serve_connection(self, conn: socket.socket):
-        """Blocking request loop for one connection (one sequence at a time)."""
+        """Blocking request loop for one connection (one sequence at a time).
+
+        Handler errors are reported in-band; transport/protocol errors
+        (broken pipe, oversized/garbage framing) end only THIS connection —
+        the caller's accept loop must survive them."""
         state = {"tracker": None, "frame_id": 0, "name": None}
         while True:
             msg = recv_msg(conn)
             if msg is None:
                 return
             header, payload = msg
-            cmd = header.get("cmd")
+            cmd = header.get("cmd") if isinstance(header, dict) else None
             try:
                 if cmd == "start":
                     state["tracker"] = self.tracker_factory()
@@ -216,6 +237,8 @@ class TrackingServer:
     def serve_unix(self, path: str, max_connections: Optional[int] = None):
         """Accept loop on a unix socket (connections served sequentially —
         one chip, one pipeline; run multiple server processes to scale)."""
+        import sys
+
         srv = _bind_unix(path)
         served = 0
         try:
@@ -223,6 +246,11 @@ class TrackingServer:
                 conn, _ = srv.accept()
                 try:
                     self.serve_connection(conn)
+                except (OSError, ValueError, json.JSONDecodeError) as e:
+                    # one misbehaving client (disconnect mid-reply, garbage
+                    # framing) must not take the server down
+                    print(f"connection error: {type(e).__name__}: {e}",
+                          file=sys.stderr, flush=True)
                 finally:
                     conn.close()
                 served += 1

@@ -226,6 +226,53 @@ def test_server_passes_feedback_to_stateful_detector():
     assert len(seen) == 3 and all(s is None for s in seen[1:])
 
 
+def test_bind_refuses_live_socket_and_replaces_stale(tmp_path):
+    from busca_tpu.serve.server import _bind_unix
+
+    path = str(tmp_path / "live.sock")
+    srv = _bind_unix(path)
+    with pytest.raises(OSError, match="live server"):
+        _bind_unix(path)  # a LIVE listener is never stolen
+    srv.close()
+    # closed listener leaves a stale file -> replaced silently
+    srv2 = _bind_unix(path)
+    srv2.close()
+
+
+def test_misbehaving_client_does_not_kill_accept_loop(detector, tmp_path):
+    """A client that sends garbage framing or disconnects mid-reply ends
+    only its own connection; the next client is served normally."""
+    import struct
+    import time
+
+    path = str(tmp_path / "robust.sock")
+    server = TrackingServer(detector, _byte_factory)
+    t = threading.Thread(
+        target=server.serve_unix, args=(path,),
+        kwargs={"max_connections": 2}, daemon=True,
+    )
+    t.start()
+    for _ in range(100):
+        try:
+            bad = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            bad.connect(path)
+            break
+        except (FileNotFoundError, ConnectionRefusedError):
+            time.sleep(0.05)
+    else:
+        pytest.fail("server socket never came up")
+    # oversized header length -> recv_msg raises in serve_connection
+    bad.sendall(struct.pack(">I", 1 << 30))
+    bad.close()
+    # the accept loop survived: a well-behaved client still gets served
+    client = TrackingClient.connect_unix(path)
+    assert client.start("ok")["ok"]
+    assert client.frame(np.zeros((48, 80, 3), np.uint8))["ok"]
+    client.stop()
+    t.join(timeout=30)
+    assert not t.is_alive()
+
+
 def test_unix_socket_serving(detector, tmp_path):
     path = str(tmp_path / "trk.sock")
     server = TrackingServer(detector, _byte_factory)

@@ -156,7 +156,7 @@ def bench_association_dedup(t, d, dtype, iters=10, warmup=2, banked=False):
     gather = np.zeros((t, C), np.int32)
     weights = np.zeros(u_pad, np.float32)
     for ti in range(t):
-        picks = rng.choice(d, C - 1, replace=False)
+        picks = rng.choice(d, min(C - 1, d), replace=False)
         for ci, di in enumerate(picks):
             gather[ti, ci] = 1 + di
             weights[1 + di] += 1
@@ -745,11 +745,11 @@ def bench_e2e(dtype="bfloat16"):
 
 
 def bench_torch_detector(depth=None, width=None, nc=1):
-    if depth is None:
-        depth, width = (0.33, 0.50) if os.environ.get("BENCH_SMOKE") else (1.33, 1.25)
     """Equivalent torch YOLOX-X forward on host CPU (baseline stand-in);
-    the published graph (CSPDarknet + PAFPN + decoupled head), one timed
-    forward."""
+    the published graph (CSPDarknet + PAFPN + decoupled head): one warmup
+    forward (oneDNN prepacking/allocator growth), one timed forward."""
+    if depth is None or width is None:
+        depth, width = (0.33, 0.50) if os.environ.get("BENCH_SMOKE") else (1.33, 1.25)
     try:
         import torch
         import torch.nn as tnn
@@ -879,6 +879,7 @@ def bench_torch_detector(depth=None, width=None, nc=1):
         .astype(np.float32)
     )
     with torch.no_grad():
+        net(x)  # warmup: first-call lazy init would inflate the baseline
         t0 = time.perf_counter()
         net(x)
         return time.perf_counter() - t0
@@ -1070,13 +1071,17 @@ def main():
     )
     e2e_busca_ms += busca_disp_ms
     e2e_busca_lockstep_ms += busca_disp_ms
+    # the host BLOCKS mid-update on the third-round result (it queues
+    # behind the already-dispatched detector t+1), so the duty-weighted
+    # busca device time sits on the host critical path too — it cannot be
+    # hidden the way the detector step can
     e2e_busca_pipe_ms = max(
         e2e["device_ms"] + busca_dev_ms,
-        hp["busca_tracker_ms"] + busca_disp_ms,
+        hp["busca_tracker_ms"] + busca_disp_ms + busca_dev_ms,
     )
     e2e_busca_lockstep_pipe_ms = max(
         e2e["batched_device_ms_per_frame"] + busca_dev_ms_lockstep,
-        hp["busca_tracker_ms"] + busca_disp_ms,
+        hp["busca_tracker_ms"] + busca_disp_ms + busca_dev_ms_lockstep,
     )
 
     torch_det_s = bench_torch_detector()

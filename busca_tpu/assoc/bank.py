@@ -141,18 +141,31 @@ class DeviceCropBank:
           :func:`tag`.
         """
         n_pad = crops_device.shape[0]
+        if not 0 <= n <= n_pad:
+            raise ValueError(f"n={n} outside the batch of {n_pad} crops")
         uids = []
         slots = np.zeros(n_pad, np.int32)
         try:
-            for i in range(n):
-                slot = self._alloc()
-                uid = self.new_uid()
-                self._register(slot, uid)
-                uids.append(uid)
-                slots[i] = slot
-            self._array = self._scatter(
-                self.array, jnp.asarray(slots), crops_device
-            )
+            try:
+                for i in range(n):
+                    slot = self._alloc()
+                    uid = self.new_uid()
+                    self._register(slot, uid)
+                    uids.append(uid)
+                    slots[i] = slot
+                self._array = self._scatter(
+                    self.array, jnp.asarray(slots), crops_device
+                )
+            except Exception:
+                # roll back this call's registrations: a failed put must not
+                # leak occupied slots or leave uids that cache-hit unwritten
+                # pixels
+                for i in range(len(uids)):
+                    slot = int(slots[i])
+                    del self._slot_of[uids[i]]
+                    self._uid_at[slot] = None
+                    self._free.append(slot)
+                raise
         finally:
             # pins protect this call's slots only; a mid-loop exhaustion
             # error must not leave slots permanently unevictable
@@ -191,9 +204,25 @@ class DeviceCropBank:
                     self._register(slot, uid)
                     slots[i] = slot
                     missing.append((i, crop))
+                if missing:
+                    from busca_tpu.utils.padding import next_pow2
+
+                    h, w = self.crop_hw
+                    m_pad = next_pow2(len(missing), min_bucket=8)
+                    up = np.zeros((m_pad, h, w, 3), np.uint8)
+                    up_slots = np.zeros(m_pad, np.int32)
+                    for j, (i, crop) in enumerate(missing):
+                        up[j] = crop
+                        up_slots[j] = slots[i]
+                    self._array = self._scatter(
+                        self.array, jnp.asarray(up_slots), jnp.asarray(up)
+                    )
             except Exception:
-                # roll back slots registered but never uploaded — a later
-                # resolve must not cache-hit stale pixels
+                # roll back slots registered but never (successfully)
+                # uploaded — a later resolve must not cache-hit stale pixels.
+                # Covers both the enumeration loop AND the batched upload
+                # (e.g. a crop whose shape mismatches crop_hw raises in
+                # `up[j] = crop` after its uid was registered).
                 for i, _ in missing:
                     slot = int(slots[i])
                     uid = self._uid_at[slot]
@@ -202,20 +231,6 @@ class DeviceCropBank:
                     self._uid_at[slot] = None
                     self._free.append(slot)
                 raise
-            if missing:
-                h, w = self.crop_hw
-                m = len(missing)
-                m_pad = 1
-                while m_pad < m:
-                    m_pad *= 2
-                up = np.zeros((m_pad, h, w, 3), np.uint8)
-                up_slots = np.zeros(m_pad, np.int32)
-                for j, (i, crop) in enumerate(missing):
-                    up[j] = crop
-                    up_slots[j] = slots[i]
-                self._array = self._scatter(
-                    self.array, jnp.asarray(up_slots), jnp.asarray(up)
-                )
         finally:
             self._pinned.clear()
         return slots

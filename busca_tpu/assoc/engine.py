@@ -44,6 +44,7 @@ from busca_tpu.models.busca import (
     INPUT_PIXEL_MEAN_BGR,
     INPUT_PIXEL_STD_BGR,
 )
+from busca_tpu.utils.padding import next_pow2
 
 DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
 INCOMPLETE_MEM_BBOX_TLWH = np.array([250.0, 250.0, 500.0, 500.0])
@@ -353,9 +354,7 @@ class AssociationEngine:
         h, w = self.crop_hw
         b = self._bucket(t_total)
         r = len(preps)
-        r_pad = 1
-        while r_pad < r:
-            r_pad *= 2
+        r_pad = next_pow2(r)
 
         banked = self.banked
         if banked:
@@ -412,9 +411,7 @@ class AssociationEngine:
             row += t_count
 
         u = len(uniq_crops)
-        u_pad = 8
-        while u_pad < u:
-            u_pad *= 2
+        u_pad = next_pow2(u, min_bucket=8)
         w_arr = np.zeros(u_pad, np.float32)
         w_arr[:u] = uniq_weights
         g_arr = np.zeros(u_pad, np.int32)
@@ -660,9 +657,7 @@ class AssociationEngine:
                     weights[ui] += 1.0
 
             u = len(crops_list)
-            u_pad = 8
-            while u_pad < u:
-                u_pad *= 2
+            u_pad = next_pow2(u, min_bucket=8)
             uniq = np.zeros((u_pad, h, w, 3), dtype=np.uint8)
             for ui, crop in enumerate(crops_list[1:], start=1):
                 uniq[ui] = crop
@@ -731,9 +726,7 @@ class AssociationEngine:
                     weights[ui] += 1.0
 
             u = len(crops_list)
-            u_pad = 8
-            while u_pad < u:
-                u_pad *= 2
+            u_pad = next_pow2(u, min_bucket=8)
             w_arr = np.zeros(u_pad, dtype=np.float32)
             w_arr[:u] = weights
 

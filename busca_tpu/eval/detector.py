@@ -200,7 +200,10 @@ class YoloxDetector:
 
         return step, r
 
-    def _make_batch_step(self, frame_hw: Tuple[int, int], batch: int):
+    def _make_batch_step(self, frame_hw: Tuple[int, int]):
+        # NOTE: the returned step is batch-shape-polymorphic under jit (the
+        # traced frames set the batch); _steps keys include the padded batch
+        # only to keep one closure per dispatch shape.
         import jax
         import jax.numpy as jnp
 
@@ -273,7 +276,7 @@ class YoloxDetector:
         key = ("batch", int(frames.shape[1]), int(frames.shape[2]), bp)
         if key not in self._steps:
             self._steps[key] = self._make_batch_step(
-                (int(frames.shape[1]), int(frames.shape[2])), bp
+                (int(frames.shape[1]), int(frames.shape[2]))
             )
         step, r = self._steps[key]
         outs, valids, canvases = step(self.variables, jnp.asarray(frames))
@@ -752,7 +755,9 @@ def track_sequences_lockstep(
     """
     import time
 
-    from busca_tpu.eval.runner import SequenceResult
+    from busca_tpu.eval.runner import SequenceResult, filter_output_tracks
+    from busca_tpu.trackers import cmc
+    from busca_tpu.trackers.base import service_deferred_updates
 
     iters = [iter(f) for f in frame_iters]
     b = len(iters)
@@ -809,8 +814,6 @@ def track_sequences_lockstep(
                 and getattr(trk.cfg, "use_camera_motion_compensation",
                             False)
             ):
-                from busca_tpu.trackers import cmc
-
                 trk.set_warp_hint(
                     cmc.submit_warp(prev_images[i], dets[i].image).result
                 )
@@ -837,15 +840,11 @@ def track_sequences_lockstep(
         # round (engine.associate_many, per-request BN groups keep each
         # sequence's numerics identical to a standalone call)
         if pending:
-            from busca_tpu.trackers.base import service_deferred_updates
-
             for i, out in service_deferred_updates(pending).items():
                 onlines[i] = out
         for i in range(b):
             if not active[i]:
                 continue
-            from busca_tpu.eval.runner import filter_output_tracks
-
             tlwhs, ids, confs = filter_output_tracks(
                 onlines[i], min_box_area, vertical_thresh
             )
@@ -907,7 +906,11 @@ def track_frames_with_detector(
     """
     import time
 
-    from busca_tpu.eval.runner import SequenceResult
+    from busca_tpu.eval.runner import (
+        SequenceResult,
+        filter_output_tracks,
+        write_viz_frame,
+    )
 
     feedback = getattr(detector, "uses_feedback", False) and hasattr(
         tracker, "get_detector_positions"
@@ -961,15 +964,11 @@ def track_frames_with_detector(
             det.boxes_tlbr / det.scale, det.scores, det.scale, det.image
         )
         trk_s += time.perf_counter() - t_trk
-        from busca_tpu.eval.runner import filter_output_tracks
-
         tlwhs, ids, confs = filter_output_tracks(
             online, min_box_area, vertical_thresh
         )
         results.append((idx + 1, tlwhs, ids, confs))
         if viz_dir is not None:
-            from busca_tpu.eval.runner import write_viz_frame
-
             # the detector-resolution canvas is the frame we still have;
             # tlwh are original coords -> scale up
             write_viz_frame(viz_dir, idx + 1, np.asarray(det.image),

@@ -202,7 +202,7 @@ def export_detector_batch_steps(
     for b in sorted(set(int(b) for b in batches)):
         skey = ("batch", key[0], key[1], b)
         if skey not in detector._steps:
-            detector._steps[skey] = detector._make_batch_step(key, b)
+            detector._steps[skey] = detector._make_batch_step(key)
         step, r = detector._steps[skey]
         frames_spec = jax.ShapeDtypeStruct((b, key[0], key[1], 3), jnp.uint8)
         if bake_weights:

@@ -30,6 +30,7 @@ from typing import Callable, Dict, List, Optional
 import numpy as np
 
 from busca_tpu.serve.server import recv_msg, send_msg
+from busca_tpu.utils.padding import next_pow2
 
 
 class _Session:
@@ -167,9 +168,7 @@ class LockstepTrackingServer:
             t0 = time.perf_counter()
             frames = np.stack([f for _, f in group])
             n = len(group)
-            n_pad = 1
-            while n_pad < n:
-                n_pad *= 2
+            n_pad = next_pow2(n)
             if n_pad > n:  # repeat the last frame; outputs discarded
                 frames = np.concatenate(
                     [frames, frames[-1:].repeat(n_pad - n, 0)]

@@ -292,9 +292,11 @@ def extract_uint8_crops(frame, boxes_tlbr, crop_hw, bank=None) -> List[np.ndarra
         return []
     from busca_tpu.ops.crop import crop_resize_normalize
 
+    from busca_tpu.utils.padding import next_pow2
+
     boxes = np.asarray(boxes_tlbr, dtype=np.float32).reshape(-1, 4)
     n = len(boxes)
-    bucket = 1 << (n - 1).bit_length() if n > 1 else 1
+    bucket = next_pow2(n)
     if bucket > n:
         boxes = np.concatenate(
             [boxes, np.zeros((bucket - n, 4), np.float32)], axis=0

@@ -98,6 +98,22 @@ class TestBankBookkeeping:
         for i, s in enumerate(slots):
             np.testing.assert_array_equal(arr[s], np.asarray(crops[i]))
 
+    def test_upload_failure_rolls_back_registrations(self, rng):
+        # a crop whose shape mismatches crop_hw raises during the batched
+        # upload AFTER its uid was registered; the rollback must cover that
+        # (bank.py resolve) or later resolves cache-hit unwritten pixels
+        bank = DeviceCropBank((H, W), capacity=8)
+        good = tag(_crop(rng), bank.new_uid())
+        bad = tag(rng.randint(0, 255, (H + 1, W, 3), np.uint8),
+                  bank.new_uid())
+        with pytest.raises(Exception):
+            bank.resolve([good, bad])
+        assert not bank._pinned
+        assert len(bank) == 0  # both registrations rolled back
+        # retrying with only the good crop uploads real pixels
+        s = bank.resolve([good])[0]
+        np.testing.assert_array_equal(_bank_host(bank)[s], good)
+
     def test_untagged_crop_uploads(self, rng):
         bank = DeviceCropBank((H, W), capacity=8)
         plain = _crop(rng)  # no uid attribute

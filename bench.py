@@ -1225,8 +1225,10 @@ def main():
                             "tested vs serial in "
                             "tests/test_detector_loop.py) -> steady-state "
                             "period = max(device work, host tracker + "
-                            "enqueue); *_serial_* are the unpipelined "
-                            "sums; ECC CMC "
+                            "enqueue), with the duty-weighted third-round "
+                            "device wait counted on BOTH sides (the "
+                            "tracker blocks on it mid-update); *_serial_* "
+                            "are the unpipelined sums; ECC CMC "
                             "(enabled only in MOT17 configs) adds a "
                             "measured 148 ms/pair host-side cv2 call per "
                             "third-round frame, overlappable in lockstep.",

@@ -943,7 +943,12 @@ def main():
             "value": 0.0,
             "unit": "frames/s",
             "vs_baseline": 0.0,
-            "detail": {"error": "TPU tunnel unreachable for 900s"},
+            "detail": {
+                "error": "TPU tunnel unreachable for 900s",
+                "note": "environmental failure, not a regression — the "
+                        "last successful measurements are recorded in "
+                        "README.md 'Performance' and PARITY.md (r3)",
+            },
         }), flush=True)
         return
 

@@ -916,7 +916,10 @@ def main():
     import sys
     import time as _time
 
-    def _wait_for_tpu(total_s=900, probe_timeout=90):
+    def _wait_for_tpu(total_s=900, probe_timeout=45):
+        # short probes on a tight cadence: the tunnel's up-windows can be
+        # brief (observed 2026-08-18), and a successful dial completes in
+        # <45s — long probes just blind the loop to short windows
         deadline = _time.time() + total_s
         attempt = 0
         while _time.time() < deadline:
@@ -934,7 +937,7 @@ def main():
                 pass
             print(f"# tpu probe {attempt} failed; retrying", file=sys.stderr,
                   flush=True)
-            _time.sleep(15)
+            _time.sleep(5)
         return False
 
     if not _wait_for_tpu():

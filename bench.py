@@ -940,7 +940,10 @@ def main():
             _time.sleep(5)
         return False
 
-    if not _wait_for_tpu():
+    # BENCH_SKIP_PROBE=1: dial the device directly (one attempt, watchdog
+    # below) — the tunnel appears to rate-limit dials, so when a fresh
+    # single dial is known to work, probing first can burn the slot
+    if not os.environ.get("BENCH_SKIP_PROBE") and not _wait_for_tpu():
         print(json.dumps({
             "metric": "e2e_frames_per_s",
             "value": 0.0,

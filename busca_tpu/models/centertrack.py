@@ -9,7 +9,11 @@ CenterTrack input fusion (current image + previous image + prior heatmap
 summed after their stem convs), and CenterNet heads at stride 4.
 
 The CenterTrack submodule itself is empty in the reference checkout; the
-architecture follows the published DLA/CenterTrack design, and the IO
+architecture is layer-exact with the published DLA-34/DLASeg design
+(``base`` Trees, iterative ``dla_up.ida_i`` stages, the final ``ida_up``,
+grouped bilinear-init transposed-conv upsamples, DCNv2 proj/node convs) so
+published ``.pth`` checkpoints load through
+:func:`busca_tpu.models.convert.convert_centertrack_state_dict`; the IO
 contract (dict detections into the ByteTrack-based shim
 ``adapters/CenterTrack/src/lib/utils/tracker.py:40-74``, per-video reset,
 ``pre_img``/``pre_hm`` statefulness) matches the adapter exactly.
@@ -234,41 +238,92 @@ class DeformConvBlock(nn.Module):
         return nn.relu(y)
 
 
-def _up2x(x):
-    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+def _bilinear_up_kernel(k: int) -> np.ndarray:
+    """The published ``fill_up_weights`` bilinear kernel for size ``k``."""
+    f = int(np.ceil(k / 2.0))
+    c = (2 * f - 1 - f % 2) / (2.0 * f)
+    v = 1.0 - np.abs(np.arange(k) / f - c)
+    return (v[:, None] * v[None, :]).astype(np.float32)
+
+
+class UpConv(nn.Module):
+    """Grouped learned upsample — torch ``ConvTranspose2d(o, o, 2f, stride=f,
+    padding=f//2, groups=o)`` with the published bilinear ``fill_up_weights``
+    init, expressed as the equivalent lhs-dilated depthwise conv (the
+    converter stores the torch kernel spatially flipped)."""
+
+    factor: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.factor
+        k = 2 * f
+        o = x.shape[-1]
+
+        def init(key, shape, dtype=jnp.float32):
+            base = _bilinear_up_kernel(k)[:, :, None, None]
+            return jnp.asarray(np.broadcast_to(base, shape), dtype)
+
+        kernel = self.param("kernel", init, (k, k, 1, o))
+        pad = k - 1 - f // 2
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(f, f),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=o,
+        )
 
 
 class IDAUp(nn.Module):
-    """Iterative deep aggregation: project each deeper level with a DCN,
-    upsample, fuse with a DCN node conv (DLAUp/IDAUp of the published code,
-    bilinear-free: 2x nearest + DCN matches the learned-upsample role)."""
+    """Iterative deep aggregation, layer-exact with the published IDAUp
+    (CenterNet pose_dla_dcn / CenterTrack dla.py): for each level past
+    ``startp``, DCN-project to the target width, learned-upsample to the
+    previous level's stride, and fuse with a DCN node conv, mutating the
+    level list in place.  Upsample factors are derived from the static
+    spatial shapes (== the published ``up_f`` lists for every shipped
+    configuration)."""
 
-    features: int
-    num_inputs: int
+    dtype: jnp.dtype = jnp.float32
+    sampling: str = "deformable"
+
+    @nn.compact
+    def __call__(self, layers, startp, endp):
+        layers = list(layers)
+        o = layers[startp].shape[-1]
+        for i in range(startp + 1, endp):
+            k = i - startp
+            y = DeformConvBlock(o, self.dtype, self.sampling,
+                                name=f"proj_{k}")(layers[i])
+            f = layers[i - 1].shape[1] // y.shape[1]
+            if f > 1:
+                y = UpConv(f, self.dtype, name=f"up_{k}")(y)
+            layers[i] = DeformConvBlock(o, self.dtype, self.sampling,
+                                        name=f"node_{k}")(y + layers[i - 1])
+        return layers
+
+
+class DLAUp(nn.Module):
+    """The published DLAUp: ``ida_i`` stages repeatedly fuse the deepest
+    levels into shallower scales; returns the per-scale aggregated pyramid
+    ``[stride 2^first_level, ..., deepest original]``."""
+
+    first_level: int
     dtype: jnp.dtype = jnp.float32
     sampling: str = "deformable"
 
     @nn.compact
     def __call__(self, layers):
-        out = [layers[0]]
-        x = layers[0]
-        for i in range(1, self.num_inputs):
-            y = DeformConvBlock(self.features, self.dtype, self.sampling,
-                                name=f"proj_{i}")(layers[i])
-            for _ in range(self._log2_ratio(layers[0], layers[i])):
-                y = _up2x(y)
-            x = DeformConvBlock(self.features, self.dtype, self.sampling,
-                                name=f"node_{i}")(x + y)
-            out.append(x)
-        return x
-
-    @staticmethod
-    def _log2_ratio(a, b):
-        r = a.shape[1] // b.shape[1]
-        n = 0
-        while (1 << n) < r:
-            n += 1
-        return n
+        layers = list(layers)
+        n = len(layers)
+        out = [layers[-1]]
+        for i in range(n - self.first_level - 1):
+            layers = IDAUp(self.dtype, self.sampling, name=f"ida_{i}")(
+                layers, n - i - 2, n
+            )
+            out.insert(0, layers[-1])
+        return out
 
 
 class InvertedResidual(nn.Module):
@@ -404,18 +459,17 @@ class CenterTrackNet(nn.Module):
             pyramid = MobileNetV2Backbone(
                 cfg.width_mult, dtype, name="base"
             )(x, pre_img, pre_hm)  # strides 4, 8, 16, 32
-            out_ch = pyramid[0].shape[-1]
+            first_level = 0
         else:
-            feats = DLABase(cfg.channels, cfg.levels, dtype, name="base")(
+            pyramid = DLABase(cfg.channels, cfg.levels, dtype, name="base")(
                 x, pre_img, pre_hm
-            )
-            # DLAUp over strides 4..32 down to stride 4 (down_ratio 4 ->
-            # first level index 2)
-            pyramid = feats[2:]
-            out_ch = cfg.channels[2]
-        fused = IDAUp(
-            out_ch, len(pyramid), dtype, cfg.sampling, name="dla_up"
-        )(pyramid)
+            )  # strides 1..32
+            first_level = int(np.log2(cfg.down_ratio))
+        # Published DLASeg decode: DLAUp over all levels, then a final IDAUp
+        # over the aggregated scales below last_level, heads on its output.
+        outs = DLAUp(first_level, dtype, cfg.sampling, name="dla_up")(pyramid)
+        y = outs[: len(outs) - 1]  # last_level - first_level scales
+        fused = IDAUp(dtype, cfg.sampling, name="ida_up")(y, 0, len(y))[-1]
 
         def head(out_d, name, bias_init=0.0):
             h = nn.Conv(

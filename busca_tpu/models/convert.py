@@ -193,15 +193,21 @@ def convert_busca_state_dict(
 
 
 def unwrap_envelope(state_dict: dict) -> Dict[str, np.ndarray]:
-    """Unwrap ``{model_state_dict, optimizer_state_dict}`` envelopes and
-    convert tensors to numpy (busca/network.py:438-443)."""
+    """Unwrap ``{model_state_dict, optimizer_state_dict}`` envelopes
+    (busca/network.py:438-443) and CenterTrack/CenterNet's
+    ``{epoch, state_dict}`` envelope, then convert tensors to numpy."""
     if "model_state_dict" in state_dict:
         state_dict = state_dict["model_state_dict"]
+    elif "state_dict" in state_dict:
+        state_dict = state_dict["state_dict"]
     out = {}
     for k, v in state_dict.items():
         if hasattr(v, "detach"):
             v = v.detach().cpu().numpy()
-        out[k] = np.asarray(v)
+        # DataParallel-saved checkpoints prefix every key with "module."
+        out[k[len("module."):] if k.startswith("module.") else k] = (
+            np.asarray(v)
+        )
     return out
 
 
@@ -211,6 +217,137 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
 
     state = torch.load(path, map_location="cpu", weights_only=False)
     return unwrap_envelope(state)
+
+
+_BN_FLAX = {
+    "weight": ("params", "scale"),
+    "bias": ("params", "bias"),
+    "running_mean": ("batch_stats", "mean"),
+    "running_var": ("batch_stats", "var"),
+}
+
+
+def convert_centertrack_state_dict(
+    state_dict: Dict[str, np.ndarray]
+) -> Dict[str, dict]:
+    """Convert a published CenterTrack DLA-34 checkpoint (``.pth``).
+
+    Maps the canonical DLASeg layout (``base.*`` DLA trunk with
+    ``pre_img_layer``/``pre_hm_layer``, ``dla_up.ida_K.{proj,up,node}_i``,
+    the final ``ida_up``, and the ``hm/reg/wh/tracking`` head Sequentials)
+    onto :class:`~busca_tpu.models.centertrack.CenterTrackNet` variables.
+    DCN ``conv_offset_mask`` channels keep their order (our kernel reads the
+    same interleaved (dy, dx) + mask layout as the DCNv2 CUDA op); the
+    grouped transposed-conv ``up_i`` kernels are stored spatially flipped
+    for the equivalent lhs-dilated depthwise conv (models/centertrack.py
+    ``UpConv``).  BatchNorms land in flax naming (scale/bias + mean/var).
+    """
+    params: dict = {}
+    batch_stats: dict = {}
+
+    def put(collection_path, value):
+        coll, path = collection_path
+        _set(params if coll == "params" else batch_stats, path, value)
+
+    def bn(prefix: Tuple[str, ...], tail: str, value):
+        coll, leaf = _BN_FLAX[tail]
+        put((coll, prefix + (leaf,)), value)
+
+    head_map = {"0": "conv", "2": "out"}
+    for key, value in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        value = np.asarray(value)
+        parts = key.split(".")
+
+        # heads: hm.0.weight / hm.2.bias ...
+        m = re.fullmatch(
+            r"(hm|reg|wh|tracking)\.([02])\.(weight|bias)", key
+        )
+        if m:
+            h, idx, p = m.groups()
+            leaf = "kernel" if p == "weight" else "bias"
+            v = _conv_kernel(value) if p == "weight" else value
+            put(("params", (f"{h}_{head_map[idx]}", leaf)), v)
+            continue
+
+        # decoder: dla_up.ida_K.* and ida_up.*
+        m = re.fullmatch(
+            r"(dla_up\.ida_\d+|ida_up)\.(proj|node|up)_(\d+)\.(.+)", key
+        )
+        if m:
+            owner, kind, i, rest = m.groups()
+            prefix = tuple(owner.split(".")) + (f"{kind}_{i}",)
+            if kind == "up":
+                if rest != "weight":
+                    raise KeyError(f"unrecognized CenterTrack key: {key!r}")
+                # [o, 1, k, k] -> spatial flip -> [k, k, 1, o]
+                v = value[:, :, ::-1, ::-1].transpose(2, 3, 1, 0)
+                put(("params", prefix + ("kernel",)),
+                    np.ascontiguousarray(v))
+            elif rest == "conv.weight":
+                put(("params", prefix + ("weight",)), _conv_kernel(value))
+            elif rest == "conv.bias":
+                put(("params", prefix + ("bias",)), value)
+            elif rest == "conv.conv_offset_mask.weight":
+                put(("params", prefix + ("conv_offset_mask", "kernel")),
+                    _conv_kernel(value))
+            elif rest == "conv.conv_offset_mask.bias":
+                put(("params", prefix + ("conv_offset_mask", "bias")), value)
+            elif rest.startswith("actf.0."):
+                bn(prefix + ("bn",), rest[len("actf.0."):], value)
+            else:
+                raise KeyError(f"unrecognized CenterTrack key: {key!r}")
+            continue
+
+        # trunk
+        if parts[0] == "base":
+            name = parts[1]
+            if name in ("base_layer", "pre_img_layer", "pre_hm_layer",
+                        "level0", "level1"):
+                idx, tail = parts[2], ".".join(parts[3:])
+                if idx == "0" and tail == "weight":
+                    put(("params", ("base", name, "conv", "kernel")),
+                        _conv_kernel(value))
+                elif idx == "1":
+                    bn(("base", name, "bn"), tail, value)
+                else:
+                    raise KeyError(f"unrecognized CenterTrack key: {key!r}")
+                continue
+            if re.fullmatch(r"level[2-5]", name):
+                path: Tuple[str, ...] = ("base", name)
+                rest = parts[2:]
+                while rest and rest[0] in ("tree1", "tree2"):
+                    path = path + (rest[0],)
+                    rest = rest[1:]
+                sub = ".".join(rest)
+                m = re.fullmatch(r"conv(\d)\.weight", sub)
+                if m:
+                    put(("params", path + (f"conv{m.group(1)}", "kernel")),
+                        _conv_kernel(value))
+                    continue
+                m = re.fullmatch(r"bn(\d)\.(.+)", sub)
+                if m:
+                    bn(path + (f"bn{m.group(1)}",), m.group(2), value)
+                    continue
+                if sub == "project.0.weight":
+                    put(("params", path + ("project_conv", "kernel")),
+                        _conv_kernel(value))
+                    continue
+                m = re.fullmatch(r"project\.1\.(.+)", sub)
+                if m:
+                    bn(path + ("project_bn",), m.group(1), value)
+                    continue
+                if sub == "root.conv.weight":
+                    put(("params", path + ("root", "conv", "kernel")),
+                        _conv_kernel(value))
+                    continue
+                m = re.fullmatch(r"root\.bn\.(.+)", sub)
+                if m:
+                    bn(path + ("root", "bn"), m.group(1), value)
+                    continue
+        raise KeyError(f"unrecognized CenterTrack key: {key!r}")
+    return {"params": params, "batch_stats": batch_stats}
 
 
 def main(argv=None):
@@ -227,8 +364,10 @@ def main(argv=None):
     parser.add_argument("src", help="reference .pth checkpoint")
     parser.add_argument("dst", help="output .npz")
     parser.add_argument(
-        "--kind", choices=("busca", "resnet"), default="busca",
-        help="busca = model_busca.pth layout; resnet = model_feats.pth",
+        "--kind", choices=("busca", "resnet", "centertrack"),
+        default="busca",
+        help="busca = model_busca.pth layout; resnet = model_feats.pth; "
+        "centertrack = published CenterTrack DLA-34 .pth",
     )
     parser.add_argument("--keep-reid-fc", action="store_true")
     args = parser.parse_args(argv)
@@ -238,6 +377,8 @@ def main(argv=None):
         variables = convert_busca_state_dict(
             state, ignore_reid_fc=not args.keep_reid_fc
         )
+    elif args.kind == "centertrack":
+        variables = convert_centertrack_state_dict(state)
     else:
         variables = convert_resnet_state_dict(state)
     save_params_npz(args.dst, variables)

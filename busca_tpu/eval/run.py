@@ -716,15 +716,19 @@ def main(argv=None):
 
             ct_vars = None
             if args.detector_ckpt:
-                if args.centertrack_sampling != "deformable":
-                    parser.error("converted CenterTrack checkpoints carry "
-                                 "free-form DCN offsets; use "
-                                 "--centertrack-sampling deformable")
                 if args.detector_ckpt.endswith(".npz"):
+                    # busca_tpu-saved weights: either sampling mode (the
+                    # param tree is identical; local-mode training is the
+                    # from-scratch path)
                     from busca_tpu.models.checkpoint import load_params_npz
 
                     ct_vars = load_params_npz(args.detector_ckpt)
                 else:
+                    if args.centertrack_sampling != "deformable":
+                        parser.error(
+                            "converted CenterTrack .pth checkpoints carry "
+                            "free-form DCN offsets; use "
+                            "--centertrack-sampling deformable")
                     # published CenterTrack DLA-34 .pth, converted on the
                     # fly (models/convert.py) like the YOLOX path
                     from busca_tpu.models.convert import (

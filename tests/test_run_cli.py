@@ -113,14 +113,15 @@ def test_transcenter_pth_ckpt_rejected(mot_fixture, tmp_path):
               "--output-dir", str(tmp_path / "o")])
 
 
-def test_centertrack_ckpt_demands_exact_sampling(mot_fixture, tmp_path):
-    """Converted DCN checkpoints carry free-form offsets; the local
-    fixed-support mode would silently change semantics."""
+def test_centertrack_pth_ckpt_demands_exact_sampling(mot_fixture, tmp_path):
+    """Converted .pth DCN checkpoints carry free-form offsets; the local
+    fixed-support mode would silently change semantics.  (Trained .npz
+    weights may use either mode — the param tree is identical.)"""
     with pytest.raises(SystemExit):
         main(["--mot-dir", mot_fixture, "--tracker", "centertrack",
               "--detector", "centertrack", "--centertrack-arch", "tiny",
               "--centertrack-sampling", "local",
-              "--detector-ckpt", "ct.npz",
+              "--detector-ckpt", "ct.pth",
               "--output-dir", str(tmp_path / "o")])
 
 

@@ -158,8 +158,9 @@ def test_centertrack_converter_matches_torch_dlaseg(rng):
     from busca_tpu.models.convert import convert_centertrack_state_dict
     from torch_oracles import TorchDLASeg
 
+    # real DLA-34 level structure (nested Trees at level3/4) at tiny widths
     channels = (4, 8, 8, 16, 16, 32)
-    levels = (1, 1, 1, 1, 1, 1)
+    levels = (1, 1, 1, 2, 2, 1)
     torch.manual_seed(0)
     oracle = TorchDLASeg(levels=levels, channels=channels, head_conv=16)
     # sane magnitudes: small offsets keep sampling near the grid (the
@@ -190,7 +191,7 @@ def test_centertrack_converter_matches_torch_dlaseg(rng):
     sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
     variables = convert_centertrack_state_dict(sd)
 
-    cfg = CenterTrackConfig.tiny()
+    cfg = CenterTrackConfig.tiny(levels=levels)
     model = CenterTrackNet(cfg)
     # the converted tree must be structurally identical to an init tree
     init_vars = jax.jit(model.init)(

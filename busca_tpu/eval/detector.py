@@ -702,6 +702,81 @@ class CenterTrackDetector:
         return results, np.asarray(canvas), r
 
 
+def build_centertrack_detector(arch="dla34", sampling="deformable",
+                               ckpt=None, test_size=(544, 960),
+                               out_thresh=0.1) -> "CenterTrackDetector":
+    """Shared CenterTrack detector construction for the eval and serve CLIs.
+
+    ``ckpt``: busca_tpu ``.npz`` weights (either sampling mode), or a
+    published DLA-34 ``.pth`` converted on the fly
+    (models/convert.convert_centertrack_state_dict) — the latter requires
+    the exact ``deformable`` sampling (free-form DCN offsets).
+    Raises ``ValueError`` on invalid combinations (CLIs map it to
+    ``parser.error``).
+    """
+    from busca_tpu.models.centertrack import CenterTrackConfig
+
+    variables = None
+    if ckpt:
+        if ckpt.endswith(".npz"):
+            from busca_tpu.models.checkpoint import load_params_npz
+
+            variables = load_params_npz(ckpt)
+        else:
+            if sampling != "deformable":
+                raise ValueError(
+                    "converted CenterTrack .pth checkpoints carry "
+                    "free-form DCN offsets; use sampling 'deformable'")
+            from busca_tpu.models.convert import (
+                convert_centertrack_state_dict,
+                load_torch_checkpoint,
+            )
+
+            variables = convert_centertrack_state_dict(
+                load_torch_checkpoint(ckpt))
+    if arch == "tiny":
+        cfg = CenterTrackConfig.tiny(sampling=sampling)
+    elif arch == "mobilenet":
+        cfg = CenterTrackConfig(backbone="mobilenet", sampling=sampling)
+    else:
+        cfg = CenterTrackConfig(sampling=sampling)
+    return CenterTrackDetector(cfg, variables=variables,
+                               test_size=test_size, out_thresh=out_thresh)
+
+
+class CenterTrackRunnerDetector:
+    """:class:`DetectorOutput`-protocol view of the dict-IO CenterTrack
+    detector for the serving loop: the tracker's current dict tracks
+    (``CenterTrackShim.get_detector_positions``) render the prior heatmap,
+    and dict detections flatten to arrays — lossless for the adapter,
+    which consumes only bbox/score/class (the reference shim,
+    utils/tracker.py:40-74, drops the rest the same way)."""
+
+    uses_feedback = True
+
+    def __init__(self, det: "CenterTrackDetector"):
+        self.det = det
+
+    def reset(self):
+        self.det.reset()
+
+    def detect(self, frame_bgr: np.ndarray,
+               current_pos=None) -> DetectorOutput:
+        results, det_image, r = self.det.detect(
+            frame_bgr, tracks=current_pos or [])
+        ped = [d for d in results if d.get("class", 1) == 1]
+        if ped:
+            boxes = np.vstack([d["bbox"] for d in ped]).astype(np.float64)
+            scores = np.array([d["score"] for d in ped], np.float64)
+        else:
+            boxes = np.zeros((0, 4))
+            scores = np.zeros(0)
+        # dict bboxes are original coords; the protocol carries detector
+        # coords (the caller divides by scale)
+        return DetectorOutput(boxes_tlbr=boxes * r, scores=scores,
+                              image=det_image, scale=r)
+
+
 def track_frames_centertrack(
     detector: CenterTrackDetector, adapter, frames, name: str = "seq",
     viz_dir: Optional[str] = None,

@@ -237,6 +237,12 @@ class CenterTrackShim:
     def __init__(self, trk):
         self.trk = trk
 
+    def get_detector_positions(self):
+        """Current dict tracks for the stateful detector's prior heatmap
+        (the serving loop's feedback hook; detector.py:143-156 passes the
+        tracker into the detector the same way)."""
+        return self.trk.tracks
+
     def update(self, boxes, scores, scale, frame):
         dicts = [
             {"bbox": b, "score": s, "class": 1}
@@ -707,54 +713,21 @@ def main(argv=None):
                              "(artifacts are compiled without mesh "
                              "shardings)")
         elif args.detector == "centertrack":
-            from busca_tpu.eval.detector import CenterTrackDetector
+            from busca_tpu.eval.detector import build_centertrack_detector
 
             if args.tracker != "centertrack":
                 parser.error("--detector centertrack needs "
                              "--tracker centertrack (dict IO)")
-            from busca_tpu.models.centertrack import CenterTrackConfig
-
-            ct_vars = None
-            if args.detector_ckpt:
-                if args.detector_ckpt.endswith(".npz"):
-                    # busca_tpu-saved weights: either sampling mode (the
-                    # param tree is identical; local-mode training is the
-                    # from-scratch path)
-                    from busca_tpu.models.checkpoint import load_params_npz
-
-                    ct_vars = load_params_npz(args.detector_ckpt)
-                else:
-                    if args.centertrack_sampling != "deformable":
-                        parser.error(
-                            "converted CenterTrack .pth checkpoints carry "
-                            "free-form DCN offsets; use "
-                            "--centertrack-sampling deformable")
-                    # published CenterTrack DLA-34 .pth, converted on the
-                    # fly (models/convert.py) like the YOLOX path
-                    from busca_tpu.models.convert import (
-                        convert_centertrack_state_dict,
-                        load_torch_checkpoint,
-                    )
-
-                    ct_vars = convert_centertrack_state_dict(
-                        load_torch_checkpoint(args.detector_ckpt)
-                    )
-            if args.centertrack_arch == "tiny":
-                ct_cfg = CenterTrackConfig.tiny(
-                    sampling=args.centertrack_sampling)
-            elif args.centertrack_arch == "mobilenet":
-                ct_cfg = CenterTrackConfig(
-                    backbone="mobilenet",
-                    sampling=args.centertrack_sampling)
-            else:
-                ct_cfg = CenterTrackConfig(
-                    sampling=args.centertrack_sampling)
-            detector = CenterTrackDetector(
-                ct_cfg,
-                variables=ct_vars,
-                test_size=(args.test_h, args.test_w),
-                out_thresh=args.det_conf,
-            )
+            try:
+                detector = build_centertrack_detector(
+                    arch=args.centertrack_arch,
+                    sampling=args.centertrack_sampling,
+                    ckpt=args.detector_ckpt,
+                    test_size=(args.test_h, args.test_w),
+                    out_thresh=args.det_conf,
+                )
+            except ValueError as e:
+                parser.error(str(e))
         elif args.detector == "transcenter":
             from busca_tpu.eval.detector import TransCenterDetector
             from busca_tpu.models.transcenter import TransCenterConfig

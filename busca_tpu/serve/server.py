@@ -308,6 +308,10 @@ def main(argv=None):
     p.add_argument("--detector", default=None, help="yolox size name, e.g. "
                    "yolox-x (live detector)")
     p.add_argument("--detector-ckpt", default=None)
+    p.add_argument("--centertrack-arch", default="dla34",
+                   choices=("dla34", "tiny", "mobilenet"))
+    p.add_argument("--centertrack-sampling", default="deformable",
+                   choices=("deformable", "local"))
     p.add_argument("--detector-artifact", default=None,
                    help="serve.export artifact directory (AOT)")
     p.add_argument("--test-h", type=int, default=800)
@@ -366,9 +370,26 @@ def main(argv=None):
             out_thresh=args.det_conf,
         )
     elif args.detector == "centertrack":
-        p.error("centertrack serving is not wired (its detector consumes "
-                "the adapter's track dicts per frame); use the eval CLI's "
-                "--detector centertrack loop")
+        if args.lockstep:
+            p.error("centertrack cannot lockstep: its detector is stateful "
+                    "per sequence and consumes tracker feedback")
+        if args.tracker != "centertrack":
+            p.error("--detector centertrack needs --tracker centertrack")
+        from busca_tpu.eval.detector import (
+            CenterTrackRunnerDetector,
+            build_centertrack_detector,
+        )
+
+        try:
+            detector = CenterTrackRunnerDetector(build_centertrack_detector(
+                arch=args.centertrack_arch,
+                sampling=args.centertrack_sampling,
+                ckpt=args.detector_ckpt,
+                test_size=(args.test_h, args.test_w),
+                out_thresh=args.det_conf,
+            ))
+        except ValueError as e:
+            p.error(str(e))
     elif args.detector:
         from busca_tpu.eval.detector import YoloxDetector
 

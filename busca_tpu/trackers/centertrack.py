@@ -31,6 +31,7 @@ class CenterTrackAdapter:
         # CenterTrack forces mot20-style matching (tracker.py:9) and its own
         # fresh-track threshold (tracker.py:11).
         config.mot20 = True
+        self.new_thresh = new_thresh
         self.tracker = ByteTracker(config, assoc_engine, frame_rate)
         self.tracker.det_thresh = new_thresh
         self.tracks: List[dict] = []
@@ -38,7 +39,7 @@ class CenterTrackAdapter:
     def reset(self):
         cfg = self.tracker.cfg
         self.tracker = ByteTracker(cfg, self.tracker.engine)
-        self.tracker.det_thresh = self.tracker.det_thresh
+        self.tracker.det_thresh = self.new_thresh
         self.tracks = []
 
     def step(

@@ -69,3 +69,17 @@ def test_transcenter_position_feedback():
         priors, (pos[:, :2] + pos[:, 2:]) / 2 / 4, rtol=1e-6
     )
     assert boxes_to_center_priors(None) is None
+
+
+def test_centertrack_reset_keeps_new_thresh():
+    """Per-video reset must preserve the adapter's fresh-track threshold
+    (the reference's Tracker(opt) is rebuilt with opt.new_thresh each
+    video, utils/tracker.py:11); previously reset() reverted it to the
+    BYTE default track_thresh + 0.1."""
+    from busca_tpu.trackers.centertrack import CenterTrackAdapter
+
+    a = CenterTrackAdapter(ByteTrackerConfig(track_thresh=0.6),
+                           new_thresh=0.35)
+    assert a.tracker.det_thresh == 0.35
+    a.reset()
+    assert a.tracker.det_thresh == 0.35

@@ -297,3 +297,55 @@ def test_unix_socket_serving(detector, tmp_path):
     client.stop()
     t.join(timeout=10)
     assert not t.is_alive()
+
+
+@pytest.mark.slow
+def test_server_centertrack_matches_inprocess_loop():
+    """Served CenterTrack (stateful detector + dict-IO adapter behind the
+    runner shim) reproduces the eval CLI's track_frames_centertrack loop
+    frame by frame."""
+    from busca_tpu.eval.detector import (
+        CenterTrackRunnerDetector,
+        build_centertrack_detector,
+        track_frames_centertrack,
+    )
+    from busca_tpu.eval.run import make_tracker, shim_for_runner
+    from busca_tpu.trackers.base import Track
+
+    det = build_centertrack_detector(arch="tiny", test_size=(32, 64),
+                                     out_thresh=0.0)
+    rng = np.random.RandomState(3)
+    frames = _frames(rng, n=4, hw=(48, 80))
+
+    Track.reset_id_counter()
+    adapter = make_tracker("centertrack", {"track_thresh": 0.3}, None)
+    det.reset()
+    ref = track_frames_centertrack(det, adapter, frames)
+
+    def factory():
+        Track.reset_id_counter()
+        return shim_for_runner(
+            "centertrack",
+            make_tracker("centertrack", {"track_thresh": 0.3}, None),
+        )
+
+    server = TrackingServer(CenterTrackRunnerDetector(det), factory,
+                            min_box_area=0.0, vertical_thresh=None)
+    client, thread = _serve_on_thread(server)
+    assert client.start("seq")["ok"]
+    got = [client.frame(f) for f in frames]
+    client.stop()
+    thread.join(timeout=10)
+
+    for (fid, tlwhs, ids, confs), rep in zip(ref.results, got):
+        assert rep["ok"], rep
+        want = {
+            int(i): np.asarray(t)
+            for t, i in zip(tlwhs, ids)
+            if t[2] * t[3] > 0  # server filter drops degenerate boxes
+        }
+        have = {t["id"]: np.asarray(t["tlwh"]) for t in rep["tracks"]}
+        assert sorted(have) == sorted(want), (fid, sorted(have), sorted(want))
+        for i in want:
+            np.testing.assert_allclose(have[i], want[i], rtol=1e-5,
+                                       atol=1e-4)

@@ -762,15 +762,11 @@ class CenterTrackRunnerDetector:
 
     def detect(self, frame_bgr: np.ndarray,
                current_pos=None) -> DetectorOutput:
+        from busca_tpu.trackers.centertrack import dicts_to_arrays
+
         results, det_image, r = self.det.detect(
             frame_bgr, tracks=current_pos or [])
-        ped = [d for d in results if d.get("class", 1) == 1]
-        if ped:
-            boxes = np.vstack([d["bbox"] for d in ped]).astype(np.float64)
-            scores = np.array([d["score"] for d in ped], np.float64)
-        else:
-            boxes = np.zeros((0, 4))
-            scores = np.zeros(0)
+        boxes, scores = dicts_to_arrays(results)
         # dict bboxes are original coords; the protocol carries detector
         # coords (the caller divides by scale)
         return DetectorOutput(boxes_tlbr=boxes * r, scores=scores,

@@ -326,6 +326,14 @@ def main(argv=None):
     p.add_argument("--busca-config", default=None)
     p.add_argument("--busca-ckpt", default=None)
     p.add_argument("--max-connections", type=int, default=None)
+    p.add_argument("--min-box-area", type=float, default=None,
+                   help="output filter (mot_evaluator.py:216-221); default "
+                        "100 px, but 0 for --tracker centertrack whose "
+                        "eval loop emits unfiltered dicts")
+    p.add_argument("--vertical-thresh", type=float, default=None,
+                   help="w/h output filter; default 1.6, disabled for "
+                        "--tracker centertrack (eval-loop parity); pass "
+                        "0 to disable")
     p.add_argument("--lockstep", action="store_true",
                    help="serve concurrent connections with one batched "
                         "device step per tick (serve/lockstep.py) instead "
@@ -433,14 +441,29 @@ def main(argv=None):
         )
         return shim_for_runner(args.tracker, trk, feature_extractor)
 
+    # output-filter defaults follow the matching eval loop: the BYTE-family
+    # runner applies the mot_evaluator filter; track_frames_centertrack
+    # emits every dict track unfiltered
+    min_area = args.min_box_area
+    if min_area is None:
+        min_area = 0.0 if args.tracker == "centertrack" else 100.0
+    vthresh = args.vertical_thresh
+    if vthresh is None:
+        vthresh = None if args.tracker == "centertrack" else 1.6
+    elif vthresh <= 0:
+        vthresh = None
+
     if args.lockstep:
         from busca_tpu.serve.lockstep import LockstepTrackingServer
 
         server = LockstepTrackingServer(
-            detector, factory, tick_timeout=args.tick_timeout
+            detector, factory, tick_timeout=args.tick_timeout,
+            min_box_area=min_area, vertical_thresh=vthresh,
         )
     else:
-        server = TrackingServer(detector, factory)
+        server = TrackingServer(detector, factory,
+                                min_box_area=min_area,
+                                vertical_thresh=vthresh)
     print(f"serving on {args.socket}", flush=True)
     server.serve_unix(args.socket, max_connections=args.max_connections)
 

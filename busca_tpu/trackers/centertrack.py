@@ -18,6 +18,21 @@ import numpy as np
 from busca_tpu.trackers.byte import ByteTracker, ByteTrackerConfig
 
 
+def dicts_to_arrays(results: List[dict]):
+    """CenterTrack dict detections -> (boxes_tlbr, scores) for the
+    pedestrian class — the reference shim's flattening
+    (utils/tracker.py:40-50).  Shared by the adapter and the serving
+    protocol wrapper so the two paths cannot diverge."""
+    ped = [r for r in results if r.get("class", 1) == 1]
+    if ped:
+        boxes = np.vstack([r["bbox"] for r in ped]).astype(np.float64)
+        scores = np.array([r["score"] for r in ped], dtype=np.float64)
+    else:
+        boxes = np.zeros((0, 4))
+        scores = np.zeros(0)
+    return boxes, scores
+
+
 class CenterTrackAdapter:
     """Dict-in / dict-out tracker matching CenterTrack's interface."""
 
@@ -32,13 +47,15 @@ class CenterTrackAdapter:
         # fresh-track threshold (tracker.py:11).
         config.mot20 = True
         self.new_thresh = new_thresh
+        self.frame_rate = frame_rate
         self.tracker = ByteTracker(config, assoc_engine, frame_rate)
         self.tracker.det_thresh = new_thresh
         self.tracks: List[dict] = []
 
     def reset(self):
         cfg = self.tracker.cfg
-        self.tracker = ByteTracker(cfg, self.tracker.engine)
+        self.tracker = ByteTracker(cfg, self.tracker.engine,
+                                   self.frame_rate)
         self.tracker.det_thresh = self.new_thresh
         self.tracks = []
 
@@ -48,14 +65,7 @@ class CenterTrackAdapter:
         frame: Optional[np.ndarray] = None,
         scale: float = 1.0,
     ) -> List[dict]:
-        ped = [r for r in results if r.get("class", 1) == 1]
-        if ped:
-            boxes = np.vstack([r["bbox"] for r in ped]).astype(np.float64)
-            scores = np.array([r["score"] for r in ped], dtype=np.float64)
-        else:
-            boxes = np.zeros((0, 4))
-            scores = np.zeros(0)
-
+        boxes, scores = dicts_to_arrays(results)
         online = self.tracker.update(boxes, scores, scale, frame)
 
         out = []

@@ -79,7 +79,11 @@ def test_centertrack_reset_keeps_new_thresh():
     from busca_tpu.trackers.centertrack import CenterTrackAdapter
 
     a = CenterTrackAdapter(ByteTrackerConfig(track_thresh=0.6),
-                           new_thresh=0.35)
+                           new_thresh=0.35, frame_rate=14)
     assert a.tracker.det_thresh == 0.35
+    buf = a.tracker.buffer_size
     a.reset()
     assert a.tracker.det_thresh == 0.35
+    # frame_rate must survive too (14 fps MOT17-05/-06: buffer_size 14,
+    # not the 30 fps default's 30)
+    assert a.tracker.buffer_size == buf

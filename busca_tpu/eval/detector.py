@@ -702,6 +702,33 @@ class CenterTrackDetector:
         return results, np.asarray(canvas), r
 
 
+def build_transcenter_detector(dataset="mot17", ckpt=None,
+                               test_size=(640, 1088), out_thresh=0.1,
+                               nms_thresh=0.7) -> "TransCenterDetector":
+    """Shared TransCenter detector construction for the eval and serve CLIs.
+
+    ``ckpt``: busca_tpu-trained ``.npz`` weights only — upstream ``.pth``
+    cannot be converted (the reference's TransCenter submodule is empty;
+    PARITY.md).  Raises ``ValueError`` on a non-npz path.
+    """
+    from busca_tpu.models.transcenter import TransCenterConfig
+
+    variables = None
+    if ckpt:
+        if not ckpt.endswith(".npz"):
+            raise ValueError(
+                "transcenter takes busca_tpu-trained .npz weights; "
+                "upstream .pth cannot be converted (the reference's "
+                "TransCenter submodule is empty — see PARITY.md)")
+        from busca_tpu.models.checkpoint import load_params_npz
+
+        variables = load_params_npz(ckpt)
+    return TransCenterDetector(
+        TransCenterConfig.for_dataset(dataset), variables=variables,
+        test_size=test_size, out_thresh=out_thresh, nms_thresh=nms_thresh,
+    )
+
+
 def build_centertrack_detector(arch="dla34", sampling="deformable",
                                ckpt=None, test_size=(544, 960),
                                out_thresh=0.1) -> "CenterTrackDetector":

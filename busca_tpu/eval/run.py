@@ -729,27 +729,18 @@ def main(argv=None):
             except ValueError as e:
                 parser.error(str(e))
         elif args.detector == "transcenter":
-            from busca_tpu.eval.detector import TransCenterDetector
-            from busca_tpu.models.transcenter import TransCenterConfig
+            from busca_tpu.eval.detector import build_transcenter_detector
 
-            tc_vars = None
-            if args.detector_ckpt:
-                if not args.detector_ckpt.endswith(".npz"):
-                    parser.error(
-                        "--detector transcenter takes busca_tpu-trained "
-                        ".npz weights; upstream .pth cannot be converted "
-                        "(the reference's TransCenter submodule is empty "
-                        "— see PARITY.md)")
-                from busca_tpu.models.checkpoint import load_params_npz
-
-                tc_vars = load_params_npz(args.detector_ckpt)
-            detector = TransCenterDetector(
-                TransCenterConfig.for_dataset(args.detector_dataset),
-                variables=tc_vars,
-                test_size=(args.test_h, args.test_w),
-                out_thresh=args.det_conf,
-                nms_thresh=args.det_nms,
-            )
+            try:
+                detector = build_transcenter_detector(
+                    dataset=args.detector_dataset,
+                    ckpt=args.detector_ckpt,
+                    test_size=(args.test_h, args.test_w),
+                    out_thresh=args.det_conf,
+                    nms_thresh=args.det_nms,
+                )
+            except ValueError as e:
+                parser.error(str(e))
         elif args.detector:
             from busca_tpu.eval.detector import YoloxDetector
 

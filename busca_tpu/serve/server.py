@@ -369,14 +369,16 @@ def main(argv=None):
         if args.lockstep:
             p.error("transcenter cannot lockstep: its detector is stateful "
                     "per sequence and takes per-frame tracker feedback")
-        from busca_tpu.eval.detector import TransCenterDetector
-        from busca_tpu.models.transcenter import TransCenterConfig
+        from busca_tpu.eval.detector import build_transcenter_detector
 
-        detector = TransCenterDetector(
-            TransCenterConfig.for_dataset("mot17"),
-            test_size=(args.test_h, args.test_w),
-            out_thresh=args.det_conf,
-        )
+        try:
+            detector = build_transcenter_detector(
+                ckpt=args.detector_ckpt,
+                test_size=(args.test_h, args.test_w),
+                out_thresh=args.det_conf,
+            )
+        except ValueError as e:
+            p.error(str(e))
     elif args.detector == "centertrack":
         if args.lockstep:
             p.error("centertrack cannot lockstep: its detector is stateful "

@@ -750,10 +750,12 @@ def build_centertrack_detector(arch="dla34", sampling="deformable",
 
             variables = load_params_npz(ckpt)
         else:
-            if sampling != "deformable":
+            if sampling == "local":
                 raise ValueError(
                     "converted CenterTrack .pth checkpoints carry "
-                    "free-form DCN offsets; use sampling 'deformable'")
+                    "free-form DCN offsets; use sampling 'deformable' "
+                    "(exact) or 'windowed' (gather-free, exact within "
+                    "the +-dcn_window clamp)")
             from busca_tpu.models.convert import (
                 convert_centertrack_state_dict,
                 load_torch_checkpoint,

@@ -605,11 +605,12 @@ def main(argv=None):
                              "the raw detector output vs MOT gt "
                              "(mot_evaluator.py:659-711)")
     parser.add_argument("--centertrack-sampling", default="deformable",
-                        choices=("deformable", "local"),
+                        choices=("deformable", "windowed", "local"),
                         help="CenterTrack DLAUp conv mode: exact DCNv2 "
-                             "(converted checkpoints) or dense fixed-support "
-                             "modulated conv (4.3x on v5e, from-scratch "
-                             "training)")
+                             "(converted checkpoints), windowed dense "
+                             "shifts (gather-free; == exact wherever "
+                             "|offset| <= 3), or fixed-support modulated "
+                             "conv (4.3x on v5e, from-scratch training)")
     parser.add_argument("--centertrack-arch", default="dla34",
                         choices=("dla34", "tiny", "mobilenet"),
                         help="CenterTrack backbone: dla34 (published "

@@ -204,11 +204,15 @@ class DeformConvBlock(nn.Module):
     kept) — the dense-MXU throughput mode for training from scratch; the
     free-form bilinear gathers are the entire cost of the exact DCN on TPU
     (measured ~10.5 ms/block at [136, 240, 64] vs ~1 ms local; converted
-    checkpoints need the exact default)."""
+    checkpoints need the exact default).  ``sampling="windowed"`` is the
+    middle ground for converted checkpoints: gather-free dense shifted
+    sums, bit-equal to the exact DCN wherever ``|offset| <= window``
+    (ops/deform.deform_conv2d_windowed)."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
     sampling: str = "deformable"
+    window: int = 3
 
     @nn.compact
     def __call__(self, x):
@@ -230,6 +234,12 @@ class DeformConvBlock(nn.Module):
 
             y = local_modulated_conv2d(x, weight, mask, bias, stride=1,
                                        padding=1)
+        elif self.sampling == "windowed":
+            from busca_tpu.ops.deform import deform_conv2d_windowed
+
+            y = deform_conv2d_windowed(x, offset, weight, mask, bias,
+                                       stride=1, padding=1,
+                                       window=self.window)
         else:
             y = deform_conv2d(x, offset, weight, mask, bias, stride=1,
                               padding=1)
@@ -287,6 +297,7 @@ class IDAUp(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     sampling: str = "deformable"
+    window: int = 3
 
     @nn.compact
     def __call__(self, layers, startp, endp):
@@ -294,12 +305,13 @@ class IDAUp(nn.Module):
         o = layers[startp].shape[-1]
         for i in range(startp + 1, endp):
             k = i - startp
-            y = DeformConvBlock(o, self.dtype, self.sampling,
+            y = DeformConvBlock(o, self.dtype, self.sampling, self.window,
                                 name=f"proj_{k}")(layers[i])
             f = layers[i - 1].shape[1] // y.shape[1]
             if f > 1:
                 y = UpConv(f, self.dtype, name=f"up_{k}")(y)
             layers[i] = DeformConvBlock(o, self.dtype, self.sampling,
+                                        self.window,
                                         name=f"node_{k}")(y + layers[i - 1])
         return layers
 
@@ -312,6 +324,7 @@ class DLAUp(nn.Module):
     first_level: int
     dtype: jnp.dtype = jnp.float32
     sampling: str = "deformable"
+    window: int = 3
 
     @nn.compact
     def __call__(self, layers):
@@ -319,9 +332,8 @@ class DLAUp(nn.Module):
         n = len(layers)
         out = [layers[-1]]
         for i in range(n - self.first_level - 1):
-            layers = IDAUp(self.dtype, self.sampling, name=f"ida_{i}")(
-                layers, n - i - 2, n
-            )
+            layers = IDAUp(self.dtype, self.sampling, self.window,
+                           name=f"ida_{i}")(layers, n - i - 2, n)
             out.insert(0, layers[-1])
         return out
 
@@ -429,9 +441,12 @@ class CenterTrackConfig:
     num_classes: int = 1
     K: int = 100
     dtype: str = "float32"
-    # "deformable" = exact DCNv2 (converted checkpoints); "local" = dense
-    # fixed-support modulated conv (TPU throughput mode, from-scratch)
+    # "deformable" = exact DCNv2 (converted checkpoints); "windowed" =
+    # gather-free dense shifts, == exact wherever |offset| <= dcn_window
+    # (converted-checkpoint throughput mode); "local" = fixed-support
+    # modulated conv (from-scratch throughput mode)
     sampling: str = "deformable"
+    dcn_window: int = 3
 
     @classmethod
     def tiny(cls, **kw) -> "CenterTrackConfig":
@@ -467,9 +482,11 @@ class CenterTrackNet(nn.Module):
             first_level = int(np.log2(cfg.down_ratio))
         # Published DLASeg decode: DLAUp over all levels, then a final IDAUp
         # over the aggregated scales below last_level, heads on its output.
-        outs = DLAUp(first_level, dtype, cfg.sampling, name="dla_up")(pyramid)
+        outs = DLAUp(first_level, dtype, cfg.sampling, cfg.dcn_window,
+                     name="dla_up")(pyramid)
         y = outs[: len(outs) - 1]  # last_level - first_level scales
-        fused = IDAUp(dtype, cfg.sampling, name="ida_up")(y, 0, len(y))[-1]
+        fused = IDAUp(dtype, cfg.sampling, cfg.dcn_window,
+                      name="ida_up")(y, 0, len(y))[-1]
 
         def head(out_d, name, bias_init=0.0):
             h = nn.Conv(

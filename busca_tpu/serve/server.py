@@ -311,7 +311,7 @@ def main(argv=None):
     p.add_argument("--centertrack-arch", default="dla34",
                    choices=("dla34", "tiny", "mobilenet"))
     p.add_argument("--centertrack-sampling", default="deformable",
-                   choices=("deformable", "local"))
+                   choices=("deformable", "windowed", "local"))
     p.add_argument("--detector-artifact", default=None,
                    help="serve.export artifact directory (AOT)")
     p.add_argument("--test-h", type=int, default=800)

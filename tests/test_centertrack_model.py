@@ -227,3 +227,19 @@ def test_centertrack_converter_matches_torch_dlaseg(rng):
             np.asarray(got[k]), want[k], rtol=1e-3, atol=2e-4,
             err_msg=k,
         )
+
+    # the gather-free windowed mode reproduces the exact decoder on the
+    # same converted weights (offsets here are well inside the window)
+    windowed = CenterTrackNet(
+        CenterTrackConfig.tiny(levels=levels, sampling="windowed")
+    ).apply(
+        jax.tree_util.tree_map(jnp.asarray, variables),
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(pre.transpose(0, 2, 3, 1)),
+        jnp.asarray(hm.transpose(0, 2, 3, 1)),
+    )
+    for k in ("hm", "reg", "wh", "tracking"):
+        np.testing.assert_allclose(
+            np.asarray(windowed[k]), np.asarray(got[k]), rtol=1e-4,
+            atol=1e-4, err_msg=f"windowed {k}",
+        )

@@ -223,3 +223,48 @@ def test_lma_pallas_tap_sum_matches_reference(rng, monkeypatch):
     want = lma_pallas.local_tap_sum_reference(vals, wts, dils)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_windowed_dcn_matches_exact_within_window(rng):
+    """deform_conv2d_windowed == deform_conv2d when |offset| <= window,
+    and == deform_conv2d(clip(offset)) beyond (the documented clamp)."""
+    from busca_tpu.ops.deform import deform_conv2d_windowed
+
+    b, h, w, cin, cout, k, W = 1, 6, 7, 3, 4, 3, 2
+    x = rng.randn(b, h, w, cin).astype(np.float32)
+    weight = rng.randn(k, k, cin, cout).astype(np.float32)
+    mask = rng.uniform(0, 1, (b, h, w, k * k)).astype(np.float32)
+    bias = rng.randn(cout).astype(np.float32)
+
+    # strictly inside the window -> exact equality with the gather path
+    off_in = (rng.uniform(-W, W, (b, h, w, 2 * k * k)) * 0.99).astype(
+        np.float32)
+    got = np.asarray(deform_conv2d_windowed(
+        jnp.asarray(x), jnp.asarray(off_in), jnp.asarray(weight),
+        jnp.asarray(mask), jnp.asarray(bias), window=W))
+    want = np.asarray(deform_conv2d(
+        jnp.asarray(x), jnp.asarray(off_in), jnp.asarray(weight),
+        jnp.asarray(mask), jnp.asarray(bias)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # beyond the window -> equals the exact path with clipped offsets
+    off_big = (rng.randn(b, h, w, 2 * k * k) * 4.0).astype(np.float32)
+    got = np.asarray(deform_conv2d_windowed(
+        jnp.asarray(x), jnp.asarray(off_big), jnp.asarray(weight),
+        jnp.asarray(mask), jnp.asarray(bias), window=W))
+    want = np.asarray(deform_conv2d(
+        jnp.asarray(x), jnp.asarray(np.clip(off_big, -W, W)),
+        jnp.asarray(weight), jnp.asarray(mask), jnp.asarray(bias)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # zero offsets + windowed == plain local mode
+    from busca_tpu.ops.deform import local_modulated_conv2d
+
+    got0 = np.asarray(deform_conv2d_windowed(
+        jnp.asarray(x), jnp.zeros((b, h, w, 2 * k * k), jnp.float32),
+        jnp.asarray(weight), jnp.asarray(mask), jnp.asarray(bias),
+        window=W))
+    want0 = np.asarray(local_modulated_conv2d(
+        jnp.asarray(x), jnp.asarray(weight), jnp.asarray(mask),
+        jnp.asarray(bias)))
+    np.testing.assert_allclose(got0, want0, rtol=1e-4, atol=1e-5)

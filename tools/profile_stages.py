@@ -158,7 +158,7 @@ def profile_centertrack():
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(1, 544, 960, 3).astype(np.float32))
     hm = jnp.asarray(rng.randn(1, 544, 960, 1).astype(np.float32))
-    for sampling in ("deformable", "local"):
+    for sampling in ("deformable", "windowed", "local"):
         net = CenterTrackNet(CenterTrackConfig(sampling=sampling))
         v = jax.jit(net.init)(jax.random.PRNGKey(0), x, x, hm)
 

@@ -66,6 +66,31 @@ def _get_track_mem(track, seq_len: int, use_broader_memory: bool):
     return crops, bboxes
 
 
+def _dedup_gather(det_inds, start, end, c, b, unit_crop):
+    """Unique-candidate bookkeeping shared by the bucketed dedup scorers:
+    maps each (track, candidate slot) to a unique crop index (0 = the
+    zero/missing crop) and counts slot occurrences as the BN multiplicity
+    weights.  Returns (gather [b, c] int32, weights list, crops list with
+    crops[0] = None for the zero crop)."""
+    unit_to_idx = {}
+    gather = np.zeros((b, c), dtype=np.int32)  # 0 = zero crop
+    weights = [0.0]  # slot-occurrence counts; [0] = missing slots
+    crops_list = [None]  # zero crop materialized by the caller
+    for ti in range(start, end):
+        for ci, di in enumerate(det_inds[ti]):
+            if di is None:
+                weights[0] += 1.0
+                continue
+            if di not in unit_to_idx:
+                unit_to_idx[di] = len(crops_list)
+                crops_list.append(unit_crop(di))
+                weights.append(0.0)
+            ui = unit_to_idx[di]
+            gather[ti - start, ci] = ui
+            weights[ui] += 1.0
+    return gather, weights, crops_list
+
+
 class AssociationEngine:
     """Bucketed, jitted BUSCA association."""
 
@@ -639,22 +664,8 @@ class AssociationEngine:
             pad = b - n
 
             # unique candidate units of this chunk
-            unit_to_idx = {}
-            gather = np.zeros((b, c), dtype=np.int32)  # 0 = zero crop
-            weights = [0.0]  # slot-occurrence counts; [0] = missing slots
-            crops_list = [None]  # zero crop materialized later
-            for ti in range(start, end):
-                for ci, di in enumerate(det_inds[ti]):
-                    if di is None:
-                        weights[0] += 1.0
-                        continue
-                    if di not in unit_to_idx:
-                        unit_to_idx[di] = len(crops_list)
-                        crops_list.append(unit_crop(di))
-                        weights.append(0.0)
-                    ui = unit_to_idx[di]
-                    gather[ti - start, ci] = ui
-                    weights[ui] += 1.0
+            gather, weights, crops_list = _dedup_gather(
+                det_inds, start, end, c, b, unit_crop)
 
             u = len(crops_list)
             u_pad = next_pow2(u, min_bucket=8)
@@ -708,22 +719,9 @@ class AssociationEngine:
             b = self._bucket(n)
             pad = b - n
 
-            unit_to_idx = {}
-            gather = np.zeros((b, c), dtype=np.int32)  # 0 = zero crop
-            weights = [0.0]  # [0] = missing slots
-            crops_list = [None]  # index 0 = the bank's zero slot
-            for ti in range(start, end):
-                for ci, di in enumerate(det_inds[ti]):
-                    if di is None:
-                        weights[0] += 1.0
-                        continue
-                    if di not in unit_to_idx:
-                        unit_to_idx[di] = len(crops_list)
-                        crops_list.append(unit_crop(di))
-                        weights.append(0.0)
-                    ui = unit_to_idx[di]
-                    gather[ti - start, ci] = ui
-                    weights[ui] += 1.0
+            # crops_list[0] = None maps to the bank's zero slot
+            gather, weights, crops_list = _dedup_gather(
+                det_inds, start, end, c, b, unit_crop)
 
             u = len(crops_list)
             u_pad = next_pow2(u, min_bucket=8)

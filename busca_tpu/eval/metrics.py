@@ -40,6 +40,10 @@ class MotMetrics:
     num_gt: int
     mostly_tracked: int
     mostly_lost: int
+    # total predicted boxes (IDTP + IDFP); carried explicitly so aggregation
+    # never has to reconstruct it as idtp/idp (which collapses when idp == 0
+    # and would silently drop that shard's ID false positives)
+    num_pred: int = 0
 
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -216,6 +220,7 @@ def evaluate_clear(
         num_gt=num_gt,
         mostly_tracked=mt,
         mostly_lost=ml,
+        num_pred=int(total_p),
     )
 
 
@@ -336,10 +341,12 @@ def accumulate(per_seq: Dict[str, MotMetrics]) -> MotMetrics:
         if matches
         else 0.0
     )
-    # exact aggregate: idtp_i = idr_i * num_gt_i ; total pred boxes from idp
+    # exact aggregate: idtp_i = idr_i * num_gt_i ; total pred boxes carried
+    # explicitly (num_pred), reconstructed from idp only for legacy values
     idtp = sum(m.idr * m.num_gt for m in per_seq.values())
     total_p = sum(
-        (m.idr * m.num_gt / m.idp) if m.idp > 0 else 0.0
+        m.num_pred if m.num_pred
+        else ((m.idr * m.num_gt / m.idp) if m.idp > 0 else 0.0)
         for m in per_seq.values()
     )
     idf1 = 2 * idtp / (num_gt + total_p) if (num_gt + total_p) else 0.0
@@ -356,4 +363,5 @@ def accumulate(per_seq: Dict[str, MotMetrics]) -> MotMetrics:
         num_gt=num_gt,
         mostly_tracked=tot("mostly_tracked"),
         mostly_lost=tot("mostly_lost"),
+        num_pred=int(total_p),
     )

@@ -152,6 +152,17 @@ def run_mot_sequences_lockstep(
     ]
     results = [[] for _ in seq_dirs]
     prev_frames = {}  # previous decoded frame per sequence (ECC prefetch)
+    # pixels are only consumed by BUSCA crops / features / visualization —
+    # skip the JPEG decode PER SEQUENCE for pixel-free trackers (a mixed
+    # A/B run must not make the base tracker's sequences pay the decode)
+    needs_pixels = [
+        getattr(t, "use_busca", False)
+        or getattr(getattr(t, "trk", None), "use_busca", False)
+        or getattr(t, "feat_fn", None) is not None
+        or (viz_dir_fn is not None
+            and viz_dir_fn(infos[i].name) is not None)
+        for i, t in enumerate(trackers)
+    ]
     t0 = time.perf_counter()
     step = 0
     while True:
@@ -162,18 +173,10 @@ def run_mot_sequences_lockstep(
         onlines = {}
         pending = []
         frames_now = {}
-        # pixels are only consumed by BUSCA crops / visualization — skip the
-        # JPEG decode entirely for pixel-free configurations
-        need_pixels = viz_dir_fn is not None or any(
-            getattr(t, "use_busca", False)
-            or getattr(getattr(t, "trk", None), "use_busca", False)
-            or getattr(t, "feat_fn", None) is not None
-            for t in trackers
-        )
         for i in live:
             frames_now[i] = (
                 cv2.imread(infos[i].frame_path(frame_id))
-                if need_pixels else None
+                if needs_pixels[i] else None
             )
         # ECC prefetch: CMC-enabled trackers get their frame-pair alignment
         # scheduled on the shared thread pool before any update runs, so
@@ -304,7 +307,12 @@ _TALLY_DIM = 10
 def metrics_to_tally(m: metrics_lib.MotMetrics) -> np.ndarray:
     """MotMetrics -> additive sufficient-statistics vector [10] (f64)."""
     idtp = m.idr * m.num_gt
-    total_p = (idtp / m.idp) if m.idp > 0 else 0.0
+    # num_pred is carried explicitly; the idp reconstruction (legacy
+    # fallback) collapses to 0 when idp == 0, dropping that shard's ID
+    # false positives from the global IDF1/IDP denominator
+    total_p = m.num_pred if m.num_pred else (
+        (idtp / m.idp) if m.idp > 0 else 0.0
+    )
     return np.asarray(
         [
             m.num_gt,
@@ -338,6 +346,7 @@ def tally_to_metrics(t: np.ndarray) -> metrics_lib.MotMetrics:
         num_gt=int(num_gt),
         mostly_tracked=int(mt),
         mostly_lost=int(ml),
+        num_pred=int(total_p),
     )
 
 
@@ -345,8 +354,10 @@ def psum_tallies(tallies: np.ndarray, mesh, axis: str = "dp") -> np.ndarray:
     """Device-collective reduction of per-shard tally rows.
 
     ``tallies [n, TALLY_DIM]`` is sharded over ``axis``; each shard psums its
-    rows — the XLA collective rides ICI on real hardware.  Used by the
-    multi-host path and exercised on the virtual CPU mesh in tests.
+    rows — the XLA collective rides ICI on real hardware.  Exercised on the
+    virtual CPU mesh in tests.  The collective runs in f32: count-like
+    values stay exact below 2^24 (~16.7M boxes); beyond that scale use
+    :func:`global_metrics`, whose hi/lo-pair allgather keeps f64 exactness.
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -389,8 +400,16 @@ def global_metrics(
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        gathered = np.asarray(multihost_utils.process_allgather(local))
-        local = gathered.reshape(-1, _TALLY_DIM).sum(axis=0)
+        # allgather ships device arrays, which are f32 under default
+        # x64-off JAX — ship an exact (hi, lo) f32 pair per value and
+        # recombine + sum in f64 on host so huge tallies stay exact
+        hi = local.astype(np.float32)
+        lo = (local - hi.astype(np.float64)).astype(np.float32)
+        gathered = np.asarray(
+            multihost_utils.process_allgather(np.stack([hi, lo])),
+            np.float64,
+        ).reshape(-1, 2, _TALLY_DIM)
+        local = (gathered[:, 0] + gathered[:, 1]).sum(axis=0)
     return tally_to_metrics(local)
 
 

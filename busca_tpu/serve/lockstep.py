@@ -164,8 +164,11 @@ class LockstepTrackingServer:
             by_hw.setdefault(frame.shape, []).append((s, frame))
         import time
 
+        onlines = {}
+        pending = []
+        groups = []
+        tick_t0 = time.perf_counter()
         for group in by_hw.values():
-            t0 = time.perf_counter()
             frames = np.stack([f for _, f in group])
             n = len(group)
             n_pad = next_pow2(n)
@@ -174,8 +177,6 @@ class LockstepTrackingServer:
                     [frames, frames[-1:].repeat(n_pad - n, 0)]
                 )
             dets = self.detector.detect_batch(frames)[:n]
-            onlines = {}
-            pending = []
             for (s, _), d in zip(group, dets):
                 s.frame_id += 1
                 args = (d.boxes_tlbr / d.scale, d.scores, d.scale, d.image)
@@ -188,10 +189,14 @@ class LockstepTrackingServer:
                         onlines[s.sid] = e.value
                 else:
                     onlines[s.sid] = s.tracker.update(*args)
-            if pending:
-                # ONE batched association serves every stream's third round
-                onlines.update(service_deferred_updates(pending))
-            tick_ms = (time.perf_counter() - t0) * 1e3
+            groups.append((group, n))
+        if pending:
+            # ONE batched association serves every stream's third round —
+            # across ALL resolution groups (crops are fixed-size, so the
+            # association is resolution-independent)
+            onlines.update(service_deferred_updates(pending))
+        tick_ms = (time.perf_counter() - tick_t0) * 1e3
+        for group, n in groups:
             for s, _ in group:
                 tlwhs, ids, confs = filter_output_tracks(
                     onlines[s.sid], self.min_box_area, self.vertical_thresh
@@ -228,8 +233,12 @@ class LockstepTrackingServer:
                 cmd = header.get("cmd") if isinstance(header, dict) else None
                 try:
                     if cmd == "start":
+                        # construct OUTSIDE the scheduler lock: a factory
+                        # doing real work (config parse, warm paths) must
+                        # not stall every peer's frame submission
+                        trk = self.tracker_factory()
                         with self._lock:
-                            sess.tracker = self.tracker_factory()
+                            sess.tracker = trk
                             sess.frame_id = 0
                             sess.name = header.get("name")
                         reply = {"ok": True, "name": sess.name}

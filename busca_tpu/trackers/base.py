@@ -184,13 +184,28 @@ class Track:
         self._extend_mems(new_track, update_mems)
 
     def _extend_mems(self, new_track: "Track", update_mems: bool):
+        """Append the new detection's memory entries.
+
+        A BUSCA memory entry is a (crop, box, conf) TRIPLE consumed by
+        index (assoc/engine._get_track_mem pairs ``images_mem[i]`` with
+        ``tlwh_mem[i]``), so once this track carries crops the three lists
+        must stay in lockstep: an imageless frame (e.g. a failed imread) is
+        dropped from memory rather than appended box-only, and the first
+        crop after an imageless birth trims the unpaired box history."""
         if not update_mems:
+            return
+        has_img = bool(new_track.images_mem)
+        if self.images_mem and not has_img:
             return
         if new_track.tlwh_mem:
             self.tlwh_mem.extend(new_track.tlwh_mem)
             self.conf_mem.extend(new_track.conf_mem)
-        if new_track.images_mem:
+        if has_img:
             self.images_mem.extend(new_track.images_mem)
+            excess = len(self.tlwh_mem) - len(self.images_mem)
+            if excess > 0:
+                del self.tlwh_mem[:excess]
+                del self.conf_mem[:excess]
 
     def mark_lost(self):
         self.state = TrackState.Lost
@@ -365,7 +380,9 @@ def select_third_round_matches(probs, reliable, n_dets, n_pool, thresh):
     """Third-round tail: a track survives iff its own Kalman candidate's
     probability (column ``n_dets + i``) clears ``thresh`` and the track's
     memory is reliable (byte_tracker.py:505-529)."""
-    if probs is None:
+    if probs is None or probs.shape[1] < n_dets + n_pool:
+        # no Kalman-candidate columns (e.g. crops unavailable): nothing can
+        # clear the recover-only-kalman rule
         return [], list(range(n_pool))
     matches, u_track = [], []
     for i in range(n_pool):

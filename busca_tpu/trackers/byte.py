@@ -262,7 +262,12 @@ class ByteTracker:
 
         # ---- round 3b: BUSCA -------------------------------------------------
         if self.use_busca and cfg.busca_thresh > 0:
-            if cfg.reliable_thresh is not None and not self._is_reliable(
+            if frame is None:
+                # no pixels -> no crops and no Kalman-candidate column
+                # (defensive: the reference always has the eval image here;
+                # reachable via a failed imread in a cached-detection run)
+                pass
+            elif cfg.reliable_thresh is not None and not self._is_reliable(
                 frame, self.tracked, cfg.reliable_thresh
             ):
                 pass  # unreliable frame: skip the third round entirely

@@ -153,3 +153,39 @@ def test_detection_coverage_counts_union():
     assert len(cov["bbox_areas"]) == 2
     # reference's axis-swapped normalization: (w/h_frame)*(h/w_frame)
     np.testing.assert_allclose(cov["bbox_areas"][0], (50 / 100) * (50 / 200))
+
+
+def test_third_round_selection_without_kalman_columns():
+    """A probs matrix lacking Kalman columns (no crops were available, so
+    no extra candidates were built) must yield no survivals — not an
+    IndexError (recover_only_kalman has nothing to recover)."""
+    from busca_tpu.trackers.base import select_third_round_matches
+
+    probs = np.full((2, 3), 0.9)  # width == n_dets: no Kalman columns
+    matches, u_track = select_third_round_matches(
+        probs, [True, True], n_dets=3, n_pool=2, thresh=0.5
+    )
+    assert matches == [] and u_track == [0, 1]
+
+
+def test_mems_stay_paired_through_imageless_frames():
+    """A BUSCA memory entry is a (crop, box, conf) triple consumed by
+    index; an imageless update (failed imread) must not push a box-only
+    entry, and the first crop after an imageless birth must trim the
+    unpaired box history."""
+    img = np.zeros((8, 4, 3), np.uint8)
+
+    # imageless frame mid-life: dropped from memory, lists stay paired
+    t = Track(np.array([0.0, 0.0, 4.0, 8.0]), 0.9, image=img)
+    t.activate(1)
+    t.update(Track(np.array([1.0, 0, 4, 8]), 0.9, image=None), 2)
+    t.update(Track(np.array([2.0, 0, 4, 8]), 0.9, image=img + 1), 3)
+    assert len(t.images_mem) == len(t.tlwh_mem) == len(t.conf_mem) == 2
+    assert t.tlwh_mem[-1][0] == 2.0  # the imaged frames' boxes survive
+
+    # imageless birth: unpaired history trimmed at the first crop
+    t2 = Track(np.array([0.0, 0.0, 4.0, 8.0]), 0.9, image=None)
+    t2.activate(1)
+    t2.update(Track(np.array([5.0, 0, 4, 8]), 0.8, image=img), 2)
+    assert len(t2.images_mem) == len(t2.tlwh_mem) == len(t2.conf_mem) == 1
+    assert t2.tlwh_mem[0][0] == 5.0 and t2.conf_mem[0] == 0.8

@@ -85,3 +85,27 @@ def test_shard_then_gather_is_complete():
     want = metrics_lib.accumulate(PER_SEQ)
     np.testing.assert_allclose(got.mota, want.mota)
     np.testing.assert_allclose(got.idf1, want.idf1)
+
+
+def test_idfp_only_shard_counts_in_denominator():
+    """A shard with predictions but zero IDTP (idp == 0) must still
+    contribute its prediction count to the global IDF1/IDP denominator;
+    the idtp/idp reconstruction collapses to 0 there, inflating IDF1."""
+    good = _mk(num_gt=100, fp=0, fn=0, idsw=0, matches=100, motp=0.1,
+               idr=1.0, idp=1.0)
+    good.num_pred = 100
+    junk = _mk(num_gt=50, fp=80, fn=50, idsw=0, matches=0, motp=0.0,
+               idr=0.0, idp=0.0)
+    junk.num_pred = 80  # eighty garbage predictions, zero identity TPs
+
+    agg = metrics_lib.accumulate({"a": good, "b": junk})
+    # idtp = 100; num_gt = 150; total_p = 180
+    assert abs(agg.idf1 - 2 * 100 / (150 + 180)) < 1e-9
+    assert abs(agg.idp - 100 / 180) < 1e-9
+
+    from busca_tpu.eval.runner import metrics_to_tally, tally_to_metrics
+
+    t = metrics_to_tally(good) + metrics_to_tally(junk)
+    via_tally = tally_to_metrics(t)
+    assert abs(via_tally.idf1 - agg.idf1) < 1e-9
+    assert abs(via_tally.idp - agg.idp) < 1e-9

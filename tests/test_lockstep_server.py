@@ -378,3 +378,66 @@ def test_unix_socket_lockstep_serving(tmp_path):
     assert all(all(o) for o in oks)
     t.join(timeout=30)
     assert not t.is_alive()
+
+
+def test_mixed_resolution_tick_batches_one_association(monkeypatch):
+    """Streams at different resolutions split the detector batch by shape
+    but must share ONE batched third-round association per tick (the
+    association runs on fixed-size crops, resolution-independent)."""
+    import busca_tpu.serve.lockstep as lockstep_mod
+    from busca_tpu.trackers import base as base_mod
+
+    dets, frames = _marked_sequences(n_seqs=2, n_frames=6)
+    # sequence 1 gets letterboxed to a different resolution
+    frames[1] = [
+        np.pad(f, ((0, 16), (0, 0), (0, 0))) for f in frames[1]
+    ]
+    det = _StubBatchDetector(dets)
+
+    calls = []
+    real = base_mod.service_deferred_updates
+
+    def counting(pending):
+        calls.append(len(pending))
+        return real(pending)
+
+    monkeypatch.setattr(base_mod, "service_deferred_updates", counting)
+
+    server = lockstep_mod.LockstepTrackingServer(
+        det, _mk_tracker, tick_timeout=0.5
+    )
+    server.start_scheduler()
+    try:
+        import threading
+
+        sessions = []
+        for si in range(2):
+            with server._lock:
+                s = lockstep_mod._Session(next(server._sid))
+                server._sessions[s.sid] = s
+                s.tracker = _mk_tracker()
+            sessions.append(s)
+        for t in range(6):
+            replies = {}
+
+            def submit(s, f):
+                replies[s.sid] = server._submit_frame(
+                    s, {"cmd": "frame", "shape": list(f.shape)},
+                    f.tobytes(),
+                )
+
+            ths = [
+                threading.Thread(target=submit, args=(s, frames[si][t]))
+                for si, s in enumerate(sessions)
+            ]
+            for th in ths:
+                th.start()
+            for th in ths:
+                th.join(timeout=30)
+            assert all(r["ok"] for r in replies.values()), replies
+    finally:
+        server.close()
+
+    # two resolutions per tick, but whenever BOTH streams deferred a third
+    # round in the same tick the association ran once for both
+    assert any(c == 2 for c in calls), calls

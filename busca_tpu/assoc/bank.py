@@ -53,6 +53,17 @@ def tag(arr: np.ndarray, uid: int) -> "BankedCrop":
     return v
 
 
+# One process-wide uid space: crop identity is shared by the crop bank and
+# the association engine's frozen-stats feature cache, so uids must never
+# collide across allocators (a bank and a bankless feature-cache engine can
+# coexist in one process).
+_uid_iter = iter(range(1, 2**62))
+
+
+def next_uid() -> int:
+    return next(_uid_iter)
+
+
 class DeviceCropBank:
     """Fixed-capacity LRU cache of ReID crops in device HBM."""
 
@@ -63,7 +74,6 @@ class DeviceCropBank:
         self.crop_hw = tuple(crop_hw)
         self.capacity = int(capacity)
         self._array = None  # lazy: [capacity, h, w, 3] uint8 on device
-        self._uid_counter = 0
         self._slot_of = {}  # uid -> slot
         self._uid_at: List[Optional[int]] = [None] * self.capacity
         # slot 0 reserved for the zero crop; never allocated
@@ -92,8 +102,7 @@ class DeviceCropBank:
         return self.capacity - 1 - len(self._free)
 
     def new_uid(self) -> int:
-        self._uid_counter += 1
-        return self._uid_counter
+        return next_uid()
 
     def _touch(self, slot: int):
         self._clock += 1

@@ -105,7 +105,34 @@ class AssociationEngine:
         debug_dir: Optional[str] = None,
         dedup_candidates: bool = True,
         bank=None,
+        reid_stats: str = "batch",
+        feat_cache_slots: int = 16384,
     ):
+        if reid_stats not in ("batch", "frozen"):
+            raise ValueError(f"reid_stats must be 'batch' or 'frozen', "
+                             f"got {reid_stats!r}")
+        if reid_stats == "frozen":
+            # Opt-in deviation (PARITY.md "Frozen-stats ReID"): BN uses the
+            # checkpoint's stored running statistics instead of the GHOST
+            # batch-stat domain adaptation.  Features become batch-
+            # independent, so they are cached across frames keyed by crop
+            # uid — steady state re-encodes only the frame's NEW crops.
+            if "batch_stats" not in variables:
+                raise ValueError(
+                    "reid_stats='frozen' needs variables['batch_stats'] "
+                    "(running BN statistics: convert_busca_state_dict "
+                    "provides them from a .pth checkpoint, or init the "
+                    "model with reid_use_batch_stats=False)"
+                )
+            if debug_dir is not None:
+                raise ValueError(
+                    "the decision montage is not supported with "
+                    "reid_stats='frozen' (use the default batch mode)"
+                )
+            import dataclasses as _dc
+
+            config = _dc.replace(config, reid_use_batch_stats=False)
+        self.reid_stats = reid_stats
         self.config = config
         self.model = BuscaModel(config)
         self.variables = variables
@@ -250,15 +277,79 @@ class AssociationEngine:
 
         self._score_unique_grouped_banked = _score_unique_grouped_banked
 
+        # ------------------------------------------------- frozen-stats mode --
+        if reid_stats == "frozen":
+            from collections import OrderedDict
+
+            from busca_tpu.models.reid import ReIDResNet
+
+            # uid-keyed LRU of encoded features ([F] f32 per crop).  ~2 KB
+            # per entry at F=512: the default 16384 slots ≈ 32 MB host RAM.
+            self._feat_cache: "OrderedDict" = OrderedDict()
+            self._feat_cache_cap = int(feat_cache_slots)
+            h, w = crop_hw
+            self._zero_crop = np.zeros((h, w, 3), np.uint8)
+
+            reid_frozen = ReIDResNet(
+                layers=config.reid_layers,
+                num_classes=config.reid_num_classes,
+                use_batch_stats=False,
+                dtype=jnp.dtype(config.dtype),
+            )
+
+            @functools.partial(jax.jit, static_argnames=("normalize_ims",))
+            def _encode(variables, crops, normalize_ims=True):
+                """uint8 BGR crops [N, h, w, 3] -> L2-normalized feats
+                [N, F] (torch eval-mode BN: per-sample, batch-independent)."""
+                _, feats = reid_frozen.apply(
+                    {
+                        "params": variables["params"]["reid_encoder"],
+                        "batch_stats":
+                            variables["batch_stats"]["reid_encoder"],
+                    },
+                    prep(crops, normalize_ims),
+                )
+                return feats
+
+            self._encode = _encode
+
+            @jax.jit
+            def _score_feats(variables, mem_feats, can_feats, mem_boxes,
+                             can_boxes, mask):
+                """Decision forward from precomputed ReID features:
+                [B, L, F] memory + [B, C, F] candidate feats -> probs."""
+                logits = model.apply(
+                    {"params": variables["params"]},
+                    None,
+                    None,
+                    mem_boxes,
+                    can_boxes,
+                    mask,
+                    mem_feats=mem_feats,
+                    can_feats=can_feats,
+                )
+                return jax.nn.softmax(logits, axis=-1)
+
+            self._score_feats = _score_feats
+
     @property
     def banked(self) -> bool:
         """Whether scoring ships bank slot indices instead of pixel tensors
-        (requires dedup mode; the debug montage needs the pixels on host)."""
+        (requires dedup mode; the debug montage needs the pixels on host).
+        Frozen mode never gathers pixels on device — it ships features."""
         return (
             self.bank is not None
             and self.dedup_candidates
             and self.debug_dir is None
+            and self.reid_stats != "frozen"
         )
+
+    @property
+    def _keep_mem_lists(self) -> bool:
+        """Request prep keeps per-track crop LISTS (not one stacked array)
+        when per-crop identity matters: banked pixel gather or the frozen
+        feature cache."""
+        return self.banked or self.reid_stats == "frozen"
 
     # ------------------------------------------------------------------ api --
     def associate(
@@ -296,6 +387,13 @@ class AssociationEngine:
         """Score one prepped request (dedup or duplicated path)."""
         (mem_crops, mem_boxes, reliable, det_inds, can_boxes, unit_crop,
          num_available, d_count, t_count) = req
+        if self.reid_stats == "frozen":
+            mem_feats, can_feats = self._frozen_request_feats(
+                mem_crops, det_inds, unit_crop, normalize_ims
+            )
+            return self._score_feats_chunked(
+                mem_feats, can_feats, mem_boxes, can_boxes
+            )  # [T, c + extras]
         if self.banked:
             return self._score_bucketed_unique_b(
                 mem_crops, det_inds, unit_crop, mem_boxes, can_boxes,
@@ -358,6 +456,40 @@ class AssociationEngine:
             highest_candidate_minimum_thresh=highest_candidate_minimum_thresh,
             keep_highest_value=keep_highest_value,
         )
+
+        if self.reid_stats == "frozen":
+            # Frozen features have no BN coupling between requests, so the
+            # multi-request batch needs none of the grouped-BN machinery:
+            # concatenate every request's feature batch and run the feats
+            # scorer once (chunked by bucket).  Numerics equal per-request
+            # standalone calls by construction.
+            mem_f, can_f, mem_b, can_b, spans = [], [], [], [], []
+            for i, req, ndt in preps:
+                (m_crops, m_boxes, reliable, det_inds, can_boxes, unit_crop,
+                 num_avail, _d_count, t_count) = req
+                mf, cf = self._frozen_request_feats(
+                    m_crops, det_inds, unit_crop, normalize_ims
+                )
+                mem_f.append(mf)
+                can_f.append(cf)
+                mem_b.append(m_boxes)
+                can_b.append(can_boxes)
+                spans.append((i, t_count, reliable, det_inds, num_avail, ndt))
+            probs = self._score_feats_chunked(
+                np.concatenate(mem_f),
+                np.concatenate(can_f),
+                np.concatenate(mem_b),
+                np.concatenate(can_b),
+            )
+            row = 0
+            for i, t_count, reliable, det_inds, num_avail, ndt in spans:
+                results[i] = self._postprocess(
+                    probs[row:row + t_count], reliable, det_inds,
+                    num_avail, ndt, **post_kw,
+                )
+                row += t_count
+            return results
+
         t_total = sum(p[1][8] for p in preps)
         if (
             len(preps) == 1
@@ -523,10 +655,11 @@ class AssociationEngine:
         t_count = len(tracks)
         d_count = len(dets)
 
-        banked = self.banked
-        if banked:
+        keep_lists = self._keep_mem_lists
+        if keep_lists:
             # mem crops stay as per-track host-mirror lists; the scorer
-            # gathers them from the device bank by slot (None = zero memory)
+            # gathers them from the device bank by slot — or resolves them
+            # through the frozen feature cache (None = zero memory)
             mem_crops: list = [None] * t_count
         else:
             mem_crops = np.zeros((t_count, seq_len, h, w, 3), dtype=np.uint8)
@@ -536,7 +669,7 @@ class AssociationEngine:
             crops, bboxes = _get_track_mem(track, seq_len, use_broader_memory)
             if len(crops) == seq_len:
                 reliable[ti] = True
-                mem_crops[ti] = crops if banked else np.stack(crops)
+                mem_crops[ti] = crops if keep_lists else np.stack(crops)
                 mem_boxes[ti] = bboxes
             else:
                 mem_boxes[ti] = INCOMPLETE_MEM_BBOX_TLWH  # zero crops stay
@@ -638,6 +771,134 @@ class AssociationEngine:
             if t <= b:
                 return b
         return self.buckets[-1]
+
+    # -------------------------------------------------- frozen-stats scoring --
+    def _resolve_feats(self, units, normalize_ims) -> np.ndarray:
+        """Features for a list of ``(uid_or_None, crop_or_None)`` units.
+
+        ``crop=None`` means the zero crop (missing slot / incomplete
+        memory) — its frozen feature is f(zero image), cached under key 0
+        like the reference's zero-image forwards (network.py:300-308,
+        352-355).  Cached uids hit the LRU; the rest are encoded in ONE
+        bucketed device call and inserted.  Untagged crops (uid None) are
+        encoded fresh every time — production crops are always tagged
+        (trackers/base.py batch_crops)."""
+        n = len(units)
+        f_dim = self.config.dim_embedding
+        out = np.zeros((n, f_dim), np.float32)
+        cache = self._feat_cache
+        enc_crops: list = []
+        enc_keys: list = []
+        enc_pos: List[List[int]] = []
+        pending = {}  # cache key -> row in enc_crops
+        for i, (uid, crop) in enumerate(units):
+            if crop is None:
+                uid, crop = 0, self._zero_crop
+            key = None if uid is None else (uid, bool(normalize_ims))
+            if key is not None:
+                hit = cache.get(key)
+                if hit is not None:
+                    cache.move_to_end(key)
+                    out[i] = hit
+                    continue
+                j = pending.get(key)
+                if j is not None:
+                    enc_pos[j].append(i)
+                    continue
+                pending[key] = len(enc_crops)
+            enc_keys.append(key)
+            enc_pos.append([i])
+            enc_crops.append(crop)
+        if enc_crops:
+            h, w = self.crop_hw
+            m = next_pow2(len(enc_crops), min_bucket=8)
+            batch = np.zeros((m, h, w, 3), np.uint8)
+            for j, cr in enumerate(enc_crops):
+                batch[j] = cr
+            feats = np.asarray(
+                self._encode(
+                    self.variables, jnp.asarray(batch),
+                    normalize_ims=bool(normalize_ims),
+                )
+            )
+            for j, key in enumerate(enc_keys):
+                f = feats[j]
+                for i in enc_pos[j]:
+                    out[i] = f
+                if key is not None:
+                    cache[key] = f
+                    if len(cache) > self._feat_cache_cap:
+                        cache.popitem(last=False)
+        return out
+
+    def _frozen_request_feats(self, mem_entries, det_inds, unit_crop,
+                              normalize_ims):
+        """One request's feature batches: ``([T, L, F], [T, C, F])``.
+
+        Memory crops hit the cross-frame cache (they were encoded when they
+        first appeared as detections); candidates are deduplicated across
+        tracks before encoding, then expanded per slot on host."""
+        t_count = len(mem_entries)
+        seq_len, c = self.seq_len, self.num_candidates
+        units: list = []
+        for e in mem_entries:
+            if e is None:
+                units.extend([(0, None)] * seq_len)
+            else:
+                units.extend(
+                    [(getattr(cr, "uid", None), cr) for cr in e]
+                )
+        unit_to_row = {}
+        can_units: list = [(0, None)]  # row 0 = the zero crop
+        gather = np.zeros((t_count, c), np.int64)
+        for ti in range(t_count):
+            for ci, di in enumerate(det_inds[ti]):
+                if di is None:
+                    continue  # gather stays 0 -> zero-crop feature
+                row = unit_to_row.get(di)
+                if row is None:
+                    crop = unit_crop(di)
+                    row = len(can_units)
+                    unit_to_row[di] = row
+                    can_units.append((getattr(crop, "uid", None), crop))
+                gather[ti, ci] = row
+        feats = self._resolve_feats(units + can_units, normalize_ims)
+        n_mem = t_count * seq_len
+        mem_feats = feats[:n_mem].reshape(t_count, seq_len, -1)
+        can_feats = feats[n_mem:][gather]  # [T, C, F]
+        return mem_feats, can_feats
+
+    def _score_feats_chunked(self, mem_feats, can_feats, mem_boxes,
+                             can_boxes) -> np.ndarray:
+        """Bucket-pad the feature batch and run the feats scorer; chunk
+        batches larger than the biggest bucket."""
+        t_count = mem_feats.shape[0]
+        max_b = self.buckets[-1]
+        out = []
+        for start in range(0, t_count, max_b):
+            end = min(start + max_b, t_count)
+            n = end - start
+            b = self._bucket(n)
+            pad = b - n
+
+            def padded(x):
+                if pad == 0:
+                    return x[start:end]
+                widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+                return np.pad(x[start:end], widths)
+
+            mask = np.zeros(b, dtype=np.float32)
+            mask[:n] = 1.0
+            probs = self._score_feats(
+                self.variables,
+                jnp.asarray(padded(mem_feats)),
+                jnp.asarray(padded(can_feats)),
+                jnp.asarray(padded(mem_boxes)),
+                jnp.asarray(padded(can_boxes)),
+                jnp.asarray(mask),
+            )
+            out.append(np.asarray(probs)[:n])
+        return np.concatenate(out, axis=0)
 
     def _score_bucketed_unique(
         self, mem_crops, det_inds, unit_crop, mem_boxes, can_boxes,

@@ -38,7 +38,8 @@ import numpy as np
 
 def build_engine(busca_config_path: str, ckpt_path: Optional[str],
                  crop_hw=(384, 128), dtype: Optional[str] = None,
-                 bank_slots: Optional[int] = None):
+                 bank_slots: Optional[int] = None,
+                 reid_stats: str = "batch"):
     """Materialize an AssociationEngine from YAML + checkpoint.
 
     ``dtype`` overrides the YAML's compute dtype; the production default is
@@ -49,6 +50,12 @@ def build_engine(busca_config_path: str, ckpt_path: Optional[str],
     — None picks 4096 on TPU (~600 MB HBM at 384x128) and a small 256 on the
     CPU backend; 0 disables banking (crops re-uploaded per call, the
     reference's traffic pattern).
+
+    ``reid_stats``: 'batch' (default — GHOST batch-stat domain adaptation,
+    the reference semantics) or 'frozen' (stored running BN statistics +
+    cross-frame feature caching; an opt-in throughput deviation — see
+    PARITY.md "Frozen-stats ReID").  Frozen mode needs the checkpoint's
+    running statistics (any converted ``.pth`` carries them).
     """
     import jax
 
@@ -63,11 +70,15 @@ def build_engine(busca_config_path: str, ckpt_path: Optional[str],
         merge_params,
     )
 
+    import dataclasses
+
     args, busca_cfg, tracker_kwargs = load_tracker_bundle(busca_config_path)
     if dtype is not None:
-        import dataclasses
-
         busca_cfg = dataclasses.replace(busca_cfg, dtype=dtype)
+    if reid_stats == "frozen":
+        # the frozen-config init declares the running-stat variables the
+        # checkpoint's batch_stats overlay fills in
+        busca_cfg = dataclasses.replace(busca_cfg, reid_use_batch_stats=False)
     model = BuscaModel(busca_cfg)
     seq_len = tracker_kwargs.get("seq_len", 11)
     num_candidates = tracker_kwargs.get("num_candidates", 5)
@@ -82,6 +93,7 @@ def build_engine(busca_config_path: str, ckpt_path: Optional[str],
         np.zeros((1, num_candidates, 4), np.float32),
     )
     params = variables["params"]
+    batch_stats = variables.get("batch_stats")
     if ckpt_path:
         if ckpt_path.endswith(".npz"):
             loaded = load_params_npz(ckpt_path)
@@ -90,16 +102,25 @@ def build_engine(busca_config_path: str, ckpt_path: Optional[str],
                 load_torch_checkpoint(ckpt_path), ignore_reid_fc=True
             )
         params = merge_params(params, loaded.get("params", loaded))
-    if bank_slots is None:
-        bank_slots = 4096 if jax.default_backend() == "tpu" else 256
-    bank = DeviceCropBank(crop_hw, bank_slots) if bank_slots else None
+        if batch_stats is not None and loaded.get("batch_stats"):
+            batch_stats = merge_params(batch_stats, loaded["batch_stats"])
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+    if reid_stats == "frozen":
+        bank = None  # frozen scoring ships features, not pixels
+    else:
+        if bank_slots is None:
+            bank_slots = 4096 if jax.default_backend() == "tpu" else 256
+        bank = DeviceCropBank(crop_hw, bank_slots) if bank_slots else None
     engine = AssociationEngine(
         busca_cfg,
-        {"params": params},
+        variables,
         seq_len=seq_len,
         num_candidates=num_candidates,
         crop_hw=crop_hw,
         bank=bank,
+        reid_stats=reid_stats,
     )
     return engine, tracker_kwargs
 
@@ -570,6 +591,13 @@ def main(argv=None):
                         help="device crop-bank capacity (assoc/bank.py); "
                              "default: 4096 on TPU / 256 on CPU, 0 disables "
                              "banking")
+    parser.add_argument("--reid-stats", choices=("batch", "frozen"),
+                        default="batch",
+                        help="BUSCA ReID BN mode: 'batch' = the reference's "
+                             "GHOST batch-stat domain adaptation (default); "
+                             "'frozen' = stored running statistics + cross-"
+                             "frame feature caching (opt-in throughput "
+                             "deviation, PARITY.md 'Frozen-stats ReID')")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--num-frames", type=int, default=40)
     parser.add_argument("--mot-dir", nargs="*", default=[],
@@ -675,6 +703,7 @@ def main(argv=None):
         engine, tracker_kwargs = build_engine(
             args.busca_config, args.busca_ckpt, args.crop_hw,
             dtype=args.busca_dtype, bank_slots=args.crop_bank_slots,
+            reid_stats=args.reid_stats,
         )
         tracker_kwargs["use_busca"] = True
 

@@ -64,6 +64,13 @@ class BuscaConfig:
     # ResNet stage depths: (3, 4, 6, 3) = ResNet-50 (the shipped weights);
     # smaller variants for experimentation / cheap tests.
     reid_layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
+    # True = GHOST domain adaptation (BN normalizes with the CURRENT batch's
+    # statistics, network.py:554-556) — the reference semantics and the
+    # production default.  False = torch eval mode (stored running stats);
+    # features become batch-independent, which unlocks cross-frame feature
+    # caching (AssociationEngine reid_stats="frozen").  A conscious,
+    # opt-in deviation — see PARITY.md "Frozen-stats ReID".
+    reid_use_batch_stats: bool = True
     quantize_pe_fp16: bool = True
     dtype: str = "float32"
 
@@ -136,13 +143,17 @@ class BuscaModel(nn.Module):
         mem_group: Optional[jnp.ndarray] = None,
         can_group: Optional[jnp.ndarray] = None,
         num_groups: int = 1,
+        mem_feats: Optional[jnp.ndarray] = None,
+        can_feats: Optional[jnp.ndarray] = None,
     ):
         """Score candidates for a batch of tracks.
 
         Args:
           mem_crops: ``[B, L_mem, H, W, 3]`` normalized RGB memory crops.
+            May be ``None`` when ``mem_feats`` is given.
           can_crops: ``[B, C, H, W, 3]`` normalized RGB candidate crops — OR,
             in deduplicated mode, ``[U, H, W, 3]`` *unique* candidate crops.
+            May be ``None`` when ``can_feats`` is given.
           mem_bboxes: ``[B, L_mem, 4]`` ltrb boxes (detector coordinates).
           can_bboxes: ``[B, C, 4]`` ltrb candidate boxes.
           sample_mask: ``[B]`` 1 for real tracks, 0 for padded lanes — padded
@@ -165,79 +176,97 @@ class BuscaModel(nn.Module):
             its originating request r < ``num_groups``; BN statistics are
             computed per (request, mem|can) group, so each request's
             numerics equal its own standalone call.
+          mem_feats / can_feats: precomputed ReID features instead of crops
+            (``[B, L_mem, F]`` / ``[U, F]`` with ``can_gather`` or
+            ``[B, C, F]`` without).  The ReID stage is skipped entirely —
+            only meaningful with ``reid_use_batch_stats=False``, where
+            features are batch-independent and can be cached across calls
+            (AssociationEngine ``reid_stats='frozen'``).  Both must be given
+            together.
 
         Returns:
           logits ``[B, C + extras]`` (softmax upstream), and attention list if
           ``return_att``.
         """
         cfg = self.config
-        b, l_mem = mem_crops.shape[0], mem_crops.shape[1]
+        b, l_mem = mem_bboxes.shape[0], mem_bboxes.shape[1]
         c = can_bboxes.shape[1]
         d_model = cfg.trans_dim
         dtype = jnp.dtype(cfg.dtype)
 
-        reid = ReIDResNet(
-            layers=cfg.reid_layers,
-            num_classes=cfg.reid_num_classes,
-            dtype=dtype,
-            name="reid_encoder",
-        )
+        if (mem_feats is None) != (can_feats is None):
+            raise ValueError("mem_feats and can_feats must be given together")
 
-        # ONE ReID pass over memory + candidate crops.  The reference runs
-        # two forwards so BN statistics stay per-group (network.py:192-193);
-        # here the grouped ``sample_mask`` ([N, 2] weights: group 0 = memory,
-        # group 1 = candidates, zero rows = padded lanes) reproduces those
-        # numerics inside a single conv pass — ~8% faster at T=64 on v5e.
-        n_mem = b * l_mem
-        if can_gather is not None:
-            n_can = can_crops.shape[0]  # unique candidate crops
-            can_flat = can_crops
-            w_can = can_weights.astype(jnp.float32)
+        if mem_feats is not None:
+            # Precomputed-feature path (frozen-stats feature caching): skip
+            # the ReID stage; expand unique candidate feats per slot.
+            if can_gather is not None:
+                can_feats = can_feats[can_gather]  # [B, C, F]
         else:
-            n_can = b * c
-            can_flat = can_crops.reshape((n_can,) + can_crops.shape[2:])
-            if sample_mask is not None:
-                w_can = jnp.repeat(sample_mask.astype(jnp.float32), c)
+            reid = ReIDResNet(
+                layers=cfg.reid_layers,
+                num_classes=cfg.reid_num_classes,
+                use_batch_stats=cfg.reid_use_batch_stats,
+                dtype=dtype,
+                name="reid_encoder",
+            )
+
+            # ONE ReID pass over memory + candidate crops.  The reference
+            # runs two forwards so BN statistics stay per-group
+            # (network.py:192-193); here the grouped ``sample_mask`` ([N, 2]
+            # weights: group 0 = memory, group 1 = candidates, zero rows =
+            # padded lanes) reproduces those numerics inside a single conv
+            # pass — ~8% faster at T=64 on v5e.
+            n_mem = b * l_mem
+            if can_gather is not None:
+                n_can = can_crops.shape[0]  # unique candidate crops
+                can_flat = can_crops
+                w_can = can_weights.astype(jnp.float32)
             else:
-                w_can = jnp.ones((n_can,), jnp.float32)
-        flat = jnp.concatenate(
-            [mem_crops.reshape((n_mem,) + mem_crops.shape[2:]), can_flat],
-            axis=0,
-        )
-        if sample_mask is not None:
-            w_mem = jnp.repeat(sample_mask.astype(jnp.float32), l_mem)
-        else:
-            w_mem = jnp.ones((n_mem,), jnp.float32)
-        r = int(num_groups)
-        if mem_group is None:
-            mem_cols = jnp.zeros((n_mem,), jnp.int32)
-        else:
-            mem_cols = jnp.repeat(mem_group.astype(jnp.int32), l_mem)
-        if can_group is not None:
-            can_src = can_group
-        elif mem_group is not None and can_gather is None:
-            can_src = mem_group
-        else:
-            can_src = jnp.zeros((n_can,), jnp.int32)
-        if can_gather is None and can_src.shape[0] == b:
-            can_cols = jnp.repeat(can_src.astype(jnp.int32), c)
-        else:
-            can_cols = can_src.astype(jnp.int32)
-        group_mask = jnp.concatenate(
-            [
-                jax.nn.one_hot(mem_cols, 2 * r, dtype=jnp.float32)
-                * w_mem[:, None],
-                jax.nn.one_hot(can_cols + r, 2 * r, dtype=jnp.float32)
-                * w_can[:, None],
-            ],
-            axis=0,
-        )  # [n_mem + n_can, 2 * num_groups]
-        _, feats = reid(flat, group_mask)
-        mem_feats = feats[:n_mem].reshape(b, l_mem, -1)
-        if can_gather is not None:
-            can_feats = feats[n_mem:][can_gather]  # [B, C, F]
-        else:
-            can_feats = feats[n_mem:].reshape(b, c, -1)
+                n_can = b * c
+                can_flat = can_crops.reshape((n_can,) + can_crops.shape[2:])
+                if sample_mask is not None:
+                    w_can = jnp.repeat(sample_mask.astype(jnp.float32), c)
+                else:
+                    w_can = jnp.ones((n_can,), jnp.float32)
+            flat = jnp.concatenate(
+                [mem_crops.reshape((n_mem,) + mem_crops.shape[2:]), can_flat],
+                axis=0,
+            )
+            if sample_mask is not None:
+                w_mem = jnp.repeat(sample_mask.astype(jnp.float32), l_mem)
+            else:
+                w_mem = jnp.ones((n_mem,), jnp.float32)
+            r = int(num_groups)
+            if mem_group is None:
+                mem_cols = jnp.zeros((n_mem,), jnp.int32)
+            else:
+                mem_cols = jnp.repeat(mem_group.astype(jnp.int32), l_mem)
+            if can_group is not None:
+                can_src = can_group
+            elif mem_group is not None and can_gather is None:
+                can_src = mem_group
+            else:
+                can_src = jnp.zeros((n_can,), jnp.int32)
+            if can_gather is None and can_src.shape[0] == b:
+                can_cols = jnp.repeat(can_src.astype(jnp.int32), c)
+            else:
+                can_cols = can_src.astype(jnp.int32)
+            group_mask = jnp.concatenate(
+                [
+                    jax.nn.one_hot(mem_cols, 2 * r, dtype=jnp.float32)
+                    * w_mem[:, None],
+                    jax.nn.one_hot(can_cols + r, 2 * r, dtype=jnp.float32)
+                    * w_can[:, None],
+                ],
+                axis=0,
+            )  # [n_mem + n_can, 2 * num_groups]
+            _, feats = reid(flat, group_mask)
+            mem_feats = feats[:n_mem].reshape(b, l_mem, -1)
+            if can_gather is not None:
+                can_feats = feats[n_mem:][can_gather]  # [B, C, F]
+            else:
+                can_feats = feats[n_mem:].reshape(b, c, -1)
 
         enc = TorchLinear(cfg.dim_embedding, d_model, name="encoder")
         scale = jnp.sqrt(jnp.asarray(d_model, jnp.float32))

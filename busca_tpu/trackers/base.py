@@ -325,14 +325,16 @@ def extract_uint8_crops(frame, boxes_tlbr, crop_hw, bank=None) -> List[np.ndarra
         rgb_output=False,
         quantize_uint8=True,
     )
-    uids = None
+    from busca_tpu.assoc.bank import next_uid, tag
+
     if bank is not None:
         uids = bank.put_device(crops_dev, n)
+    else:
+        # crops are identity-tagged even without a bank: the frozen-stats
+        # feature cache (assoc/engine.py reid_stats='frozen') keys encoded
+        # features by the same process-wide uid space
+        uids = [next_uid() for _ in range(n)]
     crops = np.asarray(crops_dev).astype(np.uint8)
-    if uids is None:
-        return list(crops[:n])
-    from busca_tpu.assoc.bank import tag
-
     return [tag(crops[i], uids[i]) for i in range(n)]
 
 

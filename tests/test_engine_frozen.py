@@ -1,0 +1,269 @@
+"""Frozen-stats ReID mode (reid_stats='frozen'): feats-path forward parity,
+cross-frame feature-cache correctness, and batched-request equality.
+
+This mode is the opt-in throughput deviation documented in PARITY.md
+"Frozen-stats ReID": BN normalizes with the checkpoint's stored running
+statistics (torch eval mode) instead of the GHOST batch-stat domain
+adaptation, which makes ReID features batch-independent and therefore
+cacheable across frames.  Within the mode, caching must be semantics-free:
+results never depend on cache warmth, capacity, or eviction.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from busca_tpu.assoc.bank import next_uid, tag
+from busca_tpu.assoc.engine import AssociationEngine
+from busca_tpu.models.busca import BuscaConfig, BuscaModel
+from busca_tpu.models.reid import ReIDResNet
+from busca_tpu.trackers.base import Track
+
+H, W = 96, 32
+SEQ_LEN, NUM_CAN = 5, 3
+
+CFG = BuscaConfig(
+    num_layer=1,
+    reid_num_classes=5,
+    reid_layers=(1, 1, 1, 1),
+    reid_use_batch_stats=False,
+)
+
+
+def _init_variables(cfg):
+    model = BuscaModel(cfg)
+    mem = np.zeros((1, SEQ_LEN, H, W, 3), np.float32)
+    can = np.zeros((1, NUM_CAN, H, W, 3), np.float32)
+    boxes_m = np.tile(np.array([0, 0, 10, 10], np.float32), (1, SEQ_LEN, 1))
+    boxes_c = np.tile(np.array([0, 0, 10, 10], np.float32), (1, NUM_CAN, 1))
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), mem, can, boxes_m, boxes_c
+    )
+    # non-trivial running stats so frozen mode is distinguishable from the
+    # init defaults (zero mean / unit var)
+    rng = np.random.RandomState(3)
+    variables = jax.tree_util.tree_map_with_path(
+        lambda path, x: (
+            np.abs(rng.randn(*x.shape)).astype(np.float32) + 0.5
+            if "running_var" in str(path)
+            else (
+                rng.randn(*x.shape).astype(np.float32) * 0.1
+                if "running_mean" in str(path)
+                else x
+            )
+        ),
+        variables,
+    )
+    return model, variables
+
+
+@pytest.fixture(scope="module", name="setup")
+def _setup():
+    return _init_variables(CFG)
+
+
+def _frozen_engine(setup, **kw):
+    _, variables = setup
+    return AssociationEngine(
+        CFG,
+        variables,
+        seq_len=SEQ_LEN,
+        num_candidates=NUM_CAN,
+        crop_hw=(H, W),
+        buckets=(1, 2, 4, 8),
+        reid_stats="frozen",
+        **kw,
+    )
+
+
+def _tagged_crop(rng):
+    return tag(rng.randint(0, 255, (H, W, 3), dtype=np.uint8), next_uid())
+
+
+def _track(rng, n_mem, scale=1.0, base_xy=(50, 60)):
+    t = Track(
+        np.array([base_xy[0], base_xy[1], 30, 60], dtype=np.float64),
+        0.9,
+        image=_tagged_crop(rng),
+        scale=scale,
+    )
+    for i in range(n_mem - 1):
+        t.images_mem.append(_tagged_crop(rng))
+        t.tlwh_mem.append(
+            np.array(
+                [base_xy[0] + 2 * i, base_xy[1], 30, 60], dtype=np.float64
+            )
+        )
+    t.activate(1)
+    return t
+
+
+def _det(rng, xy):
+    return Track(
+        np.array([xy[0], xy[1], 30, 60], dtype=np.float64),
+        0.8,
+        image=_tagged_crop(rng),
+        scale=1.0,
+    )
+
+
+def _scene(rng, n_tracks=3, n_dets=4):
+    tracks = [
+        _track(rng, SEQ_LEN + 1 + i, base_xy=(40 + 30 * i, 60))
+        for i in range(n_tracks)
+    ]
+    tracks[-1] = _track(rng, 2, base_xy=(160, 60))  # incomplete memory
+    dets = [_det(rng, (45 + 28 * i, 62)) for i in range(n_dets)]
+    kal = [
+        Track(t.tlwh, 0.10000001, _tagged_crop(rng), 1.0) for t in tracks
+    ]
+    return tracks, dets, kal
+
+
+def test_frozen_requires_batch_stats():
+    with pytest.raises(ValueError, match="batch_stats"):
+        AssociationEngine(
+            CFG, {"params": {}}, crop_hw=(H, W), reid_stats="frozen"
+        )
+
+
+def test_model_feats_path_matches_crops_path(setup):
+    """Feeding precomputed frozen ReID features reproduces the crops-path
+    forward (the feats path is an execution split, not a semantic change)."""
+    model, variables = setup
+    rng = np.random.RandomState(11)
+    b = 2
+    mem_crops = rng.rand(b, SEQ_LEN, H, W, 3).astype(np.float32)
+    can_crops = rng.rand(b, NUM_CAN, H, W, 3).astype(np.float32)
+    mem_boxes = rng.uniform(0, 200, (b, SEQ_LEN, 4)).astype(np.float32)
+    can_boxes = rng.uniform(0, 200, (b, NUM_CAN, 4)).astype(np.float32)
+    mem_boxes[..., 2:] += 220
+    can_boxes[..., 2:] += 220
+
+    logits_crops = model.apply(
+        variables, mem_crops, can_crops, mem_boxes, can_boxes
+    )
+
+    reid = ReIDResNet(
+        layers=CFG.reid_layers,
+        num_classes=CFG.reid_num_classes,
+        use_batch_stats=False,
+    )
+    reid_vars = {
+        "params": variables["params"]["reid_encoder"],
+        "batch_stats": variables["batch_stats"]["reid_encoder"],
+    }
+    _, mem_feats = reid.apply(
+        reid_vars, mem_crops.reshape(-1, H, W, 3)
+    )
+    _, can_feats = reid.apply(
+        reid_vars, can_crops.reshape(-1, H, W, 3)
+    )
+    logits_feats = model.apply(
+        variables,
+        None,
+        None,
+        mem_boxes,
+        can_boxes,
+        mem_feats=np.asarray(mem_feats).reshape(b, SEQ_LEN, -1),
+        can_feats=np.asarray(can_feats).reshape(b, NUM_CAN, -1),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_feats), np.asarray(logits_crops),
+        rtol=0, atol=2e-5,
+    )
+
+
+def test_frozen_cache_warmth_invariance(setup):
+    """Identical request scored with a cold vs warm cache gives identical
+    results, and the warm pass encodes strictly fewer crops."""
+    rng = np.random.RandomState(5)
+    tracks, dets, kal = _scene(rng)
+
+    eng = _frozen_engine(setup)
+    calls = []
+    inner = eng._encode
+    eng._encode = lambda v, c, **kw: calls.append(c.shape[0]) or inner(
+        v, c, **kw
+    )
+
+    cold, rel_cold = eng.associate(
+        tracks, dets, extra_kalman_candidates=kal,
+        select_highest_candidate=False,
+    )
+    n_cold_calls = len(calls)
+    warm, rel_warm = eng.associate(
+        tracks, dets, extra_kalman_candidates=kal,
+        select_highest_candidate=False,
+    )
+    assert len(calls) == n_cold_calls  # everything was cached
+    np.testing.assert_array_equal(warm, cold)
+    np.testing.assert_array_equal(rel_warm, rel_cold)
+
+
+def test_frozen_cache_eviction_invariance(setup):
+    """A 2-slot cache (constant eviction) scores identically to the default
+    capacity — capacity affects speed, never results."""
+    rng = np.random.RandomState(6)
+    tracks, dets, kal = _scene(rng)
+    big = _frozen_engine(setup)
+    tiny = _frozen_engine(setup, feat_cache_slots=2)
+    kw = dict(extra_kalman_candidates=kal, select_highest_candidate=False)
+    p_big, _ = big.associate(tracks, dets, **kw)
+    p_big2, _ = big.associate(tracks, dets, **kw)  # warm
+    p_tiny, _ = tiny.associate(tracks, dets, **kw)
+    p_tiny2, _ = tiny.associate(tracks, dets, **kw)  # evicted + re-encoded
+    np.testing.assert_allclose(p_tiny, p_big, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(p_tiny2, p_big2, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(p_big2, p_big, rtol=0, atol=1e-6)
+
+
+def test_frozen_associate_many_matches_single(setup):
+    """The batched multi-request path equals per-request standalone calls
+    (no BN coupling exists in frozen mode by construction)."""
+    rng = np.random.RandomState(8)
+    scenes = [_scene(rng, n_tracks=2, n_dets=3) for _ in range(3)]
+    kw = dict(select_highest_candidate=False)
+
+    batched_eng = _frozen_engine(setup)
+    requests = [(t, d, None, k) for t, d, k in scenes]
+    batched = batched_eng.associate_many(requests, **kw)
+
+    single_eng = _frozen_engine(setup)
+    for (tracks, dets, kal), (p_b, r_b) in zip(scenes, batched):
+        p_s, r_s = single_eng.associate(
+            tracks, dets, extra_kalman_candidates=kal, **kw
+        )
+        np.testing.assert_allclose(p_b, p_s, rtol=0, atol=1e-5)
+        np.testing.assert_array_equal(r_b, r_s)
+
+
+def test_frozen_differs_from_batch_mode(setup):
+    """Sanity: frozen mode is a real semantic change (running stats differ
+    from batch statistics), so probabilities must differ from batch mode."""
+    model, variables = setup
+    rng = np.random.RandomState(9)
+    tracks, dets, kal = _scene(rng)
+    frozen = _frozen_engine(setup)
+    batch = AssociationEngine(
+        BuscaConfig(
+            num_layer=1, reid_num_classes=5, reid_layers=(1, 1, 1, 1)
+        ),
+        {"params": variables["params"]},
+        seq_len=SEQ_LEN,
+        num_candidates=NUM_CAN,
+        crop_hw=(H, W),
+        buckets=(1, 2, 4, 8),
+    )
+    kw = dict(extra_kalman_candidates=kal, select_highest_candidate=False)
+    p_f, _ = frozen.associate(tracks, dets, **kw)
+    p_b, _ = batch.associate(tracks, dets, **kw)
+    # probabilities can be tiny with random weights, so compare relatively:
+    # the two normalization modes must disagree beyond numeric noise
+    assert not np.allclose(p_f, p_b, rtol=0.5, atol=1e-30)
+
+
+def test_frozen_montage_rejected(setup):
+    with pytest.raises(ValueError, match="montage"):
+        _frozen_engine(setup, debug_dir="/tmp/nope")

@@ -294,6 +294,48 @@ class TrackingClient:
         return reply
 
 
+def build_tracker_runtime(args):
+    """Engine + per-stream tracker factory from parsed CLI args.
+
+    Shared by :func:`main` and unit-tested directly
+    (tests/test_server.py): the ``--use-busca`` wiring once kept
+    ``build_engine``'s ``(engine, tracker_kwargs)`` tuple as the engine
+    and dropped the YAML's tracker kwargs.  Mirrors the eval CLI's
+    composition (eval/run.py): the YAML bundle's tracker kwargs apply
+    first, explicit CLI flags win.
+    """
+    engine, busca_kwargs = None, {}
+    if args.use_busca:
+        from busca_tpu.eval.run import build_engine
+
+        engine, busca_kwargs = build_engine(
+            args.busca_config, args.busca_ckpt,
+            dtype=getattr(args, "busca_dtype", None),
+            reid_stats=getattr(args, "reid_stats", "batch"),
+        )
+        busca_kwargs["use_busca"] = True
+
+    from busca_tpu.eval.run import make_tracker, shim_for_runner
+
+    feature_extractor = None
+    if args.reid_ckpt:
+        from busca_tpu.eval.features import ReidFeatureExtractor
+
+        feature_extractor = ReidFeatureExtractor.from_checkpoint(
+            args.reid_ckpt
+        )
+
+    def factory():
+        trk = make_tracker(
+            args.tracker,
+            {**busca_kwargs, "track_thresh": args.track_thresh},
+            engine,
+        )
+        return shim_for_runner(args.tracker, trk, feature_extractor)
+
+    return engine, factory
+
+
 def main(argv=None):
     """``python -m busca_tpu.serve.server`` — serve a detector+tracker on a
     unix socket.  ``--detector-artifact`` loads an AOT artifact; otherwise a
@@ -325,6 +367,15 @@ def main(argv=None):
     p.add_argument("--use-busca", action="store_true")
     p.add_argument("--busca-config", default=None)
     p.add_argument("--busca-ckpt", default=None)
+    p.add_argument("--busca-dtype", default=None,
+                   help="override the YAML compute dtype (e.g. float32 "
+                        "for bit-faithful parity; default bfloat16)")
+    p.add_argument("--reid-stats", choices=("batch", "frozen"),
+                   default="batch",
+                   help="'batch' = reference batch-stat BN domain "
+                        "adaptation; 'frozen' = stored running stats + "
+                        "cross-frame feature caching (opt-in throughput "
+                        "mode, PARITY.md 'Frozen-stats ReID')")
     p.add_argument("--max-connections", type=int, default=None)
     p.add_argument("--min-box-area", type=float, default=None,
                    help="output filter (mot_evaluator.py:216-221); default "
@@ -344,6 +395,9 @@ def main(argv=None):
                    help="shard the lockstep batch over a dp-way device mesh "
                         "(multi-chip serving; needs a live --detector)")
     args = p.parse_args(argv)
+
+    if args.use_busca and not args.busca_config:
+        p.error("--use-busca requires --busca-config")
 
     if args.detector_artifact:
         import json as _json
@@ -421,27 +475,7 @@ def main(argv=None):
         p.error("--lockstep-dp needs a live --detector (artifacts are "
                 "compiled without mesh shardings)")
 
-    engine = None
-    if args.use_busca:
-        from busca_tpu.eval.run import build_engine
-
-        engine = build_engine(args.busca_config, args.busca_ckpt)
-
-    from busca_tpu.eval.run import make_tracker, shim_for_runner
-
-    feature_extractor = None
-    if args.reid_ckpt:
-        from busca_tpu.eval.features import ReidFeatureExtractor
-
-        feature_extractor = ReidFeatureExtractor.from_checkpoint(
-            args.reid_ckpt
-        )
-
-    def factory():
-        trk = make_tracker(
-            args.tracker, {"track_thresh": args.track_thresh}, engine
-        )
-        return shim_for_runner(args.tracker, trk, feature_extractor)
+    engine, factory = build_tracker_runtime(args)
 
     # output-filter defaults follow the matching eval loop: the BYTE-family
     # runner applies the mot_evaluator filter; track_frames_centertrack

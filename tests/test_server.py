@@ -349,3 +349,56 @@ def test_server_centertrack_matches_inprocess_loop():
         for i in want:
             np.testing.assert_allclose(have[i], want[i], rtol=1e-5,
                                        atol=1e-4)
+
+
+def test_build_tracker_runtime_unpacks_engine(monkeypatch):
+    """CLI --use-busca wiring: build_engine returns (engine, tracker_kwargs)
+    — the runtime must hand the ENGINE (not the tuple) to the tracker and
+    apply the YAML bundle's tracker kwargs, with explicit CLI flags winning
+    (regression: the tuple was once passed through as the engine)."""
+    import types
+
+    import busca_tpu.eval.run as run_mod
+    from busca_tpu.serve.server import build_tracker_runtime
+
+    sentinel = object()
+    seen = {}
+
+    def fake_build_engine(config_path, ckpt, dtype=None, reid_stats="batch",
+                          **kw):
+        seen.update(config=config_path, ckpt=ckpt, dtype=dtype,
+                    reid_stats=reid_stats)
+        return sentinel, {"seq_len": 7, "busca_thresh": 0.4,
+                          "track_thresh": 0.9}
+
+    monkeypatch.setattr(run_mod, "build_engine", fake_build_engine)
+    args = types.SimpleNamespace(
+        use_busca=True, busca_config="cfg.yml", busca_ckpt=None,
+        busca_dtype="float32", reid_stats="frozen", reid_ckpt=None,
+        tracker="byte", track_thresh=0.3,
+    )
+    engine, factory = build_tracker_runtime(args)
+    assert engine is sentinel
+    assert seen == {"config": "cfg.yml", "ckpt": None, "dtype": "float32",
+                    "reid_stats": "frozen"}
+    trk = factory()
+    assert trk.engine is sentinel
+    assert trk.cfg.use_busca is True
+    assert trk.cfg.seq_len == 7  # YAML bundle kwargs applied
+    assert trk.cfg.busca_thresh == 0.4
+    assert trk.cfg.track_thresh == 0.3  # CLI flag wins over the YAML
+
+
+def test_build_tracker_runtime_no_busca():
+    import types
+
+    from busca_tpu.serve.server import build_tracker_runtime
+
+    args = types.SimpleNamespace(
+        use_busca=False, reid_ckpt=None, tracker="byte", track_thresh=0.45,
+    )
+    engine, factory = build_tracker_runtime(args)
+    assert engine is None
+    trk = factory()
+    assert trk.engine is None
+    assert trk.cfg.track_thresh == 0.45

@@ -1105,8 +1105,10 @@ def main():
                 "error": error,
                 "note": "environmental failure, not a regression — "
                         "`recorded` = last successful v5e measurements "
-                        "(2026-08-17, this repo @ r3; full context in "
-                        "README.md 'Performance' and PARITY.md)",
+                        "(see recorded_date; full context in README.md "
+                        "'Performance' and PARITY.md); stale if "
+                        "recorded_date predates the latest perf commit",
+                "recorded_date": "2026-08-17",
                 "recorded": {
                     "e2e_frames_per_s_pipelined": 100.0,
                     "e2e_frames_per_s_serial": 72.0,
@@ -1305,14 +1307,7 @@ def main():
         assoc_64_bf16["flops"] / (assoc_64_bf16["ms"] / 1e3) / peak
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_frames_per_s",
-                "value": round(prod_fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(vs, 1) if vs else None,
-                "detail": {
+    full_detail = {
                     "platform": device.platform,
                     "device_kind": str(getattr(device, "device_kind", "?")),
                     "pipeline": "1080p -> preproc -> YOLOX-X bf16 (800x1440)"
@@ -1448,10 +1443,44 @@ def main():
                             "(enabled only in MOT17 configs) adds a "
                             "measured 148 ms/pair host-side cv2 call per "
                             "third-round frame, overlappable in lockstep.",
-                },
-            }
-        )
+    }
+    # Full record first (everything above), then a COMPACT summary as the
+    # FINAL line: the driver keeps only the last ~2000 chars of stdout, and
+    # r3's huge `note` string pushed the headline out of the tail
+    # (VERDICT r3 Weak #1).  The last line must always parse on its own and
+    # carry the round's numbers.
+    print(json.dumps({
+        "metric": "e2e_frames_per_s",
+        "value": round(prod_fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 1) if vs else None,
+        "detail": full_detail,
+    }), flush=True)
+    compact_keys = (
+        "e2e_ms_per_frame", "e2e_serial_frames_per_s",
+        "detector_device_ms", "detector_mfu_pct",
+        "lockstep_device_fps",
+        "e2e_busca_frames_per_s", "e2e_busca_serial_frames_per_s",
+        "e2e_busca_lockstep_frames_per_s", "e2e_busca_frozen_frames_per_s",
+        "assoc_ms_T64_D30_dedup_bf16", "assoc_tracks_per_s_T64_dedup_bf16",
+        "assoc_ms_T64_D30_frozen_steady_bf16",
+        "assoc_tracks_per_s_T64_frozen_bf16",
+        "busca_device_ms_per_frame", "busca_tracker_ms_per_frame",
+        "host_tracker_ms_per_frame",
+        "torch_cpu_detector_s_per_frame", "torch_cpu_threads",
+        "baseline_e2e_fps",
     )
+    print(json.dumps({
+        "metric": "e2e_frames_per_s",
+        "value": round(prod_fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 1) if vs else None,
+        "detail": {
+            **{k: full_detail[k] for k in compact_keys if k in full_detail},
+            "note": "compact tail summary; the full record with "
+                    "methodology is the previous line",
+        },
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -325,12 +325,17 @@ def build_tracker_runtime(args):
             args.reid_ckpt
         )
 
+    # Explicit CLI flags win; an unset --track-thresh falls back to the
+    # YAML bundle's value (parity with the eval CLI, which has no such
+    # flag) and finally to ByteTrack's 0.6 default.
+    tracker_kwargs = dict(busca_kwargs)
+    if getattr(args, "track_thresh", None) is not None:
+        tracker_kwargs["track_thresh"] = args.track_thresh
+    elif "track_thresh" not in tracker_kwargs:
+        tracker_kwargs["track_thresh"] = 0.6
+
     def factory():
-        trk = make_tracker(
-            args.tracker,
-            {**busca_kwargs, "track_thresh": args.track_thresh},
-            engine,
-        )
+        trk = make_tracker(args.tracker, dict(tracker_kwargs), engine)
         return shim_for_runner(args.tracker, trk, feature_extractor)
 
     return engine, factory
@@ -360,16 +365,20 @@ def main(argv=None):
     p.add_argument("--test-w", type=int, default=1440)
     p.add_argument("--det-conf", type=float, default=0.1)
     p.add_argument("--tracker", default="byte")
-    p.add_argument("--track-thresh", type=float, default=0.6)
+    p.add_argument("--track-thresh", type=float, default=None,
+                   help="first-round score threshold; default = the YAML "
+                        "bundle's value when --use-busca, else 0.6")
     p.add_argument("--reid-ckpt", default=None,
                    help="ReID checkpoint for feature trackers "
                         "(strongsort/ghost/motdt)")
     p.add_argument("--use-busca", action="store_true")
     p.add_argument("--busca-config", default=None)
     p.add_argument("--busca-ckpt", default=None)
-    p.add_argument("--busca-dtype", default=None,
-                   help="override the YAML compute dtype (e.g. float32 "
-                        "for bit-faithful parity; default bfloat16)")
+    p.add_argument("--busca-dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"),
+                   help="BUSCA compute dtype: bfloat16 (MXU-native "
+                        "production default, matches the eval CLI) or "
+                        "float32 for bit-faithful parity")
     p.add_argument("--reid-stats", choices=("batch", "frozen"),
                    default="batch",
                    help="'batch' = reference batch-stat BN domain "

@@ -402,3 +402,66 @@ def test_build_tracker_runtime_no_busca():
     trk = factory()
     assert trk.engine is None
     assert trk.cfg.track_thresh == 0.45
+
+
+def test_build_tracker_runtime_yaml_track_thresh_wins_when_flag_unset(
+        monkeypatch):
+    """An unset --track-thresh (None) must honor the YAML bundle's tuned
+    value instead of silently overriding it with the argparse default
+    (ADVICE r3: serve once always injected 0.6)."""
+    import types
+
+    import busca_tpu.eval.run as run_mod
+    from busca_tpu.serve.server import build_tracker_runtime
+
+    def fake_build_engine(config_path, ckpt, dtype=None, reid_stats="batch",
+                          **kw):
+        return object(), {"track_thresh": 0.9}
+
+    monkeypatch.setattr(run_mod, "build_engine", fake_build_engine)
+    args = types.SimpleNamespace(
+        use_busca=True, busca_config="cfg.yml", busca_ckpt=None,
+        busca_dtype="bfloat16", reid_stats="batch", reid_ckpt=None,
+        tracker="byte", track_thresh=None,
+    )
+    _, factory = build_tracker_runtime(args)
+    assert factory().cfg.track_thresh == 0.9
+
+    # ... and with no YAML value either, the 0.6 ByteTrack default applies.
+    monkeypatch.setattr(run_mod, "build_engine",
+                        lambda *a, **k: (object(), {}))
+    _, factory = build_tracker_runtime(args)
+    assert factory().cfg.track_thresh == 0.6
+
+
+def test_serve_cli_busca_dtype_default_matches_eval():
+    """--busca-dtype defaults to bfloat16 like the eval CLI (ADVICE r3:
+    the serve default silently fell through to float32)."""
+    import argparse
+
+    from busca_tpu.serve import server as server_mod
+
+    # Pull the parser default without running main(): rebuild the argparse
+    # surface by calling main with --help would exit; instead parse a
+    # minimal argv and inspect.
+    p = argparse.ArgumentParser()
+    # reuse main's parser by monkeypatching parse_args is heavier; simply
+    # run main's parser construction path via a probe argv.
+    import unittest.mock as mock
+
+    captured = {}
+
+    real_parse = argparse.ArgumentParser.parse_args
+
+    def spy(self, argv=None):
+        ns = real_parse(self, argv)
+        captured.update(vars(ns))
+        raise SystemExit(0)  # stop before any server work
+
+    with mock.patch.object(argparse.ArgumentParser, "parse_args", spy):
+        try:
+            server_mod.main(["--socket", "/tmp/x.sock"])
+        except SystemExit:
+            pass
+    assert captured.get("busca_dtype") == "bfloat16"
+    assert captured.get("track_thresh") is None

@@ -1,0 +1,357 @@
+"""Quantifying the frozen-stats ReID deviation (``reid_stats='frozen'``).
+
+The frozen-stats serving mode (PARITY.md "Frozen-stats ReID") replaces the
+reference's batch-stat BN domain adaptation (busca/network.py:554-556) with
+the checkpoint's stored running statistics so features become cacheable
+across frames — a 6.3x third-round speedup, but a real accuracy deviation.
+This module measures HOW MUCH of one, on the synthetic benchmarks that are
+runnable in this environment:
+
+- **decision-flip rate**: every third-round association is scored by BOTH
+  engines at identical inputs (the tracker state is driven by the
+  reference-exact batch mode); flips = rows whose argmax candidate differs,
+  plus rows whose rescue verdict (Kalman column > ``busca_thresh``) differs.
+- **metric delta**: the dropout-rescue benchmark tracked end-to-end in each
+  mode (MOTA / HOTA / IDF1 / FN / ID-switch deltas).
+
+Running statistics for the demo-trained model come from
+:func:`calibrate_batch_stats`: the exact population statistics of a
+calibration crop set, pooled per BN while the net runs in batch-stat mode —
+the same quantity a torch training run accumulates as its BN running
+averages (converted ``.pth`` checkpoints carry these directly).
+
+CLI::
+
+    python -m busca_tpu.eval.frozen_delta
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional, Sequence
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Running-statistics calibration
+# ---------------------------------------------------------------------------
+
+def calibrate_batch_stats(config, params, crop_batches: Iterable[np.ndarray]):
+    """Estimate frozen-mode running BN statistics from calibration crops.
+
+    Args:
+      config: the :class:`BuscaConfig` the params belong to.
+      params: the BuscaModel params (``variables["params"]``), containing
+        ``reid_encoder``.
+      crop_batches: iterable of *prepped* crops ``[N, H, W, 3]`` float32 in
+        model-input space (GHOST-normalized, RGB) — e.g. the training
+        distribution.  Statistics are pooled exactly across all batches.
+
+    Returns:
+      a ``batch_stats`` tree ``{"reid_encoder": {...}}`` usable as
+      ``AssociationEngine(..., reid_stats="frozen")``'s
+      ``variables["batch_stats"]``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from busca_tpu.models.reid import ReIDResNet
+
+    reid = ReIDResNet(
+        layers=config.reid_layers,
+        num_classes=config.reid_num_classes,
+        use_batch_stats=True,
+        dtype=jnp.dtype(config.dtype),
+    )
+    reid_params = params["reid_encoder"]
+
+    @jax.jit
+    def run(p, x):
+        _, muts = reid.apply({"params": p}, x, mutable=["bn_calib"])
+        return muts["bn_calib"]
+
+    is_sow = lambda v: isinstance(v, tuple)  # noqa: E731  (flax sow tuples)
+    total = None
+    shape_hw = None
+    for batch in crop_batches:
+        batch = np.asarray(batch, np.float32)
+        shape_hw = batch.shape[1:3]
+        calib = jax.device_get(run(reid_params, jnp.asarray(batch)))
+        calib = jax.tree_util.tree_map(
+            lambda v: np.asarray(v[0], np.float64), calib, is_leaf=is_sow
+        )
+        if total is None:
+            total = calib
+        else:
+            total = jax.tree_util.tree_map(np.add, total, calib)
+    if total is None:
+        raise ValueError("calibrate_batch_stats needs at least one batch")
+
+    def to_running(tree):
+        if isinstance(tree, dict) and {"count", "sum_x", "sum_x2"} <= set(tree):
+            n = float(np.asarray(tree["count"]).reshape(()))
+            mean = tree["sum_x"] / n
+            var = np.maximum(tree["sum_x2"] / n - np.square(mean), 0.0)
+            return {
+                "running_mean": jnp.asarray(mean, jnp.float32),
+                "running_var": jnp.asarray(var, jnp.float32),
+            }
+        return {k: to_running(v) for k, v in tree.items()}
+
+    stats = to_running(total)
+
+    # structural check against what the frozen model actually declares
+    frozen = ReIDResNet(
+        layers=config.reid_layers,
+        num_classes=config.reid_num_classes,
+        use_batch_stats=False,
+        dtype=jnp.dtype(config.dtype),
+    )
+    h, w = shape_hw
+    shapes = jax.eval_shape(
+        frozen.init, jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32)
+    )
+    want = jax.tree_util.tree_structure(shapes["batch_stats"])
+    got = jax.tree_util.tree_structure(stats)
+    if want != got:
+        raise RuntimeError(
+            f"calibrated batch_stats structure mismatch:\n{got}\nvs\n{want}"
+        )
+    return {"reid_encoder": stats}
+
+
+# ---------------------------------------------------------------------------
+# Dual-engine decision recorder
+# ---------------------------------------------------------------------------
+
+class DualEngine:
+    """Score every association through BOTH engines at identical inputs.
+
+    The tracker's state is driven by the *batch* (reference-exact) result;
+    the frozen result is only compared, so flip counts measure the deviation
+    at identical tracker states — the decision-flip rate VERDICT r3 asked
+    for.  Drop-in for ``AssociationEngine`` where trackers use it
+    (``associate`` + ``center_distances``).
+    """
+
+    def __init__(self, batch_engine, frozen_engine, rescue_thresh: float = 0.5):
+        self.batch = batch_engine
+        self.frozen = frozen_engine
+        self.rescue_thresh = float(rescue_thresh)
+        self.stats = {
+            "calls": 0,
+            "rows": 0,                 # reliable decision rows compared
+            "argmax_flips": 0,         # rows whose winning candidate differs
+            "rescue_rows": 0,          # rows with a Kalman column
+            "rescue_flips": 0,         # rows whose rescue verdict differs
+            "rescues_batch": 0,
+            "rescues_frozen": 0,
+        }
+
+    # trackers fetch either name (trackers/base.py:363-365)
+    def center_distances(self, tracks, dets):
+        return self.batch.center_distances(tracks, dets)
+
+    _center_distances = center_distances
+
+    def associate(self, tracks, dets, dists_matrix=None, **kw):
+        pb, rb = self.batch.associate(tracks, dets, dists_matrix, **kw)
+        pf, rf = self.frozen.associate(tracks, dets, dists_matrix, **kw)
+        if pb is None or pf is None:
+            return pb, rb
+        self.stats["calls"] += 1
+        n_dets = len(dets)
+        s = self.stats
+        for i in range(pb.shape[0]):
+            if not rb[i]:
+                continue
+            s["rows"] += 1
+            if int(np.argmax(pb[i])) != int(np.argmax(pf[i])):
+                s["argmax_flips"] += 1
+            kal_col = n_dets + i
+            if kal_col < pb.shape[1]:
+                s["rescue_rows"] += 1
+                wb = pb[i, kal_col] > self.rescue_thresh
+                wf = pf[i, kal_col] > self.rescue_thresh
+                s["rescues_batch"] += int(wb)
+                s["rescues_frozen"] += int(wf)
+                s["rescue_flips"] += int(wb != wf)
+        return pb, rb
+
+    def summary(self) -> Dict[str, float]:
+        s = dict(self.stats)
+        s["argmax_flip_rate"] = (
+            s["argmax_flips"] / s["rows"] if s["rows"] else 0.0
+        )
+        s["rescue_flip_rate"] = (
+            s["rescue_flips"] / s["rescue_rows"] if s["rescue_rows"] else 0.0
+        )
+        return s
+
+
+# ---------------------------------------------------------------------------
+# The measurement harness
+# ---------------------------------------------------------------------------
+
+def _random_dropout_sequence(seed: int, num_frames: int):
+    """A randomized multi-object sequence with one dropout window."""
+    from busca_tpu.eval.synthetic import SyntheticObject, SyntheticSequence
+
+    rng = np.random.RandomState(seed)
+    colors = [
+        np.array([40, 200, 60], np.float64),
+        np.array([210, 60, 180], np.float64),
+        np.array([60, 120, 230], np.float64),
+    ]
+    objs = []
+    for i, color in enumerate(colors):
+        x0 = float(rng.uniform(20, 300))
+        y0 = float(rng.uniform(40, 160))
+        vx = float(rng.uniform(-3, 3))
+        vy = float(rng.uniform(-1, 1))
+        w = float(rng.uniform(30, 45))
+        h = float(rng.uniform(60, 90))
+        drop = (0, 0)
+        if i == 0:
+            start = int(rng.randint(10, max(11, num_frames // 2)))
+            drop = (start, min(start + 6, num_frames - 4))
+        objs.append(SyntheticObject(color=color, x0=x0, y0=y0, vx=vx, vy=vy,
+                                    w=w, h=h, dropout=drop))
+    return SyntheticSequence(objs, num_frames=num_frames, seed=seed)
+
+
+def _track_sequence(seq, engine, *, seq_len, num_candidates, crop_hw):
+    from busca_tpu.eval.metrics import evaluate_hota
+    from busca_tpu.eval.runner import (
+        evaluate_sequence,
+        results_to_pred,
+        run_sequence,
+    )
+    from busca_tpu.trackers.byte import ByteTracker, ByteTrackerConfig
+
+    cfg = ByteTrackerConfig(
+        use_busca=engine is not None, seq_len=seq_len,
+        num_candidates=num_candidates, crop_hw=crop_hw,
+        use_broader_memory=False,  # demo model trained on consecutive mems
+    )
+    tracker = ByteTracker(cfg, assoc_engine=engine)
+    n = seq.num_frames
+    dets = [seq.detections(t) for t in range(n)]
+    res = run_sequence(tracker, (seq.frame(t) for t in range(n)), dets)
+    gt = seq.ground_truth()
+    m = evaluate_sequence(res, gt)
+    h = evaluate_hota(gt, results_to_pred(res))
+    return {"mota": m.mota, "idf1": m.idf1, "hota": h["hota"],
+            "fn": m.num_misses, "ids": m.num_switches}
+
+
+def measure_frozen_delta(
+    steps: int = 60,
+    train_batch: int = 12,
+    seed: int = 3,
+    num_frames: int = 40,
+    seq_seeds: Sequence[int] = (0, 1, 2),
+    calib_batches: int = 8,
+    cfg=None,
+    params=None,
+) -> dict:
+    """Run the full frozen-vs-batch deviation measurement.
+
+    Trains the demo model (or takes ``cfg``/``params``), calibrates frozen
+    running statistics on the training distribution, then for each synthetic
+    dropout sequence runs: base (no BUSCA), batch mode (with the dual
+    recorder scoring frozen in parallel), and frozen mode end-to-end.
+    """
+    from busca_tpu.assoc.engine import AssociationEngine
+    from busca_tpu.train.data import EpisodeSpec, synthetic_batch
+    from busca_tpu.train.demo import train_demo_model
+    from busca_tpu.trackers.byte import ByteTrackerConfig
+
+    seq_len, num_candidates, crop_hw = 3, 2, (64, 32)
+    train_metrics = {}
+    if cfg is None or params is None:
+        cfg, params, train_metrics = train_demo_model(
+            steps=steps, batch=train_batch, seed=seed,
+            seq_len=seq_len, num_candidates=num_candidates, crop_hw=crop_hw,
+        )
+
+    spec = EpisodeSpec(batch=16, seq_len=seq_len,
+                       num_candidates=num_candidates, crop_hw=crop_hw)
+    rng = np.random.RandomState(seed + 100)
+    h, w = crop_hw
+    batches = []
+    for _ in range(calib_batches):
+        b = synthetic_batch(rng, spec)
+        batches.append(np.concatenate([
+            b["mem_crops"].reshape(-1, h, w, 3),
+            b["can_crops"].reshape(-1, h, w, 3),
+        ]))
+    batch_stats = calibrate_batch_stats(cfg, params, batches)
+
+    eng_kw = dict(seq_len=seq_len, num_candidates=num_candidates,
+                  crop_hw=crop_hw, buckets=(1, 2, 4))
+    eng_batch = AssociationEngine(cfg, {"params": params}, **eng_kw)
+    eng_frozen = AssociationEngine(
+        cfg, {"params": params, "batch_stats": batch_stats},
+        reid_stats="frozen", **eng_kw,
+    )
+    dual = DualEngine(eng_batch, eng_frozen,
+                      rescue_thresh=ByteTrackerConfig.busca_thresh)
+
+    per_seq = {"base": [], "batch": [], "frozen": []}
+    for s in seq_seeds:
+        seq = _random_dropout_sequence(int(s), num_frames)
+        seq_kw = dict(seq_len=seq_len, num_candidates=num_candidates,
+                      crop_hw=crop_hw)
+        per_seq["base"].append(_track_sequence(seq, None, **seq_kw))
+        # batch-mode run, with the frozen engine scored at identical inputs
+        per_seq["batch"].append(_track_sequence(seq, dual, **seq_kw))
+        per_seq["frozen"].append(_track_sequence(seq, eng_frozen, **seq_kw))
+
+    def agg(rows):
+        keys = ("mota", "idf1", "hota", "fn", "ids")
+        return {k: float(np.mean([r[k] for r in rows])) for k in keys}
+
+    metrics = {tag: agg(rows) for tag, rows in per_seq.items()}
+    delta = {
+        k: metrics["frozen"][k] - metrics["batch"][k]
+        for k in ("mota", "idf1", "hota", "fn", "ids")
+    }
+    return {
+        "train": train_metrics,
+        "flip": dual.summary(),
+        "metrics": metrics,
+        "per_sequence": per_seq,
+        "delta": delta,
+    }
+
+
+def main():
+    out = measure_frozen_delta()
+    f = out["flip"]
+    print(f"train: {out['train']}")
+    print(
+        f"decisions: {f['rows']} rows over {f['calls']} calls | "
+        f"argmax flips {f['argmax_flips']} ({f['argmax_flip_rate']:.1%}) | "
+        f"rescue flips {f['rescue_flips']}/{f['rescue_rows']} "
+        f"({f['rescue_flip_rate']:.1%}) | "
+        f"rescues batch={f['rescues_batch']} frozen={f['rescues_frozen']}"
+    )
+    for tag in ("base", "batch", "frozen"):
+        m = out["metrics"][tag]
+        print(
+            f"{tag:6s} MOTA={m['mota']:.3f} IDF1={m['idf1']:.3f} "
+            f"HOTA={m['hota']:.3f} FN={m['fn']:.1f} IDs={m['ids']:.1f}"
+        )
+    d = out["delta"]
+    print(
+        f"frozen-batch delta: MOTA {d['mota']:+.4f} IDF1 {d['idf1']:+.4f} "
+        f"HOTA {d['hota']:+.4f} FN {d['fn']:+.1f} IDs {d['ids']:+.1f}"
+    )
+    import json
+    print(json.dumps({"flip": f, "metrics": out["metrics"],
+                      "delta": d}))
+
+
+if __name__ == "__main__":
+    main()

@@ -46,19 +46,43 @@ class SyntheticSequence:
     det_noise: float = 1.0
     det_score: float = 0.9
     seed: int = 0
+    # global camera drift in px/frame: the viewport pans over a larger
+    # static world, so every frame is a shifted view — the scenario ECC
+    # camera-motion compensation exists for (byte_tracker.py:626-650).
+    # Object/detection/gt coordinates are all in VIEWPORT space.
+    camera_drift: Tuple[float, float] = (0.0, 0.0)
 
     def __post_init__(self):
         rng = np.random.RandomState(self.seed)
+        offs = [self._world_offset(t) for t in range(self.num_frames)]
+        self._x_lo = min(o[0] for o in offs)
+        self._y_lo = min(o[1] for o in offs)
+        pad_x = max(o[0] for o in offs) - self._x_lo
+        pad_y = max(o[1] for o in offs) - self._y_lo
         # static textured background so appearance features are non-trivial
         self._background = rng.randint(
-            0, 80, (self.height, self.width, 3), dtype=np.uint8
+            0, 80, (self.height + pad_y, self.width + pad_x, 3),
+            dtype=np.uint8,
         )
         self._rng = np.random.RandomState(self.seed + 1)
 
+    def _world_offset(self, t: int) -> Tuple[int, int]:
+        """Viewport origin in world coordinates at frame ``t`` (integer so
+        the background texture shifts without resampling)."""
+        return (
+            int(round(self.camera_drift[0] * t)),
+            int(round(self.camera_drift[1] * t)),
+        )
+
     def frame(self, t: int) -> np.ndarray:
-        img = self._background.copy()
+        ox, oy = self._world_offset(t)
+        ax, ay = ox - self._x_lo, oy - self._y_lo
+        img = self._background[
+            ay : ay + self.height, ax : ax + self.width
+        ].copy()
         for obj in self.objects:
             x, y, w, h = obj.box_at(t)
+            x, y = x - ox, y - oy  # world -> viewport
             x1, y1 = int(round(x)), int(round(y))
             x2, y2 = int(round(x + w)), int(round(y + h))
             x1c, x2c = max(x1, 0), min(x2, self.width)
@@ -76,10 +100,12 @@ class SyntheticSequence:
     def detections(self, t: int) -> Tuple[np.ndarray, np.ndarray]:
         """(tlbr [N, 4], scores [N]) with jitter; dropout windows honored."""
         boxes, scores = [], []
+        ox, oy = self._world_offset(t)
+        shift = np.array([ox, oy, 0.0, 0.0])
         for obj in self.objects:
             if not obj.detected_at(t):
                 continue
-            tlwh = obj.box_at(t) + self._rng.randn(4) * self.det_noise
+            tlwh = obj.box_at(t) - shift + self._rng.randn(4) * self.det_noise
             boxes.append(
                 [tlwh[0], tlwh[1], tlwh[0] + tlwh[2], tlwh[1] + tlwh[3]]
             )
@@ -92,9 +118,11 @@ class SyntheticSequence:
         """{frame(1-based): (tlwh [N,4], ids [N])} — visible objects only."""
         gt = {}
         for t in range(self.num_frames):
+            ox, oy = self._world_offset(t)
+            shift = np.array([ox, oy, 0.0, 0.0])
             boxes, ids = [], []
             for oid, obj in enumerate(self.objects, start=1):
-                boxes.append(obj.box_at(t))
+                boxes.append(obj.box_at(t) - shift)
                 ids.append(oid)
             gt[t + 1] = (np.asarray(boxes), np.asarray(ids, int))
         return gt

@@ -25,6 +25,7 @@ from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from busca_tpu.models.transformer import TorchLinear
 
@@ -57,11 +58,23 @@ class BatchNorm(nn.Module):
     eps: float = 1e-5
     use_batch_stats: bool = True
 
+    def _sow_calib(self, count, sum_x, sum_x2):
+        """Calibration aggregates for estimating frozen-mode running
+        statistics (eval/frozen_delta.calibrate_batch_stats): when the
+        ``bn_calib`` collection is mutable, record the batch's masked
+        channel sums so the caller can pool exact population statistics
+        across calibration batches.  No-op (and no extra compute) in
+        ordinary forwards."""
+        self.sow("bn_calib", "count", count)
+        self.sow("bn_calib", "sum_x", sum_x)
+        self.sow("bn_calib", "sum_x2", sum_x2)
+
     @nn.compact
     def __call__(self, x, sample_mask: Optional[jnp.ndarray] = None):
         scale = self.param("weight", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
+        calibrating = self.is_mutable_collection("bn_calib")
         reduce_axes = tuple(range(x.ndim - 1))  # all but channel
         mean = var = None
         if not self.use_batch_stats:
@@ -80,6 +93,10 @@ class BatchNorm(nn.Module):
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=reduce_axes)
             var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+            if calibrating:
+                n = float(np.prod(x.shape[:-1]))
+                self._sow_calib(jnp.asarray(n, jnp.float32),
+                                mean * n, (var + jnp.square(mean)) * n)
         else:
             xf = x.astype(jnp.float32)
             spatial_axes = tuple(range(1, x.ndim - 1))
@@ -94,6 +111,8 @@ class BatchNorm(nn.Module):
                 mean = (w @ s1) / denom  # [C]
                 ex2 = (w @ s2) / denom
                 var = ex2 - jnp.square(mean)
+                if calibrating:
+                    self._sow_calib(jnp.sum(w) * spatial, w @ s1, w @ s2)
             else:
                 # grouped: [N, G] one-hot weights -> per-group stats, then
                 # each sample selects its group's statistics.
@@ -113,6 +132,9 @@ class BatchNorm(nn.Module):
                 shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (self.features,)
                 mean_n = mean_g[ids].reshape(shape)
                 inv_n = inv_g[ids].reshape(shape)
+                if calibrating:
+                    m = jnp.sum(w, axis=1)  # per-sample multiplicity
+                    self._sow_calib(jnp.sum(m) * spatial, m @ s1, m @ s2)
                 y = (x.astype(jnp.float32) - mean_n) * inv_n * scale + bias
                 return y.astype(x.dtype)
         var = jnp.maximum(var, 0.0)

@@ -584,6 +584,21 @@ class OracleSTrack:
     def mark_removed(self):
         self.state = REMOVED
 
+    def apply_camera_motion(self, warp_matrix):
+        """byte_tracker.py:123-138: warp the (center) position by the 2x3
+        camera-motion matrix, in frame coordinates (scale applied/removed)."""
+        if self.mean is None:
+            pos = self._tlwh[:2].copy()
+        else:
+            pos = self.mean[:2].copy()
+        pos = pos * self.scale
+        p = warp_matrix @ np.array([pos[0], pos[1], 1.0])
+        new_pos = p[:2] / self.scale
+        if self.mean is None:
+            self._tlwh[:2] = new_pos
+        else:
+            self.mean[:2] = new_pos
+
 
 def joint_stracks(a, b):
     seen, res = set(), []
@@ -622,15 +637,18 @@ def remove_duplicate_stracks(sa, sb):
 
 
 class OracleByteTracker:
-    """The reference BYTE+BUSCA update loop (byte_tracker.py:226-456),
-    CMC/reliable-gate off (the shipped MOT20 configuration)."""
+    """The reference BYTE+BUSCA update loop (byte_tracker.py:226-456).
+    Reliable-gate off; ECC camera-motion compensation optional
+    (``use_camera_motion_compensation``, the shipped MOT17 configuration's
+    third-round warp, byte_tracker.py:377-378 + :626-650)."""
 
     def __init__(self, model, track_thresh=0.5, track_buffer=30,
                  match_thresh=0.9, busca_thresh=0.5, seq_len=5,
                  num_candidates=3, use_broader_memory=True,
                  select_highest_candidate=True,
                  transformer_update_mems_only_first_round=True,
-                 crop_hw=(64, 32), frame_rate=30, mot20=False):
+                 crop_hw=(64, 32), frame_rate=30, mot20=False,
+                 use_camera_motion_compensation=False):
         OracleSTrack.reset_ids()
         self.model = model
         self.tracked_stracks: List[OracleSTrack] = []
@@ -651,6 +669,31 @@ class OracleByteTracker:
         self.max_time_lost = int(frame_rate / 30.0 * track_buffer)
         self.kalman_filter = OracleKalman()
         self.probs_log: List[Optional[np.ndarray]] = []
+        self.use_cmc = use_camera_motion_compensation
+        self.last_image = None
+
+    def camera_motion_compensation(self, track_pool, current_frame,
+                                   number_of_iterations=100,
+                                   termination_eps=1e-5):
+        """ECC alignment of the previous frame onto the current one, then
+        warp every pool track — tracktor's recipe as the reference runs it
+        (byte_tracker.py:626-650, MOTION_EUCLIDEAN, 100 iters, eps 1e-5)."""
+        import cv2
+
+        if self.frame_id <= 1:
+            return 1.0
+        g1 = cv2.cvtColor(self.last_image, cv2.COLOR_BGR2GRAY)
+        g2 = cv2.cvtColor(current_frame, cv2.COLOR_BGR2GRAY)
+        warp = np.eye(2, 3, dtype=np.float32)
+        criteria = (cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT,
+                    number_of_iterations, termination_eps)
+        cc, warp = cv2.findTransformECC(
+            templateImage=g1, inputImage=g2, warpMatrix=warp,
+            motionType=cv2.MOTION_EUCLIDEAN, criteria=criteria,
+        )
+        for t in track_pool:
+            t.apply_camera_motion(warp)
+        return float(cc)
 
     def update(self, bboxes_tlbr, scores, scale, frame):
         self.frame_id += 1
@@ -743,6 +786,8 @@ class OracleByteTracker:
         self.probs_log.append(None)
         if self.busca_thresh > 0:
             third_pool = unassigned
+            if self.use_cmc:
+                self.camera_motion_compensation(third_pool, frame)
             kalman_cands = []
             for track in third_pool:
                 crop = get_image_crops(
@@ -815,6 +860,8 @@ class OracleByteTracker:
         self.tracked_stracks, self.lost_stracks = remove_duplicate_stracks(
             self.tracked_stracks, self.lost_stracks
         )
+        if self.use_cmc:
+            self.last_image = np.asarray(frame).copy()
         return [t for t in self.tracked_stracks if t.is_activated]
 
     def _third_round(self, pool, considered, kalman_cands):

@@ -54,6 +54,41 @@ def _make_sequence():
     )
 
 
+def _make_drift_sequence():
+    """The CMC stream: the camera pans (0.8, 0.4) px/frame over a larger
+    static world, so consecutive frames are globally shifted views — the
+    scenario the reference's ECC compensation handles in its MOT17 configs
+    (byte_tracker.py:377-378, 626-650).  Object world-velocities are chosen
+    so their *viewport* trajectories match the plain sequence's regime."""
+    drift = (0.8, 0.4)
+    objs = [
+        SyntheticObject(
+            color=np.array([40, 200, 60], np.float64),
+            x0=10, y0=20, vx=1.2 + drift[0], vy=0.3 + drift[1], w=18, h=36,
+            dropout=(30, 44),
+        ),
+        SyntheticObject(
+            color=np.array([210, 60, 180], np.float64),
+            x0=150, y0=70, vx=-1.0 + drift[0], vy=-0.2 + drift[1], w=20, h=40,
+            dropout=(50, 58),
+        ),
+        SyntheticObject(
+            color=np.array([90, 120, 230], np.float64),
+            x0=60, y0=60, vx=0.8 + drift[0], vy=0.1 + drift[1], w=16, h=34,
+            dropout=(70, 86),
+        ),
+        SyntheticObject(
+            color=np.array([200, 200, 40], np.float64),
+            x0=110, y0=15, vx=-0.5 + drift[0], vy=0.5 + drift[1], w=18, h=30,
+            dropout=(92, 100),
+        ),
+    ]
+    return SyntheticSequence(
+        objs, num_frames=N_FRAMES, height=FRAME_H, width=FRAME_W, seed=11,
+        camera_drift=drift,
+    )
+
+
 def _build_shared_models():
     """One torch oracle model + a JAX engine carrying the SAME weights
     (through the production checkpoint converter)."""
@@ -92,8 +127,7 @@ TIE_TOL = 0.02  # crop-backend LSB noise bound (measured worst 0.0094)
 BUSCA_THRESH = 0.3
 
 
-@pytest.mark.slow
-def test_byte_pipeline_matches_torch_oracle():
+def _run_byte_parity(seq, use_cmc=False):
     """Both pipelines run the same stream; third-round *probabilities* must
     agree within crop-quantization noise and every non-tie *decision* must
     be identical.  To keep the comparison butterfly-free, the jax
@@ -102,10 +136,11 @@ def test_byte_pipeline_matches_torch_oracle():
     artifact of cv2-vs-XLA crop LSBs — can't fork the track histories and
     mask later comparisons); the oracle's own decision is still computed
     and checked against the jax decision wherever the margin to the decision
-    threshold exceeds the noise bound."""
+    threshold exceeds the noise bound.  ``use_cmc`` runs BOTH pipelines with
+    the reference's third-round ECC camera-motion compensation live
+    (byte_tracker.py:377-378).  Returns the exercise counters."""
     from busca_tpu.trackers.base import run_third_round
 
-    seq = _make_sequence()
     torch_model, engine = _build_shared_models()
 
     probs_log_jax = []
@@ -125,7 +160,7 @@ def test_byte_pipeline_matches_torch_oracle():
     cfg_kw = dict(
         track_thresh=0.5, busca_thresh=BUSCA_THRESH, seq_len=SEQ_LEN,
         num_candidates=C, crop_hw=CROP_HW,
-        use_camera_motion_compensation=False,
+        use_camera_motion_compensation=use_cmc,
         select_highest_candidate=False,
     )
     Track.reset_id_counter()
@@ -135,7 +170,24 @@ def test_byte_pipeline_matches_torch_oracle():
     oracle_tracker = OracleByteTracker(
         torch_model, track_thresh=0.5, busca_thresh=BUSCA_THRESH, seq_len=SEQ_LEN,
         num_candidates=C, crop_hw=CROP_HW, select_highest_candidate=False,
+        use_camera_motion_compensation=use_cmc,
     )
+
+    # record the oracle's estimated warps so CMC runs can assert the
+    # compensation was genuinely non-trivial on the drifting stream
+    warp_shifts = []
+    orig_cmc = oracle_tracker.camera_motion_compensation
+
+    def recorded_cmc(track_pool, current_frame, **kw):
+        before = [t.mean[:2].copy() if t.mean is not None
+                  else t._tlwh[:2].copy() for t in track_pool]
+        cc = orig_cmc(track_pool, current_frame, **kw)
+        for t, b in zip(track_pool, before):
+            after = t.mean[:2] if t.mean is not None else t._tlwh[:2]
+            warp_shifts.append(float(np.linalg.norm(after - b)))
+        return cc
+
+    oracle_tracker.camera_motion_compensation = recorded_cmc
 
     # force the jax outcome into the oracle tracker (decisions still
     # compared below); forced["jax"] is set per frame before the oracle
@@ -151,7 +203,7 @@ def test_byte_pipeline_matches_torch_oracle():
     oracle_tracker._third_round = forced_third
 
     frames_checked = third_rounds = rescues = decisions_checked = 0
-    for t in range(N_FRAMES):
+    for t in range(seq.num_frames):
         frame = seq.frame(t)
         boxes, scores = seq.detections(t)
 
@@ -220,12 +272,49 @@ def test_byte_pipeline_matches_torch_oracle():
                 rescues += int((kal_j > BUSCA_THRESH).sum())
         frames_checked += 1
 
+    assert frames_checked == seq.num_frames
+    return {
+        "third_rounds": third_rounds,
+        "decisions_checked": decisions_checked,
+        "rescues": rescues,
+        "warp_shifts": warp_shifts,
+    }
+
+
+@pytest.mark.slow
+def test_byte_pipeline_matches_torch_oracle():
+    out = _run_byte_parity(_make_sequence())
     # the sequence must actually exercise the interesting paths
-    assert frames_checked == N_FRAMES
-    assert third_rounds >= 20, f"only {third_rounds} third rounds fired"
-    assert decisions_checked >= 20, "too few clear-margin decisions"
+    assert out["third_rounds"] >= 20, (
+        f"only {out['third_rounds']} third rounds fired"
+    )
+    assert out["decisions_checked"] >= 20, "too few clear-margin decisions"
     # dropout windows exist, so at least some Kalman rescues must happen
-    assert rescues >= 1, "no BUSCA rescues occurred — stream too easy"
+    assert out["rescues"] >= 1, "no BUSCA rescues occurred — stream too easy"
+
+
+@pytest.mark.slow
+def test_byte_pipeline_matches_torch_oracle_cmc():
+    """Composed parity with camera-motion compensation LIVE (the shipped
+    MOT17 third-round configuration, byte_tracker.py:377-378): the stream
+    pans globally, both pipelines run cv2 ECC + track warping, and
+    frame-by-frame IDs / boxes / third-round probabilities must still
+    agree.  The recorded warp magnitudes prove the compensation actually
+    moved tracks (i.e. the CMC→Kalman→third-round interaction, not a
+    trivially-identity warp, is what's being pinned)."""
+    seq = _make_drift_sequence()
+    out = _run_byte_parity(seq, use_cmc=True)
+    assert out["third_rounds"] >= 10, (
+        f"only {out['third_rounds']} third rounds fired"
+    )
+    assert out["decisions_checked"] >= 10, "too few clear-margin decisions"
+    assert out["rescues"] >= 1, "no BUSCA rescues occurred — stream too easy"
+    shifts = np.asarray(out["warp_shifts"])
+    assert len(shifts) >= 10, "CMC never warped a third-round track"
+    assert shifts.max() > 0.5, (
+        f"ECC warps were near-identity (max shift {shifts.max():.3f} px) — "
+        "the drift stream failed to exercise the compensation"
+    )
 
 
 def _object_features(seq, t, rng_feats):

@@ -915,7 +915,10 @@ def track_sequences_lockstep(
                             False)
             ):
                 trk.set_warp_hint(
-                    cmc.submit_warp(prev_images[i], dets[i].image).result
+                    cmc.submit_warp(
+                        prev_images[i], dets[i].image,
+                        scale=getattr(trk.cfg, "cmc_scale", 1.0),
+                    ).result
                 )
         # phase 1: run every tracker's update up to its (optional) BUSCA
         # third round; collect the suspended requests

@@ -655,6 +655,12 @@ def main(argv=None):
     parser.add_argument("--ignore-custom-byte-thresholds", action="store_true",
                         help="disable the per-video BYTE threshold table "
                              "(mot_evaluator.py:141-164)")
+    parser.add_argument("--cmc-scale", type=float, default=1.0,
+                        help="ECC camera-motion solve resolution in (0, 1]; "
+                             "1.0 = the reference's full-res recipe "
+                             "(byte_tracker.py:626-650); 0.5 is 5.9x faster "
+                             "at 0.015 px worst corner error (measured, "
+                             "PARITY.md 'ECC')")
     # StrongSORT cached artifacts (deep_sort_app.py:50-52, opts.py:142-143)
     parser.add_argument("--npy-det", default=None,
                         help="precomputed detections+features: a .npy file, "
@@ -706,6 +712,8 @@ def main(argv=None):
             reid_stats=args.reid_stats,
         )
         tracker_kwargs["use_busca"] = True
+    if args.cmc_scale != 1.0:
+        tracker_kwargs["cmc_scale"] = args.cmc_scale
 
     if args.synthetic:
         out = run_synthetic(args, engine, tracker_kwargs)

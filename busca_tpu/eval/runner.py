@@ -195,7 +195,10 @@ def run_mot_sequences_lockstep(
                 from busca_tpu.trackers import cmc
 
                 trk.set_warp_hint(
-                    cmc.submit_warp(prev_frames[i], frames_now[i]).result
+                    cmc.submit_warp(
+                        prev_frames[i], frames_now[i],
+                        scale=getattr(trk.cfg, "cmc_scale", 1.0),
+                    ).result
                 )
         for i in live:
             frame = frames_now[i]

@@ -350,6 +350,52 @@ def convert_centertrack_state_dict(
     return {"params": params, "batch_stats": batch_stats}
 
 
+def convert_aflink_state_dict(state_dict: dict) -> dict:
+    """Torch AFLink (the StrongSORT ``PostLinker`` role) -> AFLinkModel params.
+
+    The upstream PostLinker lives in the StrongSORT submodule (empty in the
+    reference checkout) and its trained weights are a release download the
+    reference does not vendor (strong_sort.py:29-38), so the torch layout
+    accepted here is the canonical naming of this framework's published-
+    design rebuild (models/aflink.py; the torch twin lives in
+    tests/oracle_pipeline.TorchAFLink):
+
+    - ``temporal.{i}.conv.weight`` — (7x1) conv, no bias
+    - ``temporal.{i}.norm.{weight,bias}`` — LayerNorm over channels
+    - ``fusion.{weight,bias}`` — (1x3) feature-fusion conv
+    - ``fc1.{weight,bias}`` / ``fc2.{weight,bias}`` — classifier head
+    """
+    sd = unwrap_envelope(state_dict)
+    params: dict = {}
+    for key, value in sd.items():
+        v = np.asarray(value)
+        m = re.fullmatch(r"temporal\.(\d+)\.conv\.weight", key)
+        if m:
+            _set(params, (f"temporal_{m.group(1)}", "conv", "kernel"),
+                 _conv_kernel(v))
+            continue
+        m = re.fullmatch(r"temporal\.(\d+)\.norm\.(weight|bias)", key)
+        if m:
+            name = "scale" if m.group(2) == "weight" else "bias"
+            _set(params, (f"temporal_{m.group(1)}", "norm", name), v)
+            continue
+        if key == "fusion.weight":
+            _set(params, ("fusion", "kernel"), _conv_kernel(v))
+            continue
+        if key == "fusion.bias":
+            _set(params, ("fusion", "bias"), v)
+            continue
+        m = re.fullmatch(r"(fc1|fc2)\.(weight|bias)", key)
+        if m:
+            name, p = m.groups()
+            # flax Dense kernel is [in, out] = torch weight transposed
+            _set(params, (name, "kernel" if p == "weight" else "bias"),
+                 np.ascontiguousarray(v.T) if p == "weight" else v)
+            continue
+        raise KeyError(f"unrecognized AFLink key: {key!r}")
+    return {"params": params}
+
+
 def main(argv=None):
     """CLI: convert a reference ``.pth`` checkpoint to the npz param format.
 
@@ -364,10 +410,11 @@ def main(argv=None):
     parser.add_argument("src", help="reference .pth checkpoint")
     parser.add_argument("dst", help="output .npz")
     parser.add_argument(
-        "--kind", choices=("busca", "resnet", "centertrack"),
+        "--kind", choices=("busca", "resnet", "centertrack", "aflink"),
         default="busca",
         help="busca = model_busca.pth layout; resnet = model_feats.pth; "
-        "centertrack = published CenterTrack DLA-34 .pth",
+        "centertrack = published CenterTrack DLA-34 .pth; aflink = the "
+        "StrongSORT PostLinker link model",
     )
     parser.add_argument("--keep-reid-fc", action="store_true")
     args = parser.parse_args(argv)
@@ -379,6 +426,8 @@ def main(argv=None):
         )
     elif args.kind == "centertrack":
         variables = convert_centertrack_state_dict(state)
+    elif args.kind == "aflink":
+        variables = convert_aflink_state_dict(state)
     else:
         variables = convert_resnet_state_dict(state)
     save_params_npz(args.dst, variables)

@@ -59,6 +59,10 @@ class ByteTrackerConfig:
     transformer_update_mems_only_first_round: bool = True
     reliable_thresh: Optional[Sequence[float]] = None
     use_camera_motion_compensation: bool = True
+    # ECC solve resolution: 1.0 = the reference's full-res recipe
+    # (byte_tracker.py:626-650); 0.5 is 5.9x faster at 0.015 px worst
+    # corner error (measured, PARITY.md "ECC") — a flagged improvement
+    cmc_scale: float = 1.0
     crop_hw: tuple = (384, 128)
 
 
@@ -279,7 +283,8 @@ class ByteTracker:
                         cmc.apply_warp(third_pool, warp)
                     else:
                         cmc.compensate_tracks(
-                            third_pool, self.last_image, frame
+                            third_pool, self.last_image, frame,
+                            scale=cfg.cmc_scale,
                         )
                 kalman_cands = self._kalman_candidates(third_pool, frame)
                 third_matches, u_track = yield ThirdRoundRequest(

@@ -1962,3 +1962,198 @@ class OracleMotdtTracker:
                 self._next_id += 1
 
         return [tr for tr in self.tracks if not tr.is_lost]
+
+
+# ---------------------------------------------------------------------------
+# AFLink + GSI post-processing oracle (strong_sort.py:29-46 roles)
+# ---------------------------------------------------------------------------
+
+
+class TorchAFLink(tnn.Module):
+    """Torch twin of the AFLink link model (models/aflink.py AFLinkModel —
+    the StrongSORT ``PostLinker`` role; the upstream module lives in an
+    empty submodule, so the published design's canonical layout is defined
+    by this framework and this class is its torch-source oracle).
+
+    Layout matches ``convert_aflink_state_dict``:
+    ``temporal.{i}.conv/norm``, ``fusion``, ``fc1``/``fc2``.
+    """
+
+    def __init__(self, widths=(32, 64, 128, 256), seed=0):
+        super().__init__()
+        torch.manual_seed(seed)
+        self.widths = widths
+        temporal = []
+        in_c = 1
+        for w in widths:
+            blk = tnn.Module()
+            blk.conv = tnn.Conv2d(in_c, w, (7, 1), bias=False)
+            # flax nn.LayerNorm default epsilon
+            blk.norm = tnn.LayerNorm(w, eps=1e-6)
+            temporal.append(blk)
+            in_c = w
+        self.temporal = tnn.ModuleList(temporal)
+        self.fusion = tnn.Conv2d(widths[-1], widths[-1], (1, 3))
+        self.fc1 = tnn.Linear(2 * widths[-1], widths[-1])
+        self.fc2 = tnn.Linear(widths[-1], 2)
+
+    def reference_state_dict(self):
+        sd = {}
+        for i, blk in enumerate(self.temporal):
+            sd[f"temporal.{i}.conv.weight"] = blk.conv.weight.detach().numpy()
+            sd[f"temporal.{i}.norm.weight"] = blk.norm.weight.detach().numpy()
+            sd[f"temporal.{i}.norm.bias"] = blk.norm.bias.detach().numpy()
+        sd["fusion.weight"] = self.fusion.weight.detach().numpy()
+        sd["fusion.bias"] = self.fusion.bias.detach().numpy()
+        sd["fc1.weight"] = self.fc1.weight.detach().numpy()
+        sd["fc1.bias"] = self.fc1.bias.detach().numpy()
+        sd["fc2.weight"] = self.fc2.weight.detach().numpy()
+        sd["fc2.bias"] = self.fc2.bias.detach().numpy()
+        return sd
+
+    def _branch(self, seg):
+        x = seg.unsqueeze(1)  # [B, 1, T, 3]
+        for blk in self.temporal:
+            x = blk.conv(x)  # [B, C, T', 3]
+            x = x.permute(0, 2, 3, 1)  # [B, T', 3, C]
+            x = torch.relu(blk.norm(x))
+            x = x.permute(0, 3, 1, 2)
+        x = torch.relu(self.fusion(x))  # [B, C, T', 1]
+        return x.mean(dim=(2, 3))
+
+    def forward(self, seg1, seg2):
+        e1, e2 = self._branch(seg1), self._branch(seg2)
+        h = torch.relu(self.fc1(torch.cat([e1, e2], dim=-1)))
+        return self.fc2(h)
+
+    @torch.no_grad()
+    def score(self, seg1, seg2):
+        """P(same identity) per pair."""
+        logits = self(torch.from_numpy(np.asarray(seg1, np.float32)),
+                      torch.from_numpy(np.asarray(seg2, np.float32)))
+        return torch.softmax(logits, dim=-1)[:, 1].numpy()
+
+
+AFLINK_SEG_LEN = 30
+AFLINK_FRAME_SCALE = 30.0
+AFLINK_POS_SCALE = 1000.0
+
+
+def _aflink_segment(rows, ref_frame, tail):
+    """MOT rows -> normalized [30, 3] (frame, cx, cy) window (tail/head)."""
+    rows = rows[-AFLINK_SEG_LEN:] if tail else rows[:AFLINK_SEG_LEN]
+    seg = np.zeros((AFLINK_SEG_LEN, 3), np.float32)
+    cx = rows[:, 2] + rows[:, 4] / 2.0
+    cy = rows[:, 3] + rows[:, 5] / 2.0
+    ref_x, ref_y = (cx[-1], cy[-1]) if tail else (cx[0], cy[0])
+    feats = np.stack([
+        (rows[:, 0] - ref_frame) / AFLINK_FRAME_SCALE,
+        (cx - ref_x) / AFLINK_POS_SCALE,
+        (cy - ref_y) / AFLINK_POS_SCALE,
+    ], axis=1).astype(np.float32)
+    if tail:
+        seg[-len(rows):] = feats
+    else:
+        seg[:len(rows)] = feats
+    return seg
+
+
+def oracle_aflink(rows, model, thrT=(0, 30), thrS=75.0, thrP=0.05):
+    """The AFLink linker over MOT rows (strong_sort.py:29-38 defaults):
+    gate candidate (end, start) tracklet pairs temporally/spatially, score
+    with the link model, greedily merge by descending probability (one
+    forward + one backward link per tracklet), rewrite ids transitively."""
+    rows = np.asarray(rows, np.float64)
+    by_id = {}
+    for tid in np.unique(rows[:, 1]).astype(int):
+        r = rows[rows[:, 1] == tid]
+        by_id[tid] = r[np.argsort(r[:, 0])]
+    ids = sorted(by_id)
+    pairs, s1, s2 = [], [], []
+    for i in ids:
+        ri = by_id[i]
+        for j in ids:
+            if i == j:
+                continue
+            rj = by_id[j]
+            gap = rj[0, 0] - ri[-1, 0]
+            if not (thrT[0] <= gap < thrT[1]):
+                continue
+            ci = ri[-1, 2:4] + ri[-1, 4:6] / 2.0
+            cj = rj[0, 2:4] + rj[0, 4:6] / 2.0
+            if float(np.hypot(ci[0] - cj[0], ci[1] - cj[1])) >= thrS:
+                continue
+            pairs.append((i, j))
+            ref = ri[-1, 0] + 1
+            s1.append(_aflink_segment(ri, ref, tail=True))
+            s2.append(_aflink_segment(rj, ref, tail=False))
+    if not pairs:
+        return rows
+    probs = model.score(np.stack(s1), np.stack(s2))
+
+    link_to = {}  # id -> merged-into id (direct)
+    used_src, used_dst = set(), set()
+    for k in np.argsort(-probs):
+        if probs[k] < thrP:
+            break
+        i, j = pairs[k]
+        if i in used_src or j in used_dst:
+            continue
+        used_src.add(i)
+        used_dst.add(j)
+        link_to[j] = i
+
+    def resolve(x):
+        while x in link_to:
+            x = link_to[x]
+        return x
+
+    out = rows.copy()
+    for tid in ids:
+        root = resolve(tid)
+        if root != tid:
+            out[out[:, 1] == tid, 1] = root
+    order = np.lexsort((out[:, 1], out[:, 0]))
+    return out[order]
+
+
+def oracle_gsi(rows, interval=20, tau=10.0):
+    """Gaussian-smoothed interpolation over MOT rows (the GSI role,
+    strong_sort.py:40-46): per-track linear gap filling (gaps <= interval)
+    then RBF Gaussian-process smoothing of x/y/w/h (noise 1e-2, adaptive
+    length scale min(tau, max(1, len/10 * tau))) — torch linear algebra."""
+    rows = np.asarray(rows, np.float64)
+    if len(rows) == 0:
+        return rows
+    # linear interpolation
+    filled = [rows]
+    for tid in np.unique(rows[:, 1]).astype(int):
+        r = rows[rows[:, 1] == tid]
+        r = r[np.argsort(r[:, 0])]
+        f = r[:, 0].astype(int)
+        for i in range(1, len(f)):
+            gap = f[i] - f[i - 1]
+            if 1 < gap <= interval:
+                for k in range(1, gap):
+                    a = k / gap
+                    row = r[i - 1] * (1 - a) + r[i] * a
+                    row[0] = f[i - 1] + k
+                    row[1] = tid
+                    filled.append(row[None])
+    merged = np.concatenate(filled, axis=0)
+    merged = merged[np.lexsort((merged[:, 1], merged[:, 0]))]
+    # GP smoothing
+    out = []
+    for tid in np.unique(merged[:, 1]).astype(int):
+        r = merged[merged[:, 1] == tid].copy()
+        r = r[np.argsort(r[:, 0])]
+        if len(r) >= 2:
+            t = torch.from_numpy(r[:, 0]).double()[:, None]
+            tau_eff = min(tau, max(1.0, len(r) / 10.0 * tau))
+            k = torch.exp(-(t - t.T) ** 2 / (2.0 * tau_eff * tau_eff))
+            a = k + 1e-2 * torch.eye(len(r), dtype=torch.float64)
+            y = torch.from_numpy(r[:, 2:6]).double()
+            r[:, 2:6] = (k @ torch.linalg.solve(a, y)).numpy()
+        out.append(r)
+    merged = np.concatenate(out, axis=0)
+    return merged[np.lexsort((merged[:, 1], merged[:, 0]))]

@@ -147,7 +147,10 @@ def test_lockstep_cmc_warp_prefetch_matches_inline():
 
     submits = []
     orig_submit = cmc.submit_warp
-    cmc.submit_warp = lambda p, c: submits.append(1) or orig_submit(p, c)
+    cmc.submit_warp = (
+        lambda p, c, scale=1.0:
+        submits.append(1) or orig_submit(p, c, scale=scale)
+    )
     try:
         Track.reset_id_counter()
         det = _StubBatchDetector(dets)

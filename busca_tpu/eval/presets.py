@@ -30,6 +30,26 @@ _CUSTOM_TRACK_THRESH = {
 }
 
 
+def ghost_is_moving(seq_name: str) -> bool:
+    """Whether a sequence's camera moves (GHOST's per-sequence ego-motion
+    gate, adapters/GHOST/src/tracking_utils.py:209-221): MOT17/MOT20
+    sequences 13/11/10/05/14/12/07/06 are moving, 09/04/02/08/03/01 static,
+    DanceTrack static, everything else (unknown datasets) moving."""
+    name = seq_name.lower()
+    if "mot" not in name and "dance" not in name:
+        return True
+    if "dance" in name:
+        return False
+    parts = seq_name.split("-")
+    if len(parts) >= 2:
+        num = parts[1]
+        if num in ("13", "11", "10", "05", "14", "12", "07", "06"):
+            return True
+        if num in ("09", "04", "02", "08", "03", "01"):
+            return False
+    return True
+
+
 def custom_byte_thresholds(
     video_name: str,
     base_track_thresh: float,

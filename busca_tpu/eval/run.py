@@ -655,6 +655,11 @@ def main(argv=None):
     parser.add_argument("--ignore-custom-byte-thresholds", action="store_true",
                         help="disable the per-video BYTE threshold table "
                              "(mot_evaluator.py:141-164)")
+    parser.add_argument("--ghost-motion-compensation", action="store_true",
+                        help="GHOST ECC ego-motion compensation of stored "
+                             "track positions on moving-camera sequences "
+                             "(base_tracker.py:599-633; is_moving gate per "
+                             "tracking_utils.py:209)")
     parser.add_argument("--cmc-scale", type=float, default=1.0,
                         help="ECC camera-motion solve resolution in (0, 1]; "
                              "1.0 = the reference's full-res recipe "
@@ -714,6 +719,8 @@ def main(argv=None):
         tracker_kwargs["use_busca"] = True
     if args.cmc_scale != 1.0:
         tracker_kwargs["cmc_scale"] = args.cmc_scale
+    if args.ghost_motion_compensation:
+        tracker_kwargs["motion_compensation"] = True
 
     if args.synthetic:
         out = run_synthetic(args, engine, tracker_kwargs)
@@ -818,6 +825,13 @@ def main(argv=None):
                         ignore=args.ignore_custom_byte_thresholds,
                     )
                 )
+            elif args.tracker == "ghost" and seq_kwargs.get(
+                "motion_compensation"
+            ):
+                # per-sequence camera-motion gate (tracking_utils.py:209)
+                from busca_tpu.eval.presets import ghost_is_moving
+
+                seq_kwargs["is_moving"] = ghost_is_moving(name)
             return seq_kwargs
 
         if args.det_ap and (args.lockstep or args.npy_det
@@ -851,17 +865,9 @@ def main(argv=None):
         det_ap_dets, det_ap_gts = {}, {}
         for seq_dir in args.mot_dir:
             name = os.path.basename(seq_dir.rstrip("/"))
-            seq_kwargs = dict(tracker_kwargs)
-            if args.tracker in ("byte", "centertrack", "transcenter"):
-                # per-video BYTE threshold table (mot_evaluator.py:141-164)
-                seq_kwargs.update(
-                    custom_byte_thresholds(
-                        name,
-                        seq_kwargs.get("track_thresh", 0.6),
-                        seq_kwargs.get("track_buffer", 30),
-                        ignore=args.ignore_custom_byte_thresholds,
-                    )
-                )
+            # per-video BYTE threshold table (mot_evaluator.py:141-164)
+            # + GHOST is_moving gate
+            seq_kwargs = seq_tracker_kwargs(name)
             tracker = make_tracker(
                 args.tracker, seq_kwargs, engine, args.crop_hw
             )

@@ -39,6 +39,7 @@ def ecc_align(
     termination_eps: float = 1e-5,
     warp_mode: str = "MOTION_EUCLIDEAN",
     scale: float = 1.0,
+    gauss_filt_size: int = 0,
 ):
     """Estimate the 2x3 warp aligning ``prev_frame`` to ``cur_frame``.
 
@@ -50,6 +51,10 @@ def ecc_align(
     vs the full-res solve; quarter-res 21x at 0.062 px — both deeply
     sub-pixel.  Default 1.0 = the reference's exact full-res recipe
     (byte_tracker.py:626-650); opt in via ``--cmc-scale``.
+
+    ``gauss_filt_size`` > 0 pre-smooths both images inside cv2 (the GHOST
+    base tracker's tracktor recipe passes 15, base_tracker.py:618-620);
+    0 = no smoothing, the ByteTrack recipe.
 
     Returns (correlation_coefficient, warp_matrix [2, 3]).
     """
@@ -80,13 +85,19 @@ def ecc_align(
         termination_eps,
     )
     try:
-        cc, warp = cv2.findTransformECC(
-            templateImage=g1,
-            inputImage=g2,
-            warpMatrix=warp,
-            motionType=modes[warp_mode],
-            criteria=criteria,
-        )
+        if gauss_filt_size > 0:
+            cc, warp = cv2.findTransformECC(
+                g1, g2, warp, modes[warp_mode], criteria, None,
+                gauss_filt_size,
+            )
+        else:
+            cc, warp = cv2.findTransformECC(
+                templateImage=g1,
+                inputImage=g2,
+                warpMatrix=warp,
+                motionType=modes[warp_mode],
+                criteria=criteria,
+            )
     except cv2.error:
         return 1.0, IDENTITY_2X3.copy()
     if scale != 1.0:

@@ -15,6 +15,18 @@ Behavioral rebuild of the reference adapter (adapters/GHOST/src/
   base_tracker.py:648-698) with IoU motion distance combined as
   ``(1 - a) * appearance + a * iou`` (``combi='sum_a'``,
   base_tracker.py:713-731);
+- **ECC ego-motion compensation** (tracktor recipe, base_tracker.py:
+  599-633): when ``motion_compensation`` is on and the sequence camera is
+  moving (``is_moving``, tracking_utils.py:209-221), the stored position
+  *history* of every active and inactive track is warped by the ECC
+  alignment of the previous frame onto the current one (template =
+  current frame, gaussFiltSize 15) before association — the current
+  ``pos`` is deliberately left unwarped, matching the reference's
+  rebinding of the ``last_pos`` list slots only (base_tracker.py:624-630);
+  the velocity model then runs over the warped history.  The reference
+  solves the ECC even on static cameras just to record a debug norm —
+  here the solve is skipped when it would not be applied (flagged
+  improvement, SURVEY §7.4; identical tracking behavior);
 - assignment via ``solve_dense`` with nan-forbidden entries
   (tracker.py:395-412);
 - **BUSCA third round** over unmatched active tracks with positive area
@@ -135,6 +147,17 @@ class GhostTrack:
     def motion_step(self):
         self.pos = self.pos + self.last_v
 
+    def warp_position_history(self, warp: np.ndarray):
+        """Warp every stored ``last_pos`` entry by a 2x3 matrix — and ONLY
+        the history, not the current ``pos`` (the reference rebinds the
+        ``last_pos`` list slots, leaving ``track.pos`` aliased to the old
+        array, base_tracker.py:624-630 + tracking_utils.py:167-173)."""
+        w = np.asarray(warp, dtype=np.float64)
+        for i, p in enumerate(self.last_pos):
+            p1 = w @ np.array([p[0], p[1], 1.0])
+            p2 = w @ np.array([p[2], p[3], 1.0])
+            self.last_pos[i] = np.array([p1[0], p1[1], p2[0], p2[1]])
+
 
 @dataclasses.dataclass
 class GhostConfig:
@@ -148,6 +171,13 @@ class GhostConfig:
     apply_motion_model: bool = True
     last_n_frames: int = 5
     combi: str = "sum_0.3"
+    # ECC ego-motion compensation (base_tracker.py:599-633); applied only
+    # when the sequence camera moves (is_moving, tracking_utils.py:209)
+    motion_compensation: bool = False
+    is_moving: bool = True
+    mc_num_iter: int = 100
+    mc_termination_eps: float = 1e-5
+    cmc_scale: float = 1.0
     remove_unconfirmed: bool = False
     det_conf: float = 0.5
     # BUSCA knobs (config/GHOST/*/config_ghost_*.yml)
@@ -187,6 +217,7 @@ class GhostTracker:
         self.use_busca = config.use_busca and assoc_engine is not None
         self.act_thresh = config.act_reid_thresh
         self.inact_thresh = config.inact_reid_thresh
+        self._last_mc_frame: Optional[np.ndarray] = None
         self.conf_threshold = (
             config.det_conf + config.minimum_conf_modifier
             if self.use_busca and config.transformer_update_mems_only_first_round
@@ -251,6 +282,34 @@ class GhostTracker:
             if n
             else np.zeros((0, 1))
         )
+
+        # ---- ECC ego-motion compensation (base_tracker.py:599-633) ----------
+        # before association; warps the position HISTORY of every active and
+        # inactive track when the camera moves.  Solve skipped when it would
+        # not be applied (the reference runs it anyway for a debug norm).
+        if cfg.motion_compensation and frame is not None:
+            if (
+                self._last_mc_frame is not None
+                and cfg.is_moving
+                and (self.tracks or self.inactive_tracks)
+            ):
+                from busca_tpu.trackers import cmc
+
+                # template = CURRENT frame ("changed this from tracktor",
+                # base_tracker.py:607-611): the warp maps last-frame coords
+                # into current-frame coords for the stored positions
+                _cc, warp = cmc.ecc_align(
+                    frame,
+                    self._last_mc_frame,
+                    number_of_iterations=cfg.mc_num_iter,
+                    termination_eps=cfg.mc_termination_eps,
+                    scale=cfg.cmc_scale,
+                    gauss_filt_size=15,
+                )
+                for group in (self.tracks, self.inactive_tracks):
+                    for t in group.values():
+                        t.warp_position_history(warp)
+            self._last_mc_frame = np.asarray(frame)
 
         det_images = [None] * n
         if self.use_busca and frame is not None and n:

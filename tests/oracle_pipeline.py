@@ -1450,7 +1450,9 @@ def ghost_iou(a_tlbr, b_tlbr):
 
 class OracleGhostTracker:
     """GHOST association loop + BUSCA third round (src/tracker.py:70-567),
-    static ReID thresholds, sum_a motion combination, CMC off."""
+    static ReID thresholds, sum_a motion combination; optional ECC
+    ego-motion compensation of stored positions (the tracktor recipe with
+    the flipped template, base_tracker.py:599-633)."""
 
     def __init__(self, model, act_reid_thresh=0.7, inact_reid_thresh=0.7,
                  inact_patience=50, proxy_act="last",
@@ -1458,7 +1460,11 @@ class OracleGhostTracker:
                  last_n_frames=5, combi_alpha=0.3, det_conf=0.5,
                  busca_thresh=0.5, seq_len=5, num_candidates=3,
                  use_broader_memory=True, select_highest_candidate=True,
-                 minimum_conf_modifier=0.20, crop_hw=(64, 32)):
+                 minimum_conf_modifier=0.20, crop_hw=(64, 32),
+                 motion_compensation=False, is_moving=True):
+        self.motion_compensation = motion_compensation
+        self.is_moving = is_moving
+        self.last_mc_frame = None
         self.model = model
         self.act_thresh = act_reid_thresh
         self.inact_thresh = inact_reid_thresh
@@ -1504,6 +1510,36 @@ class OracleGhostTracker:
                  if n else np.zeros((0, 1)))
         det_images = (get_image_crops(frame, boxes, self.crop_hw)
                       if n else [])
+
+        # ECC ego-motion compensation BEFORE association
+        # (base_tracker.py:599-633: template = CURRENT frame, input = last
+        # frame, gaussFiltSize 15; warps the last_pos history — not pos —
+        # of every active and inactive track when the camera moves)
+        if self.motion_compensation and frame is not None:
+            if self.last_mc_frame is not None:
+                import cv2
+
+                g1 = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+                g2 = cv2.cvtColor(self.last_mc_frame, cv2.COLOR_BGR2GRAY)
+                warp = np.eye(2, 3, dtype=np.float32)
+                criteria = (cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT,
+                            100, 1e-5)
+                try:
+                    _, warp = cv2.findTransformECC(
+                        g1, g2, warp, cv2.MOTION_EUCLIDEAN, criteria,
+                        None, 15)
+                except cv2.error:
+                    warp = np.eye(2, 3, dtype=np.float32)
+                if self.is_moving:
+                    w = warp.astype(np.float64)
+                    for group in (self.tracks, self.inactive_tracks):
+                        for tr in group.values():
+                            for i, p in enumerate(tr.last_pos):
+                                p1 = w @ np.array([p[0], p[1], 1.0])
+                                p2 = w @ np.array([p[2], p[3], 1.0])
+                                tr.last_pos[i] = np.array(
+                                    [p1[0], p1[1], p2[0], p2[1]])
+            self.last_mc_frame = np.asarray(frame)
 
         self.probs_log.append(None)
         curr_inactive = {

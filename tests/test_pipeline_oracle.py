@@ -455,17 +455,18 @@ def test_strongsort_pipeline_matches_torch_oracle():
     del rescues  # informational only for StrongSORT (see comment above)
 
 
-@pytest.mark.slow
-def test_ghost_pipeline_matches_torch_oracle():
+def _run_ghost_parity(seq, use_mc=False):
     """Frame-by-frame drive for the GHOST strategy (proxy-feature cosine
     association, linear motion + sum_a IoU combination, inactive patience,
     third round over unmatched positive-area active tracks —
-    src/tracker.py:70-567)."""
+    src/tracker.py:70-567).  ``use_mc`` runs BOTH pipelines with the ECC
+    ego-motion compensation of stored positions live (the tracktor recipe,
+    base_tracker.py:599-633)."""
+    from busca_tpu.trackers import cmc as cmc_mod
     from busca_tpu.trackers import GhostConfig, GhostTracker
     from busca_tpu.trackers.base import run_third_round
     from oracle_pipeline import OracleGhostTracker
 
-    seq = _make_sequence()
     torch_model, engine = _build_shared_models()
 
     probs_log_jax = []
@@ -481,96 +482,142 @@ def test_ghost_pipeline_matches_torch_oracle():
     cfg = GhostConfig(
         use_busca=True, busca_thresh=BUSCA_THRESH, seq_len=SEQ_LEN,
         num_candidates=C, crop_hw=CROP_HW, select_highest_candidate=False,
-        det_conf=0.5,
+        det_conf=0.5, motion_compensation=use_mc, is_moving=use_mc,
     )
     jax_tracker = GhostTracker(cfg, engine)
     oracle_tracker = OracleGhostTracker(
         torch_model, busca_thresh=BUSCA_THRESH, seq_len=SEQ_LEN,
         num_candidates=C, crop_hw=CROP_HW, select_highest_candidate=False,
-        det_conf=0.5,
+        det_conf=0.5, motion_compensation=use_mc, is_moving=use_mc,
     )
 
-    forced = {"jax": None}
-    orig_third = oracle_tracker._third_round
+    # record the production warps so the MC variant can prove the
+    # compensation actually moved positions (not a trivially-identity warp)
+    warp_shifts = []
+    orig_align = cmc_mod.ecc_align
 
-    def forced_third(pool, considered, kalman_cands):
-        out = orig_third(pool, considered, kalman_cands)
-        return forced["jax"] if forced["jax"] is not None else out
+    def recorded_align(*a, **k):
+        cc, warp = orig_align(*a, **k)
+        warp_shifts.append(float(np.linalg.norm(warp[:, 2])))
+        return cc, warp
 
-    oracle_tracker._third_round = forced_third
+    cmc_mod.ecc_align = recorded_align
+    try:
 
-    rng_feats = {
-        oid: np.random.RandomState(500 + oid).randn(32)
-        for oid in range(len(seq.objects))
+        forced = {"jax": None}
+        orig_third = oracle_tracker._third_round
+
+        def forced_third(pool, considered, kalman_cands):
+            out = orig_third(pool, considered, kalman_cands)
+            return forced["jax"] if forced["jax"] is not None else out
+
+        oracle_tracker._third_round = forced_third
+
+        rng_feats = {
+            oid: np.random.RandomState(500 + oid).randn(32)
+            for oid in range(len(seq.objects))
+        }
+
+        third_rounds = decisions_checked = 0
+        for t in range(N_FRAMES):
+            frame = seq.frame(t)
+            boxes, scores = seq.detections(t)
+            feats = _object_features(seq, t, rng_feats)
+            if feats is None:
+                feats = np.zeros((0, 32))
+
+            probs_log_jax.append(None)
+            gen = jax_tracker.update_deferred(
+                boxes.copy(), scores.copy(), feats.copy(), frame
+            )
+            forced["jax"] = None
+            try:
+                req = next(gen)
+                res = run_third_round(
+                    req.engine, req.pool, req.considered, req.kalman_cands,
+                    req.thresh, **req.engine_kwargs
+                )
+                forced["jax"] = res
+                gen.send(res)
+                raise AssertionError("tracker yielded twice")
+            except StopIteration as e:
+                online_jax = e.value
+            online_oracle = oracle_tracker.update(
+                boxes.copy(), scores.copy(), feats.copy(), frame
+            )
+
+            ids_jax = sorted(tr.track_id for tr in online_jax)
+            ids_oracle = sorted(tr.track_id for tr in online_oracle)
+            assert ids_jax == ids_oracle, (
+                f"frame {t + 1}: track IDs diverged {ids_jax} vs {ids_oracle}"
+            )
+            pos_jax = {tr.track_id: tr.pos for tr in online_jax}
+            pos_oracle = {tr.track_id: tr.pos for tr in online_oracle}
+            for tid in ids_jax:
+                np.testing.assert_allclose(
+                    pos_jax[tid], pos_oracle[tid], rtol=0, atol=1e-6,
+                    err_msg=f"frame {t + 1} track {tid}",
+                )
+
+            pj = probs_log_jax[-1]
+            po = oracle_tracker.probs_log[-1]
+            assert (pj is None) == (po is None), (
+                f"frame {t + 1}: third round fired in one pipeline only "
+                f"(jax={pj is not None}, oracle={po is not None})"
+            )
+            if pj is not None and po is not None and len(pj):
+                third_rounds += 1
+                assert pj.shape == po.shape, f"frame {t + 1}"
+                np.testing.assert_allclose(
+                    pj, po, rtol=0, atol=TIE_TOL,
+                    err_msg=f"frame {t + 1}: probabilities diverged",
+                )
+                d = pj.shape[1] - len(pj)
+                idx = (np.arange(len(pj)), d + np.arange(len(pj)))
+                kal_j, kal_o = pj[idx], po[idx]
+                clear = np.abs(kal_o - BUSCA_THRESH) > TIE_TOL
+                np.testing.assert_array_equal(
+                    (kal_j > BUSCA_THRESH)[clear],
+                    (kal_o > BUSCA_THRESH)[clear],
+                    err_msg=f"frame {t + 1}: clear-margin decisions diverged",
+                )
+                decisions_checked += int(clear.sum())
+
+    finally:
+        cmc_mod.ecc_align = orig_align
+    return {
+        "third_rounds": third_rounds,
+        "decisions_checked": decisions_checked,
+        "warp_shifts": warp_shifts,
     }
 
-    third_rounds = decisions_checked = 0
-    for t in range(N_FRAMES):
-        frame = seq.frame(t)
-        boxes, scores = seq.detections(t)
-        feats = _object_features(seq, t, rng_feats)
-        if feats is None:
-            feats = np.zeros((0, 32))
 
-        probs_log_jax.append(None)
-        gen = jax_tracker.update_deferred(
-            boxes.copy(), scores.copy(), feats.copy(), frame
-        )
-        forced["jax"] = None
-        try:
-            req = next(gen)
-            res = run_third_round(
-                req.engine, req.pool, req.considered, req.kalman_cands,
-                req.thresh, **req.engine_kwargs
-            )
-            forced["jax"] = res
-            gen.send(res)
-            raise AssertionError("tracker yielded twice")
-        except StopIteration as e:
-            online_jax = e.value
-        online_oracle = oracle_tracker.update(
-            boxes.copy(), scores.copy(), feats.copy(), frame
-        )
+@pytest.mark.slow
+def test_ghost_pipeline_matches_torch_oracle():
+    out = _run_ghost_parity(_make_sequence())
+    assert out["third_rounds"] >= 4, (
+        f"only {out['third_rounds']} third rounds fired"
+    )
+    assert out["decisions_checked"] >= 2, "too few clear-margin decisions"
 
-        ids_jax = sorted(tr.track_id for tr in online_jax)
-        ids_oracle = sorted(tr.track_id for tr in online_oracle)
-        assert ids_jax == ids_oracle, (
-            f"frame {t + 1}: track IDs diverged {ids_jax} vs {ids_oracle}"
-        )
-        pos_jax = {tr.track_id: tr.pos for tr in online_jax}
-        pos_oracle = {tr.track_id: tr.pos for tr in online_oracle}
-        for tid in ids_jax:
-            np.testing.assert_allclose(
-                pos_jax[tid], pos_oracle[tid], rtol=0, atol=1e-6,
-                err_msg=f"frame {t + 1} track {tid}",
-            )
 
-        pj = probs_log_jax[-1]
-        po = oracle_tracker.probs_log[-1]
-        assert (pj is None) == (po is None), (
-            f"frame {t + 1}: third round fired in one pipeline only "
-            f"(jax={pj is not None}, oracle={po is not None})"
-        )
-        if pj is not None and po is not None and len(pj):
-            third_rounds += 1
-            assert pj.shape == po.shape, f"frame {t + 1}"
-            np.testing.assert_allclose(
-                pj, po, rtol=0, atol=TIE_TOL,
-                err_msg=f"frame {t + 1}: probabilities diverged",
-            )
-            d = pj.shape[1] - len(pj)
-            idx = (np.arange(len(pj)), d + np.arange(len(pj)))
-            kal_j, kal_o = pj[idx], po[idx]
-            clear = np.abs(kal_o - BUSCA_THRESH) > TIE_TOL
-            np.testing.assert_array_equal(
-                (kal_j > BUSCA_THRESH)[clear],
-                (kal_o > BUSCA_THRESH)[clear],
-                err_msg=f"frame {t + 1}: clear-margin decisions diverged",
-            )
-            decisions_checked += int(clear.sum())
-
-    assert third_rounds >= 4, f"only {third_rounds} third rounds fired"
-    assert decisions_checked >= 2, "too few clear-margin decisions"
+@pytest.mark.slow
+def test_ghost_pipeline_matches_torch_oracle_mc():
+    """Composed parity with GHOST's ECC ego-motion compensation LIVE
+    (base_tracker.py:599-633 + the is_moving gate, tracking_utils.py:209):
+    the stream pans globally, both pipelines warp every track's stored
+    position history each frame, and IDs / boxes / third-round
+    probabilities must still agree frame-by-frame."""
+    out = _run_ghost_parity(_make_drift_sequence(), use_mc=True)
+    assert out["third_rounds"] >= 3, (
+        f"only {out['third_rounds']} third rounds fired"
+    )
+    shifts = np.asarray(out["warp_shifts"])
+    assert len(shifts) >= 10, "ECC never ran in the production tracker"
+    assert shifts.max() > 0.5, (
+        f"ECC warps were near-identity (max shift {shifts.max():.3f} px) — "
+        "the drift stream failed to exercise the compensation"
+    )
 
 
 def test_sort_pipeline_matches_oracle():

@@ -333,6 +333,8 @@ def build_tracker_runtime(args):
         tracker_kwargs["track_thresh"] = args.track_thresh
     elif "track_thresh" not in tracker_kwargs:
         tracker_kwargs["track_thresh"] = 0.6
+    if getattr(args, "cmc_scale", 1.0) != 1.0:
+        tracker_kwargs["cmc_scale"] = args.cmc_scale
 
     def factory():
         trk = make_tracker(args.tracker, dict(tracker_kwargs), engine)
@@ -365,6 +367,11 @@ def main(argv=None):
     p.add_argument("--test-w", type=int, default=1440)
     p.add_argument("--det-conf", type=float, default=0.1)
     p.add_argument("--tracker", default="byte")
+    p.add_argument("--cmc-scale", type=float, default=1.0,
+                   help="ECC camera-motion solve resolution in (0, 1]; "
+                        "1.0 = the reference's full-res recipe; 0.5 is "
+                        "5.9x faster at 0.015 px worst corner error "
+                        "(measured, PARITY.md 'ECC')")
     p.add_argument("--track-thresh", type=float, default=None,
                    help="first-round score threshold; default = the YAML "
                         "bundle's value when --use-busca, else 0.6")

@@ -856,7 +856,6 @@ def track_sequences_lockstep(
     import time
 
     from busca_tpu.eval.runner import SequenceResult, filter_output_tracks
-    from busca_tpu.trackers import cmc
     from busca_tpu.trackers.base import service_deferred_updates
 
     iters = [iter(f) for f in frame_iters]
@@ -868,7 +867,6 @@ def track_sequences_lockstep(
     active = [True] * b
     results = [[] for _ in range(b)]
     frame_ids = [0] * b
-    prev_images = [None] * b  # previous batch's frames (ECC prefetch)
     # pipelined double-buffer (SURVEY §7.3.4): the batch for lockstep frame
     # t+1 is dispatched before frame t's results are fetched, overlapping all
     # host-side tracker bookkeeping with device compute
@@ -906,20 +904,10 @@ def track_sequences_lockstep(
         # tracker's update (the reference's schedule, byte_tracker.py:377)
         for i in range(b):
             trk = trackers[i]
-            if (
-                active[i]
-                and prev_images[i] is not None
-                and getattr(trk, "use_busca", False)
-                and hasattr(trk, "set_warp_hint")
-                and getattr(trk.cfg, "use_camera_motion_compensation",
-                            False)
-            ):
-                trk.set_warp_hint(
-                    cmc.submit_warp(
-                        prev_images[i], dets[i].image,
-                        scale=getattr(trk.cfg, "cmc_scale", 1.0),
-                    ).result
-                )
+            if active[i] and hasattr(trk, "cmc_prefetch"):
+                # the tracker submits with its OWN recipe/frame pair and
+                # stores the warp hint; no-op when the update won't align
+                trk.cmc_prefetch(dets[i].image)
         # phase 1: run every tracker's update up to its (optional) BUSCA
         # third round; collect the suspended requests
         onlines = [None] * b
@@ -952,9 +940,6 @@ def track_sequences_lockstep(
                 onlines[i], min_box_area, vertical_thresh
             )
             results[i].append((frame_ids[i], tlwhs, ids, confs))
-        for i in range(b):
-            if active[i]:
-                prev_images[i] = dets[i].image
     dt = time.perf_counter() - t0
     # sequences ran concurrently: stamp each with its proportional share of
     # the wall time, so res.fps reports the combined lockstep pipeline rate

@@ -166,9 +166,18 @@ class DualEngine:
             if not rb[i]:
                 continue
             s["rows"] += 1
-            if int(np.argmax(pb[i])) != int(np.argmax(pf[i])):
-                s["argmax_flips"] += 1
+            # decision columns a tracker actually consumes for row i: the
+            # detection columns plus the row's OWN Kalman column — other
+            # tracks' Kalman columns (n_dets + k, k != i) never feed a
+            # decision, so a noise swap there must not count as a flip
             kal_col = n_dets + i
+            cols = list(range(n_dets))
+            if kal_col < pb.shape[1]:
+                cols.append(kal_col)
+            if cols and int(np.argmax(pb[i, cols])) != int(
+                np.argmax(pf[i, cols])
+            ):
+                s["argmax_flips"] += 1
             if kal_col < pb.shape[1]:
                 s["rescue_rows"] += 1
                 wb = pb[i, kal_col] > self.rescue_thresh
@@ -220,7 +229,8 @@ def _random_dropout_sequence(seed: int, num_frames: int):
     return SyntheticSequence(objs, num_frames=num_frames, seed=seed)
 
 
-def _track_sequence(seq, engine, *, seq_len, num_candidates, crop_hw):
+def _track_sequence(seq, engine, *, seq_len, num_candidates, crop_hw,
+                    frames=None, dets=None):
     from busca_tpu.eval.metrics import evaluate_hota
     from busca_tpu.eval.runner import (
         evaluate_sequence,
@@ -236,8 +246,15 @@ def _track_sequence(seq, engine, *, seq_len, num_candidates, crop_hw):
     )
     tracker = ByteTracker(cfg, assoc_engine=engine)
     n = seq.num_frames
-    dets = [seq.detections(t) for t in range(n)]
-    res = run_sequence(tracker, (seq.frame(t) for t in range(n)), dets)
+    # frames/dets draw from the sequence's STATEFUL noise rng — callers
+    # comparing modes must precompute them once and share, or each run
+    # would see a different jitter realization and the mode delta would
+    # be confounded by input noise.
+    if dets is None:
+        dets = [seq.detections(t) for t in range(n)]
+    if frames is None:
+        frames = [seq.frame(t) for t in range(n)]
+    res = run_sequence(tracker, iter(frames), dets)
     gt = seq.ground_truth()
     m = evaluate_sequence(res, gt)
     h = evaluate_hota(gt, results_to_pred(res))
@@ -301,8 +318,13 @@ def measure_frozen_delta(
     per_seq = {"base": [], "batch": [], "frozen": []}
     for s in seq_seeds:
         seq = _random_dropout_sequence(int(s), num_frames)
+        # one noise realization shared by all three modes: frames and dets
+        # come from a stateful rng, so re-generating per run would confound
+        # the mode delta with detection/appearance jitter variance
+        frames = [seq.frame(t) for t in range(num_frames)]
+        dets = [seq.detections(t) for t in range(num_frames)]
         seq_kw = dict(seq_len=seq_len, num_candidates=num_candidates,
-                      crop_hw=crop_hw)
+                      crop_hw=crop_hw, frames=frames, dets=dets)
         per_seq["base"].append(_track_sequence(seq, None, **seq_kw))
         # batch-mode run, with the frozen engine scored at identical inputs
         per_seq["batch"].append(_track_sequence(seq, dual, **seq_kw))

@@ -236,6 +236,12 @@ class FeatureShim:
         feats = self._features(boxes, scale, frame)
         return self.trk.update(boxes, scores, feats, frame)
 
+    def cmc_prefetch(self, cur_frame):
+        """Forward the lockstep driver's ECC prefetch to the wrapped
+        tracker (which owns the recipe and the warp hint)."""
+        inner = getattr(self.trk, "cmc_prefetch", None)
+        return inner(cur_frame) if inner is not None else None
+
     def update_deferred(self, boxes, scores, scale, frame):
         """Pass-through to the wrapped tracker's deferred mode (lockstep
         third-round batching) when it has one."""
@@ -263,6 +269,10 @@ class CenterTrackShim:
         (the serving loop's feedback hook; detector.py:143-156 passes the
         tracker into the detector the same way)."""
         return self.trk.tracks
+
+    def cmc_prefetch(self, cur_frame):
+        inner = getattr(self.trk, "cmc_prefetch", None)
+        return inner(cur_frame) if inner is not None else None
 
     def update(self, boxes, scores, scale, frame):
         dicts = [
@@ -660,7 +670,8 @@ def main(argv=None):
                              "track positions on moving-camera sequences "
                              "(base_tracker.py:599-633; is_moving gate per "
                              "tracking_utils.py:209)")
-    parser.add_argument("--cmc-scale", type=float, default=1.0,
+    from busca_tpu.trackers.cmc import parse_scale as _cmc_scale_type
+    parser.add_argument("--cmc-scale", type=_cmc_scale_type, default=1.0,
                         help="ECC camera-motion solve resolution in (0, 1]; "
                              "1.0 = the reference's full-res recipe "
                              "(byte_tracker.py:626-650); 0.5 is 5.9x faster "

@@ -151,7 +151,6 @@ def run_mot_sequences_lockstep(
         for i in infos
     ]
     results = [[] for _ in seq_dirs]
-    prev_frames = {}  # previous decoded frame per sequence (ECC prefetch)
     # pixels are only consumed by BUSCA crops / features / visualization —
     # skip the JPEG decode PER SEQUENCE for pixel-free trackers (a mixed
     # A/B run must not make the base tracker's sequences pay the decode)
@@ -180,26 +179,14 @@ def run_mot_sequences_lockstep(
             )
         # ECC prefetch: CMC-enabled trackers get their frame-pair alignment
         # scheduled on the shared thread pool before any update runs, so
-        # the cv2 solves overlap each other and the remaining decodes
-        # (cmc.submit_warp; identical warps to the inline path)
+        # the cv2 solves overlap each other and the remaining decodes.
+        # Each tracker submits with its OWN recipe (byte: prev->cur; ghost:
+        # template=current + gauss smoothing) so warps are identical to the
+        # inline path.
         for i in live:
             trk = trackers[i]
-            if (
-                frames_now[i] is not None
-                and prev_frames.get(i) is not None
-                and getattr(trk, "use_busca", False)
-                and hasattr(trk, "set_warp_hint")
-                and getattr(getattr(trk, "cfg", None),
-                            "use_camera_motion_compensation", False)
-            ):
-                from busca_tpu.trackers import cmc
-
-                trk.set_warp_hint(
-                    cmc.submit_warp(
-                        prev_frames[i], frames_now[i],
-                        scale=getattr(trk.cfg, "cmc_scale", 1.0),
-                    ).result
-                )
+            if hasattr(trk, "cmc_prefetch"):
+                trk.cmc_prefetch(frames_now[i])
         for i in live:
             frame = frames_now[i]
             boxes, scores = dets_all[i].get(
@@ -226,7 +213,6 @@ def run_mot_sequences_lockstep(
                 vd = viz_dir_fn(infos[i].name)
                 if vd:
                     write_viz_frame(vd, frame_id, frames_now[i], tlwhs, ids)
-            prev_frames[i] = frames_now[i]
         step += 1
     dt = time.perf_counter() - t0
     total = max(sum(len(r) for r in results), 1)

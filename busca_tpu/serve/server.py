@@ -367,7 +367,8 @@ def main(argv=None):
     p.add_argument("--test-w", type=int, default=1440)
     p.add_argument("--det-conf", type=float, default=0.1)
     p.add_argument("--tracker", default="byte")
-    p.add_argument("--cmc-scale", type=float, default=1.0,
+    from busca_tpu.trackers.cmc import parse_scale as _cmc_scale_type
+    p.add_argument("--cmc-scale", type=_cmc_scale_type, default=1.0,
                    help="ECC camera-motion solve resolution in (0, 1]; "
                         "1.0 = the reference's full-res recipe; 0.5 is "
                         "5.9x faster at 0.015 px worst corner error "

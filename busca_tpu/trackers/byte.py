@@ -142,6 +142,26 @@ class ByteTracker:
         Consumed once; ignored when CMC is off or the third round skips."""
         self._warp_hint = warp_fn
 
+    def cmc_prefetch(self, cur_frame):
+        """Schedule the next ``update(... frame=cur_frame)``'s ECC solve on
+        the shared CMC pool (cmc.submit_warp) with THIS tracker's recipe —
+        lockstep drivers call this for every sequence before running any
+        update so the ~148 ms/pair cv2 solves overlap each other and the
+        in-flight device batch.  No-op (returns None) when the update would
+        not align; otherwise stores the warp hint and returns the future."""
+        cfg = self.cfg
+        if (
+            not self.use_busca
+            or not cfg.use_camera_motion_compensation
+            or cur_frame is None
+            or self.last_image is None
+        ):
+            return None
+        fut = cmc.submit_warp(self.last_image, cur_frame,
+                              scale=cfg.cmc_scale)
+        self.set_warp_hint(fut.result)
+        return fut
+
     def _engine_kwargs(self) -> dict:
         """The engine kwargs _third_round passes (for batched servicing)."""
         return dict(

@@ -59,6 +59,11 @@ class CenterTrackAdapter:
         self.tracker.det_thresh = self.new_thresh
         self.tracks = []
 
+    def cmc_prefetch(self, cur_frame):
+        """Forward the lockstep driver's ECC prefetch to the inner
+        ByteTracker (which owns the recipe and the warp hint)."""
+        return self.tracker.cmc_prefetch(cur_frame)
+
     def step(
         self,
         results: List[dict],

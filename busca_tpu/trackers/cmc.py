@@ -106,6 +106,22 @@ def ecc_align(
     return float(cc), warp
 
 
+def parse_scale(value):
+    """argparse ``type=`` validator for ``--cmc-scale``: float in (0, 1].
+
+    Rejects out-of-range values at parse time instead of deep inside
+    :func:`ecc_align` on the first CMC frame (after model load/compile).
+    """
+    import argparse
+
+    s = float(value)
+    if not 0.0 < s <= 1.0:
+        raise argparse.ArgumentTypeError(
+            f"cmc scale must be in (0, 1], got {s}"
+        )
+    return s
+
+
 def apply_warp(tracks: Sequence, warp: np.ndarray):
     """Warp every track's position by a precomputed 2x3 matrix."""
     for t in tracks:
@@ -115,17 +131,19 @@ def apply_warp(tracks: Sequence, warp: np.ndarray):
 _EXECUTOR = None
 
 
-def submit_warp(prev_frame, cur_frame, scale: float = 1.0):
-    """Schedule ``ecc_align(prev, cur)`` on the shared CMC thread pool.
+def submit_warp(prev_frame, cur_frame, scale: float = 1.0, **ecc_kwargs):
+    """Schedule ``ecc_align(prev, cur, **ecc_kwargs)`` on the shared CMC
+    thread pool.
 
     ECC is the single dominant host cost of the MOT17 configs (~148 ms/pair
     cv2 at 800x1440, and the reference pays it serially inside every
     third-round frame, byte_tracker.py:377).  cv2 releases the GIL during
     the native solve, so in lockstep mode B sequences' alignments run
     concurrently on the host cores while the device batch proceeds — the
-    drivers hand the returned future's ``.result`` to
-    ``Tracker.set_warp_hint``.  Returns a ``concurrent.futures.Future``
-    yielding ``(cc, warp_matrix)``.
+    drivers call each tracker's ``cmc_prefetch``, which submits here with
+    the tracker's own recipe (frame order, iterations, smoothing) so the
+    prefetched warp is identical to the inline path.  Returns a
+    ``concurrent.futures.Future`` yielding ``(cc, warp_matrix)``.
     """
     global _EXECUTOR
     if _EXECUTOR is None:
@@ -136,7 +154,9 @@ def submit_warp(prev_frame, cur_frame, scale: float = 1.0):
             max_workers=min(8, os.cpu_count() or 1),
             thread_name_prefix="cmc-ecc",
         )
-    return _EXECUTOR.submit(ecc_align, prev_frame, cur_frame, scale=scale)
+    return _EXECUTOR.submit(
+        ecc_align, prev_frame, cur_frame, scale=scale, **ecc_kwargs
+    )
 
 
 def compensate_tracks(
@@ -155,6 +175,11 @@ def compensate_tracks(
     if prev_frame is None or cur_frame is None:
         return 1.0
     if backend == "jax":
+        if scale != 1.0:
+            raise ValueError(
+                "cmc scale (downscaled ECC) is only implemented for the "
+                "cv2 backend; backend='jax' solves at full resolution"
+            )
         from busca_tpu.ops.ecc import estimate_cmc
 
         cc, warp = estimate_cmc(prev_frame, cur_frame)

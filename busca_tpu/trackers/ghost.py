@@ -218,6 +218,7 @@ class GhostTracker:
         self.act_thresh = config.act_reid_thresh
         self.inact_thresh = config.inact_reid_thresh
         self._last_mc_frame: Optional[np.ndarray] = None
+        self._warp_hint = None
         self.conf_threshold = (
             config.det_conf + config.minimum_conf_modifier
             if self.use_busca and config.transformer_update_mems_only_first_round
@@ -254,6 +255,41 @@ class GhostTracker:
         most one ThirdRoundRequest, output via ``StopIteration.value``."""
         return self._update_gen(boxes_tlbr, scores, features, frame)
 
+    def set_warp_hint(self, warp_fn):
+        """Zero-arg callable yielding ``(cc, warp_2x3)`` for the next
+        update's ego-motion compensation, computed from the SAME frame pair
+        and recipe the update would solve inline.  Consumed once."""
+        self._warp_hint = warp_fn
+
+    def cmc_prefetch(self, cur_frame):
+        """Schedule the next update's ECC solve on the shared CMC pool with
+        GHOST's recipe (template = CURRENT frame, gauss_filt_size 15,
+        base_tracker.py:607-620) — lockstep drivers call this before any
+        update runs so the cv2 solves overlap device work instead of
+        serializing inside each tracker (the reason cmc.submit_warp
+        exists).  No-op when the update would not align."""
+        cfg = self.cfg
+        if (
+            not cfg.motion_compensation
+            or cur_frame is None
+            or self._last_mc_frame is None
+            or not cfg.is_moving
+            or not (self.tracks or self.inactive_tracks)
+        ):
+            return None
+        from busca_tpu.trackers import cmc
+
+        fut = cmc.submit_warp(
+            cur_frame,
+            self._last_mc_frame,
+            scale=cfg.cmc_scale,
+            number_of_iterations=cfg.mc_num_iter,
+            termination_eps=cfg.mc_termination_eps,
+            gauss_filt_size=15,
+        )
+        self.set_warp_hint(fut.result)
+        return fut
+
     def _engine_kwargs(self) -> dict:
         cfg = self.cfg
         return dict(
@@ -287,6 +323,7 @@ class GhostTracker:
         # before association; warps the position HISTORY of every active and
         # inactive track when the camera moves.  Solve skipped when it would
         # not be applied (the reference runs it anyway for a debug norm).
+        warp_hint, self._warp_hint = self._warp_hint, None
         if cfg.motion_compensation and frame is not None:
             if (
                 self._last_mc_frame is not None
@@ -298,18 +335,24 @@ class GhostTracker:
                 # template = CURRENT frame ("changed this from tracktor",
                 # base_tracker.py:607-611): the warp maps last-frame coords
                 # into current-frame coords for the stored positions
-                _cc, warp = cmc.ecc_align(
-                    frame,
-                    self._last_mc_frame,
-                    number_of_iterations=cfg.mc_num_iter,
-                    termination_eps=cfg.mc_termination_eps,
-                    scale=cfg.cmc_scale,
-                    gauss_filt_size=15,
-                )
+                if warp_hint is not None:
+                    _cc, warp = warp_hint()
+                else:
+                    _cc, warp = cmc.ecc_align(
+                        frame,
+                        self._last_mc_frame,
+                        number_of_iterations=cfg.mc_num_iter,
+                        termination_eps=cfg.mc_termination_eps,
+                        scale=cfg.cmc_scale,
+                        gauss_filt_size=15,
+                    )
                 for group in (self.tracks, self.inactive_tracks):
                     for t in group.values():
                         t.warp_position_history(warp)
-            self._last_mc_frame = np.asarray(frame)
+            # defensive copy: np.asarray would alias a caller-owned buffer,
+            # and a reused/decoded-in-place frame would silently turn the
+            # next solve into frame-vs-itself (identity warp)
+            self._last_mc_frame = np.array(frame, copy=True)
 
         det_images = [None] * n
         if self.use_busca and frame is not None and n:

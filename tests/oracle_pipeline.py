@@ -2127,7 +2127,13 @@ def oracle_aflink(rows, model, thrT=(0, 30), thrS=75.0, thrP=0.05):
         return rows
     probs = model.score(np.stack(s1), np.stack(s2))
 
-    link_to = {}  # id -> merged-into id (direct)
+    link_to = {}  # root id -> merged-into root id
+
+    def resolve(x):
+        while x in link_to:
+            x = link_to[x]
+        return x
+
     used_src, used_dst = set(), set()
     for k in np.argsort(-probs):
         if probs[k] < thrP:
@@ -2137,12 +2143,14 @@ def oracle_aflink(rows, model, thrT=(0, 30), thrS=75.0, thrP=0.05):
             continue
         used_src.add(i)
         used_dst.add(j)
-        link_to[j] = i
-
-    def resolve(x):
-        while x in link_to:
-            x = link_to[x]
-        return x
+        # link ROOTS and no-op same-set pairs (union semantics): two
+        # same-frame tracklets can gate both (i, j) and (j, i) — a direct
+        # j->i map would then form a cycle and resolve() would never
+        # terminate; the production linker's parent[find(j)] = find(i)
+        # no-ops the second link the same way
+        ri, rj = resolve(i), resolve(j)
+        if ri != rj:
+            link_to[rj] = ri
 
     out = rows.copy()
     for tid in ids:

@@ -123,3 +123,23 @@ def test_cmc_scale_rejects_out_of_range():
         ecc_align(frame, frame, scale=0.0)
     with pytest.raises(ValueError):
         ecc_align(frame, frame, scale=1.5)
+
+
+def test_cmc_scale_parse_time_validation():
+    """--cmc-scale rejects out-of-range values at PARSE time (not minutes
+    later inside the first CMC frame's ecc_align), and the jax backend
+    refuses a scale it would silently ignore."""
+    import argparse
+
+    import pytest
+
+    from busca_tpu.trackers.cmc import compensate_tracks, parse_scale
+
+    assert parse_scale("0.5") == 0.5
+    for bad in ("0", "-0.25", "1.5"):
+        with pytest.raises(argparse.ArgumentTypeError):
+            parse_scale(bad)
+
+    frame = np.zeros((32, 32, 3), np.uint8)
+    with pytest.raises(ValueError, match="cv2 backend"):
+        compensate_tracks([], frame, frame, backend="jax", scale=0.5)

@@ -139,3 +139,47 @@ def test_gsi_smooths_noise():
     err_raw = np.abs(rows[:, 2] - x_true).mean()
     err_smooth = np.abs(out[:, 2] - x_true).mean()
     assert err_smooth < err_raw  # smoothing reduces jitter
+
+
+def test_cmc_prefetch_matches_inline():
+    """``cmc_prefetch`` (the lockstep drivers' phase-0 overlap hook) must
+    reproduce the inline ego-motion path exactly: same frame pair, same
+    recipe (template=current, gauss 15), just solved on the shared CMC
+    pool ahead of the update."""
+    from busca_tpu.eval.synthetic import SyntheticObject, SyntheticSequence
+
+    objs = [
+        SyntheticObject(color=np.array([40, 200, 60], np.float64),
+                        x0=60, y0=60, vx=2.0, vy=0.5, w=36, h=72),
+        SyntheticObject(color=np.array([210, 60, 180], np.float64),
+                        x0=220, y0=120, vx=-1.5, vy=1.0, w=40, h=80),
+    ]
+    n = 10
+    seq = SyntheticSequence(objs, num_frames=n, camera_drift=(2.0, 1.0),
+                            seed=5)
+    frames = [seq.frame(t) for t in range(n)]
+    dets = [seq.detections(t) for t in range(n)]
+    feats = np.eye(2, 16)
+
+    def run(prefetch):
+        trk = GhostTracker(
+            GhostConfig(motion_compensation=True, is_moving=True)
+        )
+        rows, submitted = [], 0
+        for t in range(n):
+            if prefetch and trk.cmc_prefetch(frames[t]) is not None:
+                submitted += 1
+            boxes, scores = dets[t]
+            online = trk.update(boxes, scores, feats[: len(scores)],
+                                frames[t])
+            rows.append(sorted(
+                (tr.track_id,
+                 round(float(tr.pos[0]), 9), round(float(tr.pos[1]), 9))
+                for tr in online
+            ))
+        return rows, submitted
+
+    inline_rows, _ = run(False)
+    pre_rows, submitted = run(True)
+    assert submitted == n - 1  # every frame pair went through the pool
+    assert pre_rows == inline_rows

@@ -147,3 +147,36 @@ def test_aflink_gsi_composed_matches_oracle():
         smoothed[:, 2:6], o_smoothed[:, 2:6], atol=1e-6,
         err_msg="GSI-smoothed coordinates diverged",
     )
+
+
+def test_oracle_aflink_mutual_gate_terminates():
+    """Two single-frame tracklets in the same frame gate BOTH (i, j) and
+    (j, i) (gap 0 passes thrT in each direction).  The oracle's greedy
+    linker must union ROOTS and no-op the second link — mirroring the
+    production ``parent[find(j)] = find(i)`` semantics — instead of
+    recording a direct i<->j cycle that spins resolve() forever."""
+    import signal
+
+    from oracle_pipeline import oracle_aflink
+
+    class AlwaysLink:
+        def score(self, s1, s2):
+            return np.full(len(s1), 0.99)
+
+    rows = np.array([
+        [5, 1, 10, 10, 20, 40, 1, -1, -1, -1],
+        [5, 2, 14, 12, 20, 40, 1, -1, -1, -1],
+    ], np.float64)
+
+    def on_alarm(signum, frame):  # pragma: no cover - only fires on the bug
+        raise TimeoutError("oracle_aflink did not terminate (link cycle)")
+
+    old = signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(30)
+    try:
+        out = oracle_aflink(rows, AlwaysLink())
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+    # both rows merged under one identity
+    assert np.unique(out[:, 1]).tolist() == [1.0]

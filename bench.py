@@ -419,7 +419,23 @@ def bench_association_frozen(t, d, dtype, iters=10, warmup=2):
         return (time.perf_counter() - t0) / iters * 1e3
 
     encode_ms = _time_dev(engine._encode, engine.variables, enc_batch)
+    # production scorer = the device FEATURE bank's gather+score program
+    # (engine._score_bank); the scatter half of _encode_scatter is epsilon
+    # next to the ResNet encode, so _encode stands in for it (the donated
+    # bank makes _encode_scatter itself single-shot, unsuitable for a
+    # timing loop)
+    engine._bank_init()
+    mem_slots = jax.device_put(
+        rng.randint(1, 1 + n_fresh, (score_b, L_MEM)).astype(np.int32)
+    )
+    can_slots = jax.device_put(
+        rng.randint(1, 1 + n_fresh, (score_b, C)).astype(np.int32)
+    )
     score_ms = _time_dev(
+        engine._score_bank, engine.variables, engine._bank, mem_slots,
+        can_slots, mem_boxes, can_boxes, mask,
+    )
+    score_feats_ms = _time_dev(
         engine._score_feats, engine.variables, mem_feats, can_feats,
         mem_boxes, can_boxes, mask,
     )
@@ -428,6 +444,7 @@ def bench_association_frozen(t, d, dtype, iters=10, warmup=2):
         "ms": dev_ms,
         "encode_ms": encode_ms,
         "score_ms": score_ms,
+        "score_feats_ms": score_feats_ms,
         "wall_ms": wall_ms,
         "tracks_per_s": t / (dev_ms / 1e3),
         "encode_bucket": enc_b,

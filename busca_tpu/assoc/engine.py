@@ -107,6 +107,7 @@ class AssociationEngine:
         bank=None,
         reid_stats: str = "batch",
         feat_cache_slots: int = 16384,
+        feat_bank: bool = True,
     ):
         if reid_stats not in ("batch", "frozen"):
             raise ValueError(f"reid_stats must be 'batch' or 'frozen', "
@@ -283,8 +284,11 @@ class AssociationEngine:
 
             from busca_tpu.models.reid import ReIDResNet
 
-            # uid-keyed LRU of encoded features ([F] f32 per crop).  ~2 KB
-            # per entry at F=512: the default 16384 slots ≈ 32 MB host RAM.
+            # uid-keyed LRU of encoded features.  With the device feature
+            # bank (feat_bank=True, default) the LRU maps uid -> HBM slot
+            # index and the features live in a [cap, F] f32 device array
+            # (16384 slots at F=512 ≈ 32 MB HBM); with feat_bank=False the
+            # LRU stores the [F] f32 vectors on host (≈ 32 MB host RAM).
             self._feat_cache: "OrderedDict" = OrderedDict()
             self._feat_cache_cap = int(feat_cache_slots)
             h, w = crop_hw
@@ -331,6 +335,64 @@ class AssociationEngine:
                 return jax.nn.softmax(logits, axis=-1)
 
             self._score_feats = _score_feats
+
+            # Device-resident FEATURE bank (default): cached features live
+            # in a [cap, F] f32 HBM array and the host LRU maps crop uid ->
+            # slot index.  Per third round the engine dispatches (at most)
+            # two ASYNC programs — encode-the-fresh-crops + scatter into the
+            # bank, then gather-by-slot + score — and blocks only on the
+            # final probs fetch.  The host-cache path above (feat_bank=
+            # False) pays a blocking device->host fetch of the encoded
+            # features plus a per-call re-upload of every gathered feature;
+            # here features never leave HBM.  Same numerics by
+            # construction (same _encode outputs, scatter/gather is exact);
+            # capacity/eviction affect speed, never results — pinned by
+            # tests/test_engine_frozen.py.  Slot 0 is scratch: encode-batch
+            # padding rows scatter there and score-batch padding rows
+            # gather from it (padded lanes are masked out and the feats
+            # scorer has no cross-row coupling, so scratch values are
+            # inert).
+            self._feat_bank = bool(feat_bank)
+            if self._feat_bank:
+                self._slot_of: "OrderedDict" = OrderedDict()
+                self._free_slots = list(
+                    range(self._feat_cache_cap - 1, 0, -1)
+                )
+                self._bank = None  # lazy [cap, F] f32 device zeros
+
+                @functools.partial(
+                    jax.jit,
+                    static_argnames=("normalize_ims",),
+                    donate_argnums=(1,),
+                )
+                def _encode_scatter(variables, bank, crops, slots,
+                                    normalize_ims=True):
+                    """Encode uint8 crops [m, h, w, 3] and scatter the
+                    features into the donated bank at ``slots`` [m]."""
+                    feats = _encode(variables, crops,
+                                    normalize_ims=normalize_ims)
+                    return bank.at[slots].set(feats.astype(bank.dtype))
+
+                self._encode_scatter = _encode_scatter
+
+                @jax.jit
+                def _score_bank(variables, bank, mem_slots, can_slots,
+                                mem_boxes, can_boxes, mask):
+                    """Feats scorer fed by bank gathers: ``mem_slots``
+                    [B, L] / ``can_slots`` [B, C] index the bank rows."""
+                    logits = model.apply(
+                        {"params": variables["params"]},
+                        None,
+                        None,
+                        mem_boxes,
+                        can_boxes,
+                        mask,
+                        mem_feats=bank[mem_slots],
+                        can_feats=bank[can_slots],
+                    )
+                    return jax.nn.softmax(logits, axis=-1)
+
+                self._score_bank = _score_bank
 
     @property
     def banked(self) -> bool:
@@ -388,6 +450,17 @@ class AssociationEngine:
         (mem_crops, mem_boxes, reliable, det_inds, can_boxes, unit_crop,
          num_available, d_count, t_count) = req
         if self.reid_stats == "frozen":
+            if self._feat_bank:
+                ctx = self._new_bank_ctx()
+                mem_slots, can_slots = self._frozen_request_slots(
+                    mem_crops, det_inds, unit_crop, normalize_ims, ctx
+                )
+                self._flush_fresh(ctx, normalize_ims)
+                probs = self._score_bank_chunked(
+                    mem_slots, can_slots, mem_boxes, can_boxes
+                )
+                self._release_ephemeral(ctx)
+                return probs  # [T, c + extras]
             mem_feats, can_feats = self._frozen_request_feats(
                 mem_crops, det_inds, unit_crop, normalize_ims
             )
@@ -463,24 +536,40 @@ class AssociationEngine:
             # concatenate every request's feature batch and run the feats
             # scorer once (chunked by bucket).  Numerics equal per-request
             # standalone calls by construction.
+            ctx = self._new_bank_ctx() if self._feat_bank else None
             mem_f, can_f, mem_b, can_b, spans = [], [], [], [], []
             for i, req, ndt in preps:
                 (m_crops, m_boxes, reliable, det_inds, can_boxes, unit_crop,
                  num_avail, _d_count, t_count) = req
-                mf, cf = self._frozen_request_feats(
-                    m_crops, det_inds, unit_crop, normalize_ims
-                )
+                if ctx is not None:
+                    mf, cf = self._frozen_request_slots(
+                        m_crops, det_inds, unit_crop, normalize_ims, ctx
+                    )
+                else:
+                    mf, cf = self._frozen_request_feats(
+                        m_crops, det_inds, unit_crop, normalize_ims
+                    )
                 mem_f.append(mf)
                 can_f.append(cf)
                 mem_b.append(m_boxes)
                 can_b.append(can_boxes)
                 spans.append((i, t_count, reliable, det_inds, num_avail, ndt))
-            probs = self._score_feats_chunked(
-                np.concatenate(mem_f),
-                np.concatenate(can_f),
-                np.concatenate(mem_b),
-                np.concatenate(can_b),
-            )
+            if ctx is not None:
+                self._flush_fresh(ctx, normalize_ims)
+                probs = self._score_bank_chunked(
+                    np.concatenate(mem_f),
+                    np.concatenate(can_f),
+                    np.concatenate(mem_b),
+                    np.concatenate(can_b),
+                )
+                self._release_ephemeral(ctx)
+            else:
+                probs = self._score_feats_chunked(
+                    np.concatenate(mem_f),
+                    np.concatenate(can_f),
+                    np.concatenate(mem_b),
+                    np.concatenate(can_b),
+                )
             row = 0
             for i, t_count, reliable, det_inds, num_avail, ndt in spans:
                 results[i] = self._postprocess(
@@ -867,6 +956,156 @@ class AssociationEngine:
         mem_feats = feats[:n_mem].reshape(t_count, seq_len, -1)
         can_feats = feats[n_mem:][gather]  # [T, C, F]
         return mem_feats, can_feats
+
+    # ------------------------------------------ frozen device feature bank --
+    def _new_bank_ctx(self) -> dict:
+        """Per-call bank context: fresh crops to encode, their target
+        slots, ephemeral (untagged-crop) slots to release after the call,
+        and the keys referenced by the call (protected from eviction)."""
+        return {"fresh_crops": [], "fresh_slots": [], "ephemeral": [],
+                "referenced": set()}
+
+    def _alloc_slot(self, ctx) -> int:
+        if self._free_slots:
+            return self._free_slots.pop()
+        # evict the least-recently-used key NOT referenced by this call —
+        # an in-flight call's gather indices must stay valid until its
+        # score dispatch
+        referenced = ctx["referenced"]
+        for key in self._slot_of:
+            if key not in referenced:
+                return self._slot_of.pop(key)
+        raise RuntimeError(
+            "feature bank exhausted: one call references more than "
+            f"{self._feat_cache_cap - 1} distinct crops — raise "
+            "feat_cache_slots"
+        )
+
+    def _slot_for(self, uid, crop, normalize_flag: bool, ctx) -> int:
+        """Bank slot for one unit; queues a fresh encode on a miss.
+        ``crop=None`` = the zero crop (cached under uid 0, like the host
+        path)."""
+        if crop is None:
+            uid = 0
+        key = None if uid is None else (uid, normalize_flag)
+        slots = self._slot_of
+        if key is not None:
+            s = slots.get(key)
+            if s is not None:
+                slots.move_to_end(key)
+                ctx["referenced"].add(key)
+                return s
+        s = self._alloc_slot(ctx)
+        ctx["fresh_crops"].append(
+            self._zero_crop if crop is None else crop
+        )
+        ctx["fresh_slots"].append(s)
+        if key is None:
+            # untagged crop: encoded for this call only, never recorded
+            ctx["ephemeral"].append(s)
+        else:
+            slots[key] = s
+            ctx["referenced"].add(key)
+        return s
+
+    def _frozen_request_slots(self, mem_entries, det_inds, unit_crop,
+                              normalize_ims, ctx):
+        """One request's bank gather maps: ``([T, L] i32, [T, C] i32)``.
+        Mirrors :meth:`_frozen_request_feats` with slot indices instead of
+        host feature rows."""
+        t_count = len(mem_entries)
+        seq_len, c = self.seq_len, self.num_candidates
+        flag = bool(normalize_ims)
+        zero_slot = self._slot_for(0, None, flag, ctx)
+        mem_slots = np.full((t_count, seq_len), zero_slot, np.int32)
+        for ti, e in enumerate(mem_entries):
+            if e is None:
+                continue  # incomplete memory -> zero-crop features
+            for li, cr in enumerate(e):
+                mem_slots[ti, li] = self._slot_for(
+                    getattr(cr, "uid", None), cr, flag, ctx
+                )
+        can_slots = np.full((t_count, c), zero_slot, np.int32)
+        unit_slot: dict = {}
+        for ti in range(t_count):
+            for ci, di in enumerate(det_inds[ti]):
+                if di is None:
+                    continue
+                s = unit_slot.get(di)
+                if s is None:
+                    cr = unit_crop(di)
+                    s = self._slot_for(
+                        getattr(cr, "uid", None), cr, flag, ctx
+                    )
+                    unit_slot[di] = s
+                can_slots[ti, ci] = s
+        return mem_slots, can_slots
+
+    def _bank_init(self):
+        if self._bank is None:
+            self._bank = jnp.zeros(
+                (self._feat_cache_cap, self.config.dim_embedding),
+                jnp.float32,
+            )
+
+    def _flush_fresh(self, ctx, normalize_ims):
+        """ONE async encode+scatter dispatch for the call's fresh crops
+        (bucketed; padding rows scatter to the scratch slot 0)."""
+        crops = ctx["fresh_crops"]
+        if not crops:
+            return
+        self._bank_init()
+        h, w = self.crop_hw
+        m = next_pow2(len(crops), min_bucket=8)
+        batch = np.zeros((m, h, w, 3), np.uint8)
+        for j, cr in enumerate(crops):
+            batch[j] = cr
+        slots = np.zeros(m, np.int32)
+        slots[: len(crops)] = ctx["fresh_slots"]
+        self._bank = self._encode_scatter(
+            self.variables, self._bank, jnp.asarray(batch),
+            jnp.asarray(slots), normalize_ims=bool(normalize_ims),
+        )
+
+    def _score_bank_chunked(self, mem_slots, can_slots, mem_boxes,
+                            can_boxes) -> np.ndarray:
+        """Bucket-pad the slot batch and run the bank scorer; padding rows
+        gather the scratch slot (masked out, no cross-row coupling)."""
+        self._bank_init()
+        t_count = mem_slots.shape[0]
+        max_b = self.buckets[-1]
+        out = []
+        for start in range(0, t_count, max_b):
+            end = min(start + max_b, t_count)
+            n = end - start
+            b = self._bucket(n)
+            pad = b - n
+
+            def padded(x):
+                if pad == 0:
+                    return x[start:end]
+                widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+                return np.pad(x[start:end], widths)
+
+            mask = np.zeros(b, dtype=np.float32)
+            mask[:n] = 1.0
+            probs = self._score_bank(
+                self.variables,
+                self._bank,
+                jnp.asarray(padded(mem_slots)),
+                jnp.asarray(padded(can_slots)),
+                jnp.asarray(padded(mem_boxes)),
+                jnp.asarray(padded(can_boxes)),
+                jnp.asarray(mask),
+            )
+            out.append(np.asarray(probs)[:n])
+        return np.concatenate(out, axis=0)
+
+    def _release_ephemeral(self, ctx):
+        # safe to recycle once the call's programs are DISPATCHED: device
+        # programs execute in dispatch order, so a later scatter cannot
+        # overtake this call's gathers
+        self._free_slots.extend(ctx["ephemeral"])
 
     def _score_feats_chunked(self, mem_feats, can_feats, mem_boxes,
                              can_boxes) -> np.ndarray:

@@ -108,7 +108,8 @@ def build_engine(busca_config_path: str, ckpt_path: Optional[str],
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
     if reid_stats == "frozen":
-        bank = None  # frozen scoring ships features, not pixels
+        bank = None  # frozen mode has its own HBM FEATURE bank (slot
+        # indices, not pixels) — the crop bank is the batch-mode path
     else:
         if bank_slots is None:
             bank_slots = 4096 if jax.default_backend() == "tpu" else 256

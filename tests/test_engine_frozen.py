@@ -175,24 +175,42 @@ def test_model_feats_path_matches_crops_path(setup):
     )
 
 
-def test_frozen_cache_warmth_invariance(setup):
+def _count_encodes(eng, calls):
+    """Wrap the engine's encode entry point (bank scatter or host encode)
+    so each device encode dispatch appends its batch size to ``calls``."""
+    if eng._feat_bank:
+        inner = eng._encode_scatter
+
+        def wrapped(v, bank, crops, slots, **kw):
+            calls.append(crops.shape[0])
+            return inner(v, bank, crops, slots, **kw)
+
+        eng._encode_scatter = wrapped
+    else:
+        inner = eng._encode
+        eng._encode = lambda v, c, **kw: calls.append(c.shape[0]) or inner(
+            v, c, **kw
+        )
+
+
+@pytest.mark.parametrize("feat_bank", [True, False])
+def test_frozen_cache_warmth_invariance(setup, feat_bank):
     """Identical request scored with a cold vs warm cache gives identical
-    results, and the warm pass encodes strictly fewer crops."""
+    results, and the warm pass encodes nothing (device bank and host cache
+    alike)."""
     rng = np.random.RandomState(5)
     tracks, dets, kal = _scene(rng)
 
-    eng = _frozen_engine(setup)
+    eng = _frozen_engine(setup, feat_bank=feat_bank)
     calls = []
-    inner = eng._encode
-    eng._encode = lambda v, c, **kw: calls.append(c.shape[0]) or inner(
-        v, c, **kw
-    )
+    _count_encodes(eng, calls)
 
     cold, rel_cold = eng.associate(
         tracks, dets, extra_kalman_candidates=kal,
         select_highest_candidate=False,
     )
     n_cold_calls = len(calls)
+    assert n_cold_calls > 0
     warm, rel_warm = eng.associate(
         tracks, dets, extra_kalman_candidates=kal,
         select_highest_candidate=False,
@@ -203,12 +221,12 @@ def test_frozen_cache_warmth_invariance(setup):
 
 
 def test_frozen_cache_eviction_invariance(setup):
-    """A 2-slot cache (constant eviction) scores identically to the default
-    capacity — capacity affects speed, never results."""
+    """A 2-slot host cache (constant eviction) scores identically to the
+    default capacity — capacity affects speed, never results."""
     rng = np.random.RandomState(6)
     tracks, dets, kal = _scene(rng)
-    big = _frozen_engine(setup)
-    tiny = _frozen_engine(setup, feat_cache_slots=2)
+    big = _frozen_engine(setup, feat_bank=False)
+    tiny = _frozen_engine(setup, feat_cache_slots=2, feat_bank=False)
     kw = dict(extra_kalman_candidates=kal, select_highest_candidate=False)
     p_big, _ = big.associate(tracks, dets, **kw)
     p_big2, _ = big.associate(tracks, dets, **kw)  # warm
@@ -219,18 +237,74 @@ def test_frozen_cache_eviction_invariance(setup):
     np.testing.assert_allclose(p_big2, p_big, rtol=0, atol=1e-6)
 
 
-def test_frozen_associate_many_matches_single(setup):
+def test_frozen_bank_matches_host_cache(setup):
+    """The device feature bank (encode+scatter then gather+score in HBM) is
+    an execution split of the host-cache path: identical probabilities on
+    cold AND warm calls."""
+    rng = np.random.RandomState(13)
+    scenes = [_scene(rng, n_tracks=3, n_dets=4) for _ in range(2)]
+    bank_eng = _frozen_engine(setup, feat_bank=True)
+    host_eng = _frozen_engine(setup, feat_bank=False)
+    kw = dict(select_highest_candidate=False)
+    for tracks, dets, kal in scenes + scenes:  # second pass = warm caches
+        p_bank, r_bank = bank_eng.associate(
+            tracks, dets, extra_kalman_candidates=kal, **kw
+        )
+        p_host, r_host = host_eng.associate(
+            tracks, dets, extra_kalman_candidates=kal, **kw
+        )
+        np.testing.assert_allclose(p_bank, p_host, rtol=0, atol=1e-6)
+        np.testing.assert_array_equal(r_bank, r_host)
+
+
+def test_frozen_bank_eviction_invariance(setup):
+    """A bank barely larger than one call's working set (constant eviction
+    between alternating scenes) scores identically to the default capacity."""
+    rng = np.random.RandomState(14)
+    scene_a = _scene(rng, n_tracks=3, n_dets=4)
+    scene_b = _scene(rng, n_tracks=3, n_dets=4)
+    big = _frozen_engine(setup, feat_bank=True)
+    # one call references ~ zero + 3 tracks x SEQ_LEN mems + 4 dets +
+    # 3 Kalman crops <= 23 distinct units; 26 slots forces the alternating
+    # scene's units to evict each other every call
+    tiny = _frozen_engine(setup, feat_bank=True, feat_cache_slots=26)
+    kw = dict(select_highest_candidate=False)
+    for tracks, dets, kal in (scene_a, scene_b, scene_a, scene_b):
+        p_big, _ = big.associate(
+            tracks, dets, extra_kalman_candidates=kal, **kw
+        )
+        p_tiny, _ = tiny.associate(
+            tracks, dets, extra_kalman_candidates=kal, **kw
+        )
+        np.testing.assert_allclose(p_tiny, p_big, rtol=0, atol=1e-6)
+
+
+def test_frozen_bank_exhaustion_raises(setup):
+    """A call referencing more distinct crops than the bank holds fails
+    loudly (never silently evicts an in-flight slot)."""
+    rng = np.random.RandomState(15)
+    tracks, dets, kal = _scene(rng)
+    eng = _frozen_engine(setup, feat_bank=True, feat_cache_slots=4)
+    with pytest.raises(RuntimeError, match="feature bank exhausted"):
+        eng.associate(
+            tracks, dets, extra_kalman_candidates=kal,
+            select_highest_candidate=False,
+        )
+
+
+@pytest.mark.parametrize("feat_bank", [True, False])
+def test_frozen_associate_many_matches_single(setup, feat_bank):
     """The batched multi-request path equals per-request standalone calls
     (no BN coupling exists in frozen mode by construction)."""
     rng = np.random.RandomState(8)
     scenes = [_scene(rng, n_tracks=2, n_dets=3) for _ in range(3)]
     kw = dict(select_highest_candidate=False)
 
-    batched_eng = _frozen_engine(setup)
+    batched_eng = _frozen_engine(setup, feat_bank=feat_bank)
     requests = [(t, d, None, k) for t, d, k in scenes]
     batched = batched_eng.associate_many(requests, **kw)
 
-    single_eng = _frozen_engine(setup)
+    single_eng = _frozen_engine(setup, feat_bank=feat_bank)
     for (tracks, dets, kal), (p_b, r_b) in zip(scenes, batched):
         p_s, r_s = single_eng.associate(
             tracks, dets, extra_kalman_candidates=kal, **kw

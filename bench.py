@@ -295,8 +295,11 @@ def bench_association_frozen(t, d, dtype, iters=10, warmup=2):
     Transformer from features.
 
     Measures the engine's OWN jitted programs (``_encode`` at the
-    steady-state fresh-unit bucket, ``_score_feats`` at the track bucket) as
-    pure device timings — per-call host syncs would otherwise ride the
+    steady-state fresh-unit bucket — the scatter half of the production
+    ``_encode_scatter`` is epsilon next to the ResNet; ``_score_bank``, the
+    production HBM-bank gather+score, at the track bucket; ``_score_feats``
+    reported alongside as ``score_feats_ms`` for the feat_bank=False path)
+    as pure device timings — per-call host syncs would otherwise ride the
     bench tunnel's ~30 ms RTT, which a colocated production host does not
     pay.  One full engine-level ``associate`` wall time (host prep + cache
     bookkeeping + both device calls + fetch) is reported alongside for

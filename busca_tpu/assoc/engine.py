@@ -359,6 +359,7 @@ class AssociationEngine:
                     range(self._feat_cache_cap - 1, 0, -1)
                 )
                 self._bank = None  # lazy [cap, F] f32 device zeros
+                self._bank_gen = 0  # bumped by _reset_bank (recovery)
 
                 @functools.partial(
                     jax.jit,
@@ -452,13 +453,21 @@ class AssociationEngine:
         if self.reid_stats == "frozen":
             if self._feat_bank:
                 ctx = self._new_bank_ctx()
-                mem_slots, can_slots = self._frozen_request_slots(
-                    mem_crops, det_inds, unit_crop, normalize_ims, ctx
-                )
-                self._flush_fresh(ctx, normalize_ims)
-                probs = self._score_bank_chunked(
-                    mem_slots, can_slots, mem_boxes, can_boxes
-                )
+                try:
+                    mem_slots, can_slots = self._frozen_request_slots(
+                        mem_crops, det_inds, unit_crop, normalize_ims, ctx
+                    )
+                    self._flush_fresh(ctx, normalize_ims)
+                    probs = self._score_bank_chunked(
+                        mem_slots, can_slots, mem_boxes, can_boxes
+                    )
+                except Exception:
+                    if ctx["flushed"]:
+                        # failure after the scatter dispatched: the bank's
+                        # runtime state is unknowable — drop it (speed-only)
+                        self._reset_bank()
+                    self._rollback_ctx(ctx)
+                    raise
                 self._release_ephemeral(ctx)
                 return probs  # [T, c + extras]
             mem_feats, can_feats = self._frozen_request_feats(
@@ -538,38 +547,48 @@ class AssociationEngine:
             # standalone calls by construction.
             ctx = self._new_bank_ctx() if self._feat_bank else None
             mem_f, can_f, mem_b, can_b, spans = [], [], [], [], []
-            for i, req, ndt in preps:
-                (m_crops, m_boxes, reliable, det_inds, can_boxes, unit_crop,
-                 num_avail, _d_count, t_count) = req
+            try:
+                for i, req, ndt in preps:
+                    (m_crops, m_boxes, reliable, det_inds, can_boxes,
+                     unit_crop, num_avail, _d_count, t_count) = req
+                    if ctx is not None:
+                        mf, cf = self._frozen_request_slots(
+                            m_crops, det_inds, unit_crop, normalize_ims, ctx
+                        )
+                    else:
+                        mf, cf = self._frozen_request_feats(
+                            m_crops, det_inds, unit_crop, normalize_ims
+                        )
+                    mem_f.append(mf)
+                    can_f.append(cf)
+                    mem_b.append(m_boxes)
+                    can_b.append(can_boxes)
+                    spans.append(
+                        (i, t_count, reliable, det_inds, num_avail, ndt)
+                    )
                 if ctx is not None:
-                    mf, cf = self._frozen_request_slots(
-                        m_crops, det_inds, unit_crop, normalize_ims, ctx
+                    self._flush_fresh(ctx, normalize_ims)
+                    probs = self._score_bank_chunked(
+                        np.concatenate(mem_f),
+                        np.concatenate(can_f),
+                        np.concatenate(mem_b),
+                        np.concatenate(can_b),
                     )
                 else:
-                    mf, cf = self._frozen_request_feats(
-                        m_crops, det_inds, unit_crop, normalize_ims
+                    probs = self._score_feats_chunked(
+                        np.concatenate(mem_f),
+                        np.concatenate(can_f),
+                        np.concatenate(mem_b),
+                        np.concatenate(can_b),
                     )
-                mem_f.append(mf)
-                can_f.append(cf)
-                mem_b.append(m_boxes)
-                can_b.append(can_boxes)
-                spans.append((i, t_count, reliable, det_inds, num_avail, ndt))
+            except Exception:
+                if ctx is not None:
+                    if ctx["flushed"]:
+                        self._reset_bank()
+                    self._rollback_ctx(ctx)
+                raise
             if ctx is not None:
-                self._flush_fresh(ctx, normalize_ims)
-                probs = self._score_bank_chunked(
-                    np.concatenate(mem_f),
-                    np.concatenate(can_f),
-                    np.concatenate(mem_b),
-                    np.concatenate(can_b),
-                )
                 self._release_ephemeral(ctx)
-            else:
-                probs = self._score_feats_chunked(
-                    np.concatenate(mem_f),
-                    np.concatenate(can_f),
-                    np.concatenate(mem_b),
-                    np.concatenate(can_b),
-                )
             row = 0
             for i, t_count, reliable, det_inds, num_avail, ndt in spans:
                 results[i] = self._postprocess(
@@ -961,9 +980,40 @@ class AssociationEngine:
     def _new_bank_ctx(self) -> dict:
         """Per-call bank context: fresh crops to encode, their target
         slots, ephemeral (untagged-crop) slots to release after the call,
-        and the keys referenced by the call (protected from eviction)."""
+        the keys referenced by the call (protected from eviction), the
+        keys REGISTERED by the call (rolled back if it fails before its
+        scatter dispatches), and the bank generation it was built against."""
         return {"fresh_crops": [], "fresh_slots": [], "ephemeral": [],
-                "referenced": set()}
+                "referenced": set(), "new_keys": [], "flushed": False,
+                "gen": self._bank_gen}
+
+    def _reset_bank(self):
+        """Drop the bank and every registration — the recovery path after
+        a failed scatter (the donated input buffer is invalidated even
+        when the program errors, so the old bank is unusable).  Purely a
+        speed event: every feature re-encodes deterministically on the
+        next call."""
+        self._bank = None
+        self._slot_of.clear()
+        self._free_slots = list(range(self._feat_cache_cap - 1, 0, -1))
+        self._bank_gen += 1
+
+    def _rollback_ctx(self, ctx):
+        """Undo a failed call's registrations: keys registered by this
+        call would otherwise cache-hit never-written bank rows (the same
+        discipline as DeviceCropBank.put_device's rollback)."""
+        if ctx["gen"] != self._bank_gen:
+            # the bank was reset underneath this call — registrations and
+            # slot ids are already gone / reclaimed
+            ctx["new_keys"].clear()
+            ctx["ephemeral"].clear()
+            return
+        for key, slot in ctx["new_keys"]:
+            if self._slot_of.get(key) == slot:
+                del self._slot_of[key]
+                self._free_slots.append(slot)
+        ctx["new_keys"].clear()
+        self._release_ephemeral(ctx)
 
     def _alloc_slot(self, ctx) -> int:
         if self._free_slots:
@@ -1006,6 +1056,7 @@ class AssociationEngine:
         else:
             slots[key] = s
             ctx["referenced"].add(key)
+            ctx["new_keys"].append((key, s))
         return s
 
     def _frozen_request_slots(self, mem_entries, det_inds, unit_crop,
@@ -1062,82 +1113,76 @@ class AssociationEngine:
             batch[j] = cr
         slots = np.zeros(m, np.int32)
         slots[: len(crops)] = ctx["fresh_slots"]
-        self._bank = self._encode_scatter(
-            self.variables, self._bank, jnp.asarray(batch),
-            jnp.asarray(slots), normalize_ims=bool(normalize_ims),
-        )
+        try:
+            new_bank = self._encode_scatter(
+                self.variables, self._bank, jnp.asarray(batch),
+                jnp.asarray(slots), normalize_ims=bool(normalize_ims),
+            )
+        except Exception:
+            # the donated bank buffer may already be invalidated — drop
+            # everything; re-encodes are deterministic, so this only
+            # costs speed
+            self._reset_bank()
+            raise
+        self._bank = new_bank
+        ctx["flushed"] = True
+
+    def _chunked_scores(self, t_count, arrays, scorer) -> np.ndarray:
+        """Shared chunk loop of the two frozen scorers: bucket-pad each
+        ``arrays`` slice, build the sample mask, call ``scorer(*padded,
+        mask)``, and trim/concatenate the probability rows."""
+        max_b = self.buckets[-1]
+        out = []
+        for start in range(0, t_count, max_b):
+            end = min(start + max_b, t_count)
+            n = end - start
+            b = self._bucket(n)
+            pad = b - n
+
+            def padded(x):
+                if pad == 0:
+                    return x[start:end]
+                widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+                return np.pad(x[start:end], widths)
+
+            mask = np.zeros(b, dtype=np.float32)
+            mask[:n] = 1.0
+            probs = scorer(
+                *(jnp.asarray(padded(a)) for a in arrays),
+                jnp.asarray(mask),
+            )
+            out.append(np.asarray(probs)[:n])
+        return np.concatenate(out, axis=0)
 
     def _score_bank_chunked(self, mem_slots, can_slots, mem_boxes,
                             can_boxes) -> np.ndarray:
         """Bucket-pad the slot batch and run the bank scorer; padding rows
         gather the scratch slot (masked out, no cross-row coupling)."""
         self._bank_init()
-        t_count = mem_slots.shape[0]
-        max_b = self.buckets[-1]
-        out = []
-        for start in range(0, t_count, max_b):
-            end = min(start + max_b, t_count)
-            n = end - start
-            b = self._bucket(n)
-            pad = b - n
-
-            def padded(x):
-                if pad == 0:
-                    return x[start:end]
-                widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-                return np.pad(x[start:end], widths)
-
-            mask = np.zeros(b, dtype=np.float32)
-            mask[:n] = 1.0
-            probs = self._score_bank(
-                self.variables,
-                self._bank,
-                jnp.asarray(padded(mem_slots)),
-                jnp.asarray(padded(can_slots)),
-                jnp.asarray(padded(mem_boxes)),
-                jnp.asarray(padded(can_boxes)),
-                jnp.asarray(mask),
-            )
-            out.append(np.asarray(probs)[:n])
-        return np.concatenate(out, axis=0)
+        return self._chunked_scores(
+            mem_slots.shape[0],
+            (mem_slots, can_slots, mem_boxes, can_boxes),
+            lambda *a: self._score_bank(self.variables, self._bank, *a),
+        )
 
     def _release_ephemeral(self, ctx):
         # safe to recycle once the call's programs are DISPATCHED: device
         # programs execute in dispatch order, so a later scatter cannot
-        # overtake this call's gathers
-        self._free_slots.extend(ctx["ephemeral"])
+        # overtake this call's gathers.  No-op if the bank was reset
+        # underneath the call (the reset already reclaimed every slot).
+        if ctx["gen"] == self._bank_gen:
+            self._free_slots.extend(ctx["ephemeral"])
+        ctx["ephemeral"].clear()
 
     def _score_feats_chunked(self, mem_feats, can_feats, mem_boxes,
                              can_boxes) -> np.ndarray:
         """Bucket-pad the feature batch and run the feats scorer; chunk
         batches larger than the biggest bucket."""
-        t_count = mem_feats.shape[0]
-        max_b = self.buckets[-1]
-        out = []
-        for start in range(0, t_count, max_b):
-            end = min(start + max_b, t_count)
-            n = end - start
-            b = self._bucket(n)
-            pad = b - n
-
-            def padded(x):
-                if pad == 0:
-                    return x[start:end]
-                widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-                return np.pad(x[start:end], widths)
-
-            mask = np.zeros(b, dtype=np.float32)
-            mask[:n] = 1.0
-            probs = self._score_feats(
-                self.variables,
-                jnp.asarray(padded(mem_feats)),
-                jnp.asarray(padded(can_feats)),
-                jnp.asarray(padded(mem_boxes)),
-                jnp.asarray(padded(can_boxes)),
-                jnp.asarray(mask),
-            )
-            out.append(np.asarray(probs)[:n])
-        return np.concatenate(out, axis=0)
+        return self._chunked_scores(
+            mem_feats.shape[0],
+            (mem_feats, can_feats, mem_boxes, can_boxes),
+            lambda *a: self._score_feats(self.variables, *a),
+        )
 
     def _score_bucketed_unique(
         self, mem_crops, det_inds, unit_crop, mem_boxes, can_boxes,

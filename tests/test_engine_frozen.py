@@ -292,6 +292,40 @@ def test_frozen_bank_exhaustion_raises(setup):
         )
 
 
+def test_frozen_bank_failed_call_rolls_back(setup):
+    """A call that fails before its scatter dispatches must unregister its
+    keys (later calls would otherwise gather never-written bank rows) and
+    free its slots; a failure AFTER the scatter resets the bank — either
+    way the next call still returns the correct probabilities."""
+    rng = np.random.RandomState(16)
+    tracks, dets, kal = _scene(rng)
+    kw = dict(extra_kalman_candidates=kal, select_highest_candidate=False)
+
+    ref_eng = _frozen_engine(setup, feat_bank=True)
+    p_ref, _ = ref_eng.associate(tracks, dets, **kw)
+
+    # (a) pre-flush failure: exhaustion fires during slot resolution
+    eng = _frozen_engine(setup, feat_bank=True, feat_cache_slots=4)
+    n_free = len(eng._free_slots)
+    with pytest.raises(RuntimeError, match="feature bank exhausted"):
+        eng.associate(tracks, dets, **kw)
+    assert not eng._slot_of  # every registration rolled back
+    assert len(eng._free_slots) == n_free  # every slot reclaimed
+
+    # (b) post-flush failure: scorer blows up after the scatter dispatched
+    eng = _frozen_engine(setup, feat_bank=True)
+    real_score = eng._score_bank
+    eng._score_bank = lambda *a, **k: (_ for _ in ()).throw(
+        ValueError("injected")
+    )
+    with pytest.raises(ValueError, match="injected"):
+        eng.associate(tracks, dets, **kw)
+    assert eng._bank is None and not eng._slot_of  # bank dropped whole
+    eng._score_bank = real_score
+    p_after, _ = eng.associate(tracks, dets, **kw)  # clean re-encode
+    np.testing.assert_allclose(p_after, p_ref, rtol=0, atol=1e-6)
+
+
 @pytest.mark.parametrize("feat_bank", [True, False])
 def test_frozen_associate_many_matches_single(setup, feat_bank):
     """The batched multi-request path equals per-request standalone calls

@@ -26,6 +26,11 @@ class SyntheticObject:
     h: float
     # detector dropout window [start, end) — the object stays visible
     dropout: Tuple[int, int] = (0, 0)
+    # low-confidence window [start, end): the detector still fires but at
+    # ``dip_score`` — drives BYTE's second (low-score) association round
+    # (byte_tracker.py:341-361) in composed tests
+    score_dip: Tuple[int, int] = (0, 0)
+    dip_score: float = 0.3
 
     def box_at(self, t: int) -> np.ndarray:
         x = self.x0 + self.vx * t
@@ -35,6 +40,10 @@ class SyntheticObject:
     def detected_at(self, t: int) -> bool:
         lo, hi = self.dropout
         return not (lo <= t < hi)
+
+    def score_at(self, t: int, base: float) -> float:
+        lo, hi = self.score_dip
+        return self.dip_score if lo <= t < hi else base
 
 
 @dataclasses.dataclass
@@ -109,7 +118,10 @@ class SyntheticSequence:
             boxes.append(
                 [tlwh[0], tlwh[1], tlwh[0] + tlwh[2], tlwh[1] + tlwh[3]]
             )
-            scores.append(self.det_score + self._rng.uniform(-0.05, 0.05))
+            scores.append(
+                obj.score_at(t, self.det_score)
+                + self._rng.uniform(-0.05, 0.05)
+            )
         if not boxes:
             return np.zeros((0, 4)), np.zeros(0)
         return np.asarray(boxes, dtype=np.float64), np.asarray(scores)

@@ -1,0 +1,91 @@
+"""Randomized composed-pipeline parity fuzz.
+
+`test_pipeline_oracle.py` pins the composed ByteTracker+BUSCA pipeline to the
+independent torch oracle on ONE hand-written 110-frame stream per adapter.
+This file widens that evidence: each seed generates a random scenario —
+object count, trajectories, sizes, colors, dropout windows (BUSCA rescues),
+low-confidence dips (BYTE's second round, byte_tracker.py:341-361), detector
+noise, and optionally global camera drift (ECC CMC, byte_tracker.py:377-378)
+— and requires frame-by-frame ID/box/probability parity through the same
+`_run_byte_parity` harness.  Randomized streams reach tracker-state
+interleavings a single authored sequence cannot (simultaneous dropouts,
+re-entry collisions, low-score re-acquisition during a rescue window).
+
+Seeds are fixed (not time-derived) so failures reproduce; the generator is
+the randomness.  Slow tier.
+"""
+
+import numpy as np
+import pytest
+
+from busca_tpu.eval.synthetic import SyntheticObject, SyntheticSequence
+
+from test_pipeline_oracle import FRAME_H, FRAME_W, _run_byte_parity
+
+N_FRAMES = 70
+
+
+def _random_sequence(seed: int, with_drift: bool = False):
+    rng = np.random.RandomState(seed)
+    n_obj = rng.randint(3, 7)
+    drift = (
+        (float(rng.uniform(0.3, 1.0)), float(rng.uniform(0.2, 0.6)))
+        if with_drift
+        else (0.0, 0.0)
+    )
+    objs = []
+    for _ in range(n_obj):
+        w = float(rng.uniform(14, 24))
+        h = float(rng.uniform(28, 44))
+        # endpoints inside the viewport margins; velocity derived so the
+        # whole trajectory stays on screen (viewport coords; world velocity
+        # adds the camera drift back)
+        x0 = float(rng.uniform(4, FRAME_W - w - 4))
+        y0 = float(rng.uniform(4, FRAME_H - h - 4))
+        x1 = float(rng.uniform(4, FRAME_W - w - 4))
+        y1 = float(rng.uniform(4, FRAME_H - h - 4))
+        vx = (x1 - x0) / N_FRAMES + drift[0]
+        vy = (y1 - y0) / N_FRAMES + drift[1]
+        kw = {}
+        roll = rng.rand()
+        if roll < 0.6:
+            start = int(rng.randint(10, N_FRAMES - 22))
+            kw["dropout"] = (start, start + int(rng.randint(5, 14)))
+        elif roll < 0.85:
+            start = int(rng.randint(10, N_FRAMES - 22))
+            kw["score_dip"] = (start, start + int(rng.randint(5, 14)))
+            kw["dip_score"] = float(rng.uniform(0.2, 0.4))
+        objs.append(
+            SyntheticObject(
+                color=rng.randint(30, 226, 3).astype(np.float64),
+                x0=x0, y0=y0, vx=vx, vy=vy, w=w, h=h, **kw,
+            )
+        )
+    return SyntheticSequence(
+        objs,
+        num_frames=N_FRAMES,
+        height=FRAME_H,
+        width=FRAME_W,
+        det_noise=float(rng.uniform(0.5, 1.5)),
+        seed=seed,
+        camera_drift=drift,
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+def test_byte_pipeline_fuzz(seed):
+    out = _run_byte_parity(_random_sequence(seed))
+    # every random stream must still exercise the third round; the parity
+    # asserts live inside the harness
+    assert out["third_rounds"] >= 1, "stream never reached the third round"
+
+
+@pytest.mark.slow
+def test_byte_pipeline_fuzz_cmc():
+    """One randomized stream with camera drift and ECC CMC live on both
+    pipelines."""
+    out = _run_byte_parity(_random_sequence(515, with_drift=True), use_cmc=True)
+    assert out["third_rounds"] >= 1
+    assert out["warp_shifts"], "CMC never ran"
+    assert max(out["warp_shifts"]) > 0.3, "warps were trivial"

@@ -678,6 +678,13 @@ def main(argv=None):
                              "(byte_tracker.py:626-650); 0.5 is 5.9x faster "
                              "at 0.015 px worst corner error (measured, "
                              "PARITY.md 'ECC')")
+    parser.add_argument("--mem-cap", type=int, default=None,
+                        help="bound each track's appearance memory to this "
+                             "many entries, kept evenly spaced over the "
+                             "track's history (long-stream serving; default "
+                             "None = reference semantics, memories grow for "
+                             "the track's life, byte_tracker.py:150-156; "
+                             "use >= 2*seq_len)")
     # StrongSORT cached artifacts (deep_sort_app.py:50-52, opts.py:142-143)
     parser.add_argument("--npy-det", default=None,
                         help="precomputed detections+features: a .npy file, "
@@ -733,6 +740,8 @@ def main(argv=None):
         tracker_kwargs["cmc_scale"] = args.cmc_scale
     if args.ghost_motion_compensation:
         tracker_kwargs["motion_compensation"] = True
+    if args.mem_cap is not None:
+        tracker_kwargs["mem_cap"] = args.mem_cap
 
     if args.synthetic:
         out = run_synthetic(args, engine, tracker_kwargs)

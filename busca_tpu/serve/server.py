@@ -335,6 +335,8 @@ def build_tracker_runtime(args):
         tracker_kwargs["track_thresh"] = 0.6
     if getattr(args, "cmc_scale", 1.0) != 1.0:
         tracker_kwargs["cmc_scale"] = args.cmc_scale
+    if getattr(args, "mem_cap", None) is not None:
+        tracker_kwargs["mem_cap"] = args.mem_cap
 
     def factory():
         trk = make_tracker(args.tracker, dict(tracker_kwargs), engine)
@@ -376,6 +378,11 @@ def main(argv=None):
     p.add_argument("--track-thresh", type=float, default=None,
                    help="first-round score threshold; default = the YAML "
                         "bundle's value when --use-busca, else 0.6")
+    p.add_argument("--mem-cap", type=int, default=None,
+                   help="bound each track's appearance memory to this many "
+                        "entries kept evenly spaced over its history "
+                        "(long-stream serving; default None = reference "
+                        "semantics, unbounded growth; use >= 2*seq_len)")
     p.add_argument("--reid-ckpt", default=None,
                    help="ReID checkpoint for feature trackers "
                         "(strongsort/ghost/motdt)")

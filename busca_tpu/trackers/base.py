@@ -65,6 +65,23 @@ class Track:
         if image is not None:
             self.images_mem.append(image)
 
+        # Bounded appearance memory (opt-in, None = reference semantics:
+        # memories grow for the track's whole life,
+        # byte_tracker.py:150-156).  For long-stream serving a live track
+        # otherwise accumulates ~150 KB/frame of crops; with ``mem_cap`` set
+        # the memory holds at most ``mem_cap`` entries kept evenly spaced
+        # over the track's admitted history by stride doubling: admissions
+        # are taken every ``_mem_stride``-th gated update, and when the list
+        # reaches the cap every other entry is dropped (newest kept) and the
+        # stride doubles — so stored entries always cover the full history
+        # at even spacing, which is what the broader-memory sampler
+        # (assoc/engine._get_track_mem) consumes.  Deviation is documented
+        # in docs/SERVING.md; use mem_cap >= 2*seq_len.
+        self.mem_cap: Optional[int] = None
+        self._mem_stride = 1
+        self._mem_clock = 0
+        self._mem_next_admit = 0
+
     # ----------------------------------------------------------- geometry --
     @property
     def tlwh(self) -> np.ndarray:
@@ -194,6 +211,12 @@ class Track:
         crop after an imageless birth trims the unpaired box history."""
         if not update_mems:
             return
+        if self.mem_cap is not None:
+            tick = self._mem_clock
+            self._mem_clock += 1
+            if tick < self._mem_next_admit:
+                return
+            self._mem_next_admit = tick + self._mem_stride
         has_img = bool(new_track.images_mem)
         if self.images_mem and not has_img:
             return
@@ -206,6 +229,30 @@ class Track:
             if excess > 0:
                 del self.tlwh_mem[:excess]
                 del self.conf_mem[:excess]
+        self._compact_mems()
+
+    def _compact_mems(self):
+        """Halve the memory lists once they reach ``mem_cap``: keep every
+        other entry anchored on the NEWEST (the non-broader sampler reads
+        the tail, _get_track_mem) and double the admission stride so stored
+        entries stay evenly spaced over the track's admitted history."""
+        cap = self.mem_cap
+        if cap is None or cap < 2:
+            return
+        if self.images_mem and len(self.images_mem) != len(self.tlwh_mem):
+            # transient imageless-birth misalignment: compact after the
+            # first crop re-aligns the triple (_extend_mems trims it)
+            return
+        # loop: a cap set mid-life on a long history converges in
+        # log2(len/cap) halvings; steady state halves once
+        while len(self.tlwh_mem) >= cap:
+            start = (len(self.tlwh_mem) - 1) % 2
+            self.tlwh_mem = self.tlwh_mem[start::2]
+            self.conf_mem = self.conf_mem[start::2]
+            if self.images_mem:
+                self.images_mem = self.images_mem[start::2]
+            self._mem_stride *= 2
+            self._mem_next_admit = self._mem_clock - 1 + self._mem_stride
 
     def mark_lost(self):
         self.state = TrackState.Lost

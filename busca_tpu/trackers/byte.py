@@ -64,6 +64,12 @@ class ByteTrackerConfig:
     # corner error (measured, PARITY.md "ECC") — a flagged improvement
     cmc_scale: float = 1.0
     crop_hw: tuple = (384, 128)
+    # bounded appearance memory for long-stream serving (None = reference
+    # semantics: per-track memories grow unboundedly,
+    # byte_tracker.py:150-156).  Entries are kept evenly spaced over the
+    # track's history by stride doubling (Track._compact_mems); use
+    # >= 2*seq_len.  Flagged deviation, docs/SERVING.md "Long streams".
+    mem_cap: Optional[int] = None
 
 
 class ByteTracker:
@@ -77,6 +83,11 @@ class ByteTracker:
         frame_rate: int = 30,
     ):
         self.cfg = config
+        if config.mem_cap is not None and config.mem_cap < 2:
+            raise ValueError(
+                f"mem_cap must be >= 2 (recommended >= 2*seq_len), "
+                f"got {config.mem_cap}"
+            )
         self.engine = assoc_engine
         self.tracked: List[Track] = []
         self.lost: List[Track] = []
@@ -357,6 +368,7 @@ class ByteTracker:
             track = detections[inew]
             if track.score < self.det_thresh:
                 continue
+            track.mem_cap = cfg.mem_cap
             track.activate(self.frame_id)
             activated.append(track)
 

@@ -1247,9 +1247,14 @@ def main():
         return (_time.perf_counter() - t0) * 1e3
 
     _loop_ms(1)
+    # 24-step slope: the k=32 minus k=8 difference carries ~10-25 ms of
+    # device signal against the tunnel's few-ms RTT jitter — the r4 clean
+    # run showed the old 7-step slope (k=8 minus k=1) can land below the
+    # noise and bottom out at the clamp floor (0.02 ms), understating the
+    # crop term in the e2e_busca composition
     crop_ms = max(
-        (min(_loop_ms(8) for _ in range(3))
-         - min(_loop_ms(1) for _ in range(3))) / 7.0,
+        (min(_loop_ms(32) for _ in range(3))
+         - min(_loop_ms(8) for _ in range(3))) / 24.0,
         0.02,
     )
     busca_crop_ms = hp["crop_calls_per_frame"] * crop_ms

@@ -230,7 +230,7 @@ def _random_dropout_sequence(seed: int, num_frames: int):
 
 
 def _track_sequence(seq, engine, *, seq_len, num_candidates, crop_hw,
-                    frames=None, dets=None):
+                    frames=None, dets=None, mem_cap=None):
     from busca_tpu.eval.metrics import evaluate_hota
     from busca_tpu.eval.runner import (
         evaluate_sequence,
@@ -243,6 +243,7 @@ def _track_sequence(seq, engine, *, seq_len, num_candidates, crop_hw,
         use_busca=engine is not None, seq_len=seq_len,
         num_candidates=num_candidates, crop_hw=crop_hw,
         use_broader_memory=False,  # demo model trained on consecutive mems
+        mem_cap=mem_cap,
     )
     tracker = ByteTracker(cfg, assoc_engine=engine)
     n = seq.num_frames

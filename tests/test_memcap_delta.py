@@ -1,0 +1,22 @@
+"""The bounded-memory deviation measurement harness (eval/memcap_delta.py).
+
+Companion to test_frozen_delta.py: pins that the unbounded-vs-capped
+measurement runs end-to-end and reports well-formed metrics/deltas for
+every cap.
+"""
+
+import numpy as np
+
+from busca_tpu.eval.memcap_delta import measure_memcap_delta
+
+
+def test_measure_memcap_delta_report_shape():
+    out = measure_memcap_delta(
+        caps=(8,), steps=25, train_batch=10, seed=3, num_frames=40,
+        seq_seeds=(0,),
+    )
+    assert set(out["metrics"]) == {"unbounded", "cap8"}
+    for tag, m in out["metrics"].items():
+        assert np.isfinite([m["mota"], m["hota"], m["idf1"]]).all(), tag
+    assert set(out["delta"]) == {"cap8"}
+    assert set(out["delta"]["cap8"]) == {"mota", "idf1", "hota", "fn", "ids"}

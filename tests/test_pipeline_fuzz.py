@@ -20,7 +20,13 @@ import pytest
 
 from busca_tpu.eval.synthetic import SyntheticObject, SyntheticSequence
 
-from test_pipeline_oracle import FRAME_H, FRAME_W, _run_byte_parity
+from test_pipeline_oracle import (
+    FRAME_H,
+    FRAME_W,
+    _run_byte_parity,
+    _run_ghost_parity,
+    _run_strongsort_parity,
+)
 
 N_FRAMES = 70
 
@@ -78,6 +84,20 @@ def test_byte_pipeline_fuzz(seed):
     out = _run_byte_parity(_random_sequence(seed))
     # every random stream must still exercise the third round; the parity
     # asserts live inside the harness
+    assert out["third_rounds"] >= 1, "stream never reached the third round"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [606, 707])
+def test_strongsort_pipeline_fuzz(seed):
+    out = _run_strongsort_parity(_random_sequence(seed))
+    assert out["third_rounds"] >= 1, "stream never reached the third round"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [808, 909])
+def test_ghost_pipeline_fuzz(seed):
+    out = _run_ghost_parity(_random_sequence(seed))
     assert out["third_rounds"] >= 1, "stream never reached the third round"
 
 

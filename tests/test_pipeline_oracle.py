@@ -330,16 +330,15 @@ def _object_features(seq, t, rng_feats):
     return np.asarray(feats) if feats else None
 
 
-@pytest.mark.slow
-def test_strongsort_pipeline_matches_torch_oracle():
-    """Same frame-by-frame drive for the StrongSORT strategy (cascade-off
+def _run_strongsort_parity(seq):
+    """Frame-by-frame drive for the StrongSORT strategy (cascade-off
     woC matching, NSA Kalman, EMA features, MC fusion, third round over
-    unmatched confirmed age<=1 tracks — deep_sort/tracker.py:106-198)."""
+    unmatched confirmed age<=1 tracks — deep_sort/tracker.py:106-198).
+    Returns the exercise counters."""
     from busca_tpu.trackers import StrongSortConfig, StrongSortTracker
     from busca_tpu.trackers.base import run_third_round
     from oracle_pipeline import OracleStrongSortTracker
 
-    seq = _make_sequence()
     torch_model, engine = _build_shared_models()
 
     probs_log_jax = []
@@ -379,7 +378,7 @@ def test_strongsort_pipeline_matches_torch_oracle():
     }
 
     third_rounds = rescues = decisions_checked = 0
-    for t in range(N_FRAMES):
+    for t in range(seq.num_frames):
         frame = seq.frame(t)
         boxes, scores = seq.detections(t)
         feats = _object_features(seq, t, rng_feats)
@@ -446,13 +445,25 @@ def test_strongsort_pipeline_matches_torch_oracle():
             decisions_checked += int(clear.sum())
             rescues += int((kal_j > BUSCA_THRESH).sum())
 
+    return {
+        "third_rounds": third_rounds,
+        "decisions_checked": decisions_checked,
+        "rescues": rescues,
+    }
+
+
+@pytest.mark.slow
+def test_strongsort_pipeline_matches_torch_oracle():
+    out = _run_strongsort_parity(_make_sequence())
     # StrongSORT's third round only covers unmatched confirmed age<=1
     # tracks (deep_sort/tracker.py:133-139), so it fires once per dropout
     # onset — a handful of rounds is the expected coverage here; the byte
     # test above exercises the high-duty rescue path.
-    assert third_rounds >= 4, f"only {third_rounds} third rounds fired"
-    assert decisions_checked >= 2, "too few clear-margin decisions"
-    del rescues  # informational only for StrongSORT (see comment above)
+    assert out["third_rounds"] >= 4, (
+        f"only {out['third_rounds']} third rounds fired"
+    )
+    assert out["decisions_checked"] >= 2, "too few clear-margin decisions"
+    # "rescues" is informational only for StrongSORT (see comment above)
 
 
 def _run_ghost_parity(seq, use_mc=False):

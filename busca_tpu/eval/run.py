@@ -126,7 +126,21 @@ def build_engine(busca_config_path: str, ckpt_path: Optional[str],
     return engine, tracker_kwargs
 
 
+# trackers whose track class is the shared base Track (trackers/base.py) —
+# the only ones --mem-cap applies to; StrongSORT/GHOST/MOTDT keep their own
+# memory stores with their reference's built-in memory-saving modes
+MEM_CAP_TRACKERS = ("byte", "bytetrack", "centertrack", "transcenter")
+
+
 def make_tracker(name: str, tracker_kwargs: dict, engine, crop_hw=(384, 128)):
+    if (tracker_kwargs.get("mem_cap") is not None
+            and name not in MEM_CAP_TRACKERS):
+        raise ValueError(
+            f"--mem-cap only applies to the byte-family trackers "
+            f"{MEM_CAP_TRACKERS}; --tracker {name} stores appearance "
+            f"memory its own way (strongsort/ghost ship the reference's "
+            f"memory-saving modes) and would silently leak instead"
+        )
     from busca_tpu.trackers import (
         ByteTracker,
         ByteTrackerConfig,
@@ -680,11 +694,13 @@ def main(argv=None):
                              "PARITY.md 'ECC')")
     parser.add_argument("--mem-cap", type=int, default=None,
                         help="bound each track's appearance memory to this "
-                             "many entries, kept evenly spaced over the "
-                             "track's history (long-stream serving; default "
-                             "None = reference semantics, memories grow for "
-                             "the track's life, byte_tracker.py:150-156; "
-                             "use >= 2*seq_len)")
+                             "many entries (dense recent tail + even-stride "
+                             "archive of the older history; long-stream "
+                             "serving; default None = reference semantics, "
+                             "memories grow for the track's life, "
+                             "byte_tracker.py:150-156; use >= ~5*seq_len — "
+                             "measured zero-delta, PARITY.md; byte-family "
+                             "trackers only)")
     # StrongSORT cached artifacts (deep_sort_app.py:50-52, opts.py:142-143)
     parser.add_argument("--npy-det", default=None,
                         help="precomputed detections+features: a .npy file, "

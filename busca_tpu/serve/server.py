@@ -336,6 +336,21 @@ def build_tracker_runtime(args):
     if getattr(args, "cmc_scale", 1.0) != 1.0:
         tracker_kwargs["cmc_scale"] = args.cmc_scale
     if getattr(args, "mem_cap", None) is not None:
+        # fail at STARTUP, not on the first client connection: an invalid
+        # cap or an unsupported tracker would otherwise bind the socket and
+        # then error every stream from inside factory()
+        from busca_tpu.eval.run import MEM_CAP_TRACKERS
+
+        if args.mem_cap < 4:
+            raise ValueError(
+                f"--mem-cap must be >= 4 (recommended >= ~5*seq_len), "
+                f"got {args.mem_cap}"
+            )
+        if args.tracker not in MEM_CAP_TRACKERS:
+            raise ValueError(
+                f"--mem-cap only applies to the byte-family trackers "
+                f"{MEM_CAP_TRACKERS}, not --tracker {args.tracker}"
+            )
         tracker_kwargs["mem_cap"] = args.mem_cap
 
     def factory():
@@ -380,9 +395,11 @@ def main(argv=None):
                         "bundle's value when --use-busca, else 0.6")
     p.add_argument("--mem-cap", type=int, default=None,
                    help="bound each track's appearance memory to this many "
-                        "entries kept evenly spaced over its history "
-                        "(long-stream serving; default None = reference "
-                        "semantics, unbounded growth; use >= 2*seq_len)")
+                        "entries (dense recent tail + even-stride archive; "
+                        "long-stream serving; default None = reference "
+                        "semantics, unbounded growth; use >= ~5*seq_len — "
+                        "measured zero-delta, PARITY.md; byte-family "
+                        "trackers only)")
     p.add_argument("--reid-ckpt", default=None,
                    help="ReID checkpoint for feature trackers "
                         "(strongsort/ghost/motdt)")

@@ -69,18 +69,21 @@ class Track:
         # memories grow for the track's whole life,
         # byte_tracker.py:150-156).  For long-stream serving a live track
         # otherwise accumulates ~150 KB/frame of crops; with ``mem_cap`` set
-        # the memory holds at most ``mem_cap`` entries kept evenly spaced
-        # over the track's admitted history by stride doubling: admissions
-        # are taken every ``_mem_stride``-th gated update, and when the list
-        # reaches the cap every other entry is dropped (newest kept) and the
-        # stride doubles — so stored entries always cover the full history
-        # at even spacing, which is what the broader-memory sampler
-        # (assoc/engine._get_track_mem) consumes.  Deviation is documented
-        # in docs/SERVING.md; use mem_cap >= 2*seq_len.
+        # the memory holds at most ``mem_cap`` entries in two regions:
+        # a DENSE TAIL of the most recent ``mem_cap//2`` admissions (so the
+        # freshest stored crop is always the latest admission — zero
+        # staleness for the last-seq_len sampler) and an even-stride
+        # ARCHIVE of the older history (admission indices that are
+        # multiples of ``_mem_stride``; the birth entry, index 0, is always
+        # retained, so the stored span is the track's whole life — what the
+        # broader-memory sampler consumes, assoc/engine._get_track_mem).
+        # The stride doubles as the history outgrows the archive's share.
+        # Deviation is documented in docs/SERVING.md "Long streams"; use
+        # mem_cap >= ~5*seq_len (measured zero-delta, PARITY.md).
         self.mem_cap: Optional[int] = None
         self._mem_stride = 1
-        self._mem_clock = 0
-        self._mem_next_admit = 0
+        self._mem_clock = 0          # next admission index
+        self._mem_ticks: List[int] = []  # admission index per stored entry
 
     # ----------------------------------------------------------- geometry --
     @property
@@ -211,16 +214,11 @@ class Track:
         crop after an imageless birth trims the unpaired box history."""
         if not update_mems:
             return
-        if self.mem_cap is not None:
-            tick = self._mem_clock
-            self._mem_clock += 1
-            if tick < self._mem_next_admit:
-                return
-            self._mem_next_admit = tick + self._mem_stride
         has_img = bool(new_track.images_mem)
         if self.images_mem and not has_img:
             return
-        if new_track.tlwh_mem:
+        n_new = len(new_track.tlwh_mem)
+        if n_new:
             self.tlwh_mem.extend(new_track.tlwh_mem)
             self.conf_mem.extend(new_track.conf_mem)
         if has_img:
@@ -229,30 +227,54 @@ class Track:
             if excess > 0:
                 del self.tlwh_mem[:excess]
                 del self.conf_mem[:excess]
-        self._compact_mems()
+                if self._mem_ticks:
+                    del self._mem_ticks[:excess]
+        if self.mem_cap is not None and n_new:
+            if len(self._mem_ticks) != len(self.tlwh_mem) - n_new:
+                # cap engaged mid-life (or after an excess trim): treat the
+                # existing history as consecutive admissions
+                self._mem_ticks = list(
+                    range(len(self.tlwh_mem) - n_new)
+                )
+                self._mem_clock = len(self._mem_ticks)
+            for _ in range(min(n_new, len(self.tlwh_mem)
+                               - len(self._mem_ticks))):
+                self._mem_ticks.append(self._mem_clock)
+                self._mem_clock += 1
+            self._compact_mems()
 
     def _compact_mems(self):
-        """Halve the memory lists once they reach ``mem_cap``: keep every
-        other entry anchored on the NEWEST (the non-broader sampler reads
-        the tail, _get_track_mem) and double the admission stride so stored
-        entries stay evenly spaced over the track's admitted history."""
+        """Bound the memory lists at ``mem_cap`` entries: keep the DENSE
+        TAIL (the most recent ``cap//2`` admissions — the non-broader
+        sampler reads the tail, so the freshest stored crop is always the
+        latest admission) plus an even-stride ARCHIVE of the older history
+        (admission indices ≡ 0 mod ``_mem_stride``; index 0 = birth always
+        survives, preserving the stored span).  The stride doubles until
+        the archive fits its share with headroom, so compaction is
+        amortized O(1) per admission."""
         cap = self.mem_cap
-        if cap is None or cap < 2:
+        if cap is None or len(self.tlwh_mem) <= cap:
             return
         if self.images_mem and len(self.images_mem) != len(self.tlwh_mem):
             # transient imageless-birth misalignment: compact after the
             # first crop re-aligns the triple (_extend_mems trims it)
             return
-        # loop: a cap set mid-life on a long history converges in
-        # log2(len/cap) halvings; steady state halves once
-        while len(self.tlwh_mem) >= cap:
-            start = (len(self.tlwh_mem) - 1) % 2
-            self.tlwh_mem = self.tlwh_mem[start::2]
-            self.conf_mem = self.conf_mem[start::2]
-            if self.images_mem:
-                self.images_mem = self.images_mem[start::2]
-            self._mem_stride *= 2
-            self._mem_next_admit = self._mem_clock - 1 + self._mem_stride
+        tail_n = max(cap // 2, 1)
+        headroom = max(cap // 4, 1)
+        old_budget = max(cap - tail_n - headroom, 1)
+        split = len(self.tlwh_mem) - tail_n
+        old_ticks = self._mem_ticks[:split]
+        s = self._mem_stride
+        while sum(1 for t in old_ticks if t % s == 0) > old_budget:
+            s *= 2
+        self._mem_stride = s
+        keep = [i for i, t in enumerate(old_ticks) if t % s == 0]
+        keep.extend(range(split, len(self.tlwh_mem)))
+        self.tlwh_mem = [self.tlwh_mem[i] for i in keep]
+        self.conf_mem = [self.conf_mem[i] for i in keep]
+        self._mem_ticks = [self._mem_ticks[i] for i in keep]
+        if self.images_mem:
+            self.images_mem = [self.images_mem[i] for i in keep]
 
     def mark_lost(self):
         self.state = TrackState.Lost

@@ -66,9 +66,10 @@ class ByteTrackerConfig:
     crop_hw: tuple = (384, 128)
     # bounded appearance memory for long-stream serving (None = reference
     # semantics: per-track memories grow unboundedly,
-    # byte_tracker.py:150-156).  Entries are kept evenly spaced over the
-    # track's history by stride doubling (Track._compact_mems); use
-    # >= 2*seq_len.  Flagged deviation, docs/SERVING.md "Long streams".
+    # byte_tracker.py:150-156).  Keeps a dense tail of recent admissions +
+    # an even-stride archive of the older history (Track._compact_mems);
+    # use >= ~5*seq_len (measured zero-delta, PARITY.md).  Flagged
+    # deviation, docs/SERVING.md "Long streams".
     mem_cap: Optional[int] = None
 
 
@@ -83,9 +84,10 @@ class ByteTracker:
         frame_rate: int = 30,
     ):
         self.cfg = config
-        if config.mem_cap is not None and config.mem_cap < 2:
+        if config.mem_cap is not None and config.mem_cap < 4:
             raise ValueError(
-                f"mem_cap must be >= 2 (recommended >= 2*seq_len), "
+                f"mem_cap must be >= 4 (recommended >= ~5*seq_len; the cap "
+                f"splits into a dense tail and a strided archive), "
                 f"got {config.mem_cap}"
             )
         self.engine = assoc_engine

@@ -4,7 +4,8 @@ The reference grows every live track's crop memory for the track's whole
 life (byte_tracker.py:150-156) and only ever *samples* seq_len of it
 (network.py:247-279); fine for 1-2k-frame MOT sequences, a leak for
 hours-long serving streams (~150 KB/frame/track).  ``mem_cap`` keeps at
-most N entries evenly spaced over the admitted history by stride doubling
+most N entries in two regions — a dense tail of the most recent N//2
+admissions plus an even-stride archive of the older history
 (Track._compact_mems).  Default None == exact reference behavior (pinned
 by the composed oracle suite, which never sets it).
 """
@@ -41,11 +42,19 @@ def test_default_is_unbounded(rng):
 
 
 @pytest.mark.parametrize("cap", [8, 16])
-def test_capped_memory_bounded_even_and_newest(rng, cap):
+def test_capped_memory_bounded_dense_tail_even_archive(rng, cap):
+    """The two-region invariants: len <= cap at every update; the NEWEST
+    admission is always the last stored entry (zero staleness — the
+    non-broader sampler reads the tail); birth is always retained (full
+    span for the broader sampler); right after each compaction the list is
+    exactly [even-stride archive][dense tail]."""
     t = Track(np.array([50.0, 60, 30, 60]), -1.0, image=_crop(rng))
     t.mem_cap = cap
     t.activate(1)
     n = 500
+    tail_n = cap // 2
+    prev_len = len(t.conf_mem)
+    compactions = 0
     for tick in range(n):
         det = Track(
             np.array([50.0 + tick, 60.0, 30, 60]), float(tick),
@@ -53,22 +62,31 @@ def test_capped_memory_bounded_even_and_newest(rng, cap):
         )
         t.update(det, frame_id=tick + 2)
         # bound holds after EVERY update, not just at the end
-        assert len(t.images_mem) < cap
+        assert len(t.images_mem) <= cap
         assert len(t.tlwh_mem) == len(t.images_mem) == len(t.conf_mem)
-        # the newest admitted entry is always retained
-        admitted = [c for c in t.conf_mem if c >= 0]
-        assert admitted, "memory lost all real entries"
-        last_admit = max(admitted)
-        assert t.conf_mem[-1] == last_admit
-    ticks = np.array([c for c in t.conf_mem if c >= 0])
-    # even coverage: surviving ticks are uniformly spaced at the final
-    # stride and span (almost) the whole history
-    diffs = np.diff(ticks)
-    assert len(set(diffs.tolist())) == 1, f"uneven spacing {diffs}"
-    stride = int(diffs[0])
-    assert ticks[-1] > n - 1 - stride  # newest end covered
-    assert ticks[0] < 2 * stride  # oldest end covered
-    # boxes/crops stay index-paired with their ticks
+        # the newest admission is ALWAYS the last stored entry (the old
+        # stride-gating design could leave it minutes stale; review r4)
+        assert t.conf_mem[-1] == float(tick)
+        # birth (admission 0) always survives — full stored span
+        assert t.conf_mem[0] == -1.0
+        if len(t.conf_mem) < prev_len + 1:  # a compaction just ran
+            compactions += 1
+            confs = t.conf_mem
+            # dense tail: the last tail_n entries are consecutive admissions
+            tail = confs[-tail_n:]
+            assert tail == [tail[0] + i for i in range(len(tail))]
+            # even-stride archive: admission indices (conf+1; birth=-1 ->
+            # 0) are consecutive multiples of one stride
+            arch = np.array([c + 1 for c in confs[:-tail_n]])
+            diffs = np.diff(arch)
+            assert len(set(diffs.tolist())) <= 1, f"uneven archive {arch}"
+            if len(diffs):
+                assert arch[0] == 0 and arch[-1] == arch[0] + diffs[0] * (
+                    len(arch) - 1
+                )
+        prev_len = len(t.conf_mem)
+    assert compactions >= 3, "stream too short to exercise compaction"
+    # boxes/crops stay index-paired with their admissions
     for conf, box in zip(t.conf_mem, t.tlwh_mem):
         if conf >= 0:
             assert box[0] == 50.0 + conf
@@ -82,10 +100,11 @@ def test_cap_set_midlife_compacts_existing_history(rng):
     t.mem_cap = 32
     det = Track(np.array([200.0, 60, 30, 60]), 999.0, image=_crop(rng))
     t.update(det, frame_id=200)
-    assert len(t.images_mem) < 32  # converges in one update (looped halving)
-    assert t.conf_mem[-1] == 999.0  # newest survives the halvings
+    assert len(t.images_mem) <= 32  # one compaction converges
+    assert t.conf_mem[-1] == 999.0  # newest entry survives
+    assert t.conf_mem[0] == -1.0  # birth survives
     _run_updates(t, 100, rng)
-    assert len(t.images_mem) < 32
+    assert len(t.images_mem) <= 32
 
 
 def test_imageless_track_boxes_also_bounded(rng):
@@ -96,7 +115,7 @@ def test_imageless_track_boxes_also_bounded(rng):
     for tick in range(200):
         det = Track(np.array([50.0 + tick, 60.0, 30, 60]), float(tick))
         t.update(det, frame_id=tick + 2)
-        assert len(t.tlwh_mem) < 8
+        assert len(t.tlwh_mem) <= 8
         assert not t.images_mem
 
 
@@ -111,7 +130,7 @@ def test_tracker_propagates_mem_cap(rng):
     assert len(online) == 1
     tr = online[0]
     assert tr.mem_cap == 8
-    assert len(tr.tlwh_mem) < 8
+    assert len(tr.tlwh_mem) <= 8
     # one continuous object must keep one ID despite compaction
     assert tr.track_id == 1
 
@@ -119,6 +138,33 @@ def test_tracker_propagates_mem_cap(rng):
 def test_mem_cap_validation():
     with pytest.raises(ValueError, match="mem_cap"):
         ByteTracker(ByteTrackerConfig(mem_cap=1))
+
+
+def test_mem_cap_rejected_for_unsupported_tracker():
+    """Non-byte-family trackers store memory their own way; a silently
+    dropped --mem-cap would leak while the operator believes memory is
+    bounded (review r4)."""
+    from busca_tpu.eval.run import make_tracker
+
+    with pytest.raises(ValueError, match="mem-cap"):
+        make_tracker("strongsort", {"mem_cap": 64}, None)
+
+
+def test_imageless_update_burns_no_admission(rng):
+    """An imageless frame on a track that carries crops is dropped from
+    memory (the triple-alignment contract) WITHOUT consuming an admission
+    slot — the stored tail stays gap-free (review r4)."""
+    t = Track(np.array([50.0, 60, 30, 60]), -1.0, image=_crop(rng))
+    t.mem_cap = 8
+    t.activate(1)
+    _run_updates(t, 5, rng)
+    n0 = len(t.conf_mem)
+    t.update(Track(np.array([99.0, 60, 30, 60]), 0.7), frame_id=50)
+    assert len(t.conf_mem) == n0  # dropped, not appended box-only
+    det = Track(np.array([55.0, 60, 30, 60]), 5.0, image=_crop(rng))
+    t.update(det, frame_id=51)
+    # admissions stay consecutive across the imageless frame
+    assert t.conf_mem[-3:] == [3.0, 4.0, 5.0]
 
 
 def test_capped_track_feeds_engine(rng):

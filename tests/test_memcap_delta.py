@@ -6,10 +6,12 @@ every cap.
 """
 
 import numpy as np
+import pytest
 
 from busca_tpu.eval.memcap_delta import measure_memcap_delta
 
 
+@pytest.mark.slow
 def test_measure_memcap_delta_report_shape():
     out = measure_memcap_delta(
         caps=(8,), steps=25, train_batch=10, seed=3, num_frames=40,

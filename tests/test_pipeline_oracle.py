@@ -530,7 +530,7 @@ def _run_ghost_parity(seq, use_mc=False):
         }
 
         third_rounds = decisions_checked = 0
-        for t in range(N_FRAMES):
+        for t in range(seq.num_frames):
             frame = seq.frame(t)
             boxes, scores = seq.detections(t)
             feats = _object_features(seq, t, rng_feats)

@@ -126,20 +126,22 @@ def build_engine(busca_config_path: str, ckpt_path: Optional[str],
     return engine, tracker_kwargs
 
 
-# trackers whose track class is the shared base Track (trackers/base.py) —
-# the only ones --mem-cap applies to; StrongSORT/GHOST/MOTDT keep their own
-# memory stores with their reference's built-in memory-saving modes
-MEM_CAP_TRACKERS = ("byte", "bytetrack", "centertrack", "transcenter")
+# trackers that store per-track appearance-crop memory and support the
+# --mem-cap bound (trackers/base.py compact_mem_lists); sort/motdt keep no
+# crop memory at all, so a cap there would be a silently-dropped no-op
+MEM_CAP_TRACKERS = (
+    "byte", "bytetrack", "centertrack", "transcenter",
+    "strongsort", "deepsort", "ghost",
+)
 
 
 def make_tracker(name: str, tracker_kwargs: dict, engine, crop_hw=(384, 128)):
     if (tracker_kwargs.get("mem_cap") is not None
             and name not in MEM_CAP_TRACKERS):
         raise ValueError(
-            f"--mem-cap only applies to the byte-family trackers "
-            f"{MEM_CAP_TRACKERS}; --tracker {name} stores appearance "
-            f"memory its own way (strongsort/ghost ship the reference's "
-            f"memory-saving modes) and would silently leak instead"
+            f"--mem-cap only applies to trackers that store appearance "
+            f"memory {MEM_CAP_TRACKERS}; --tracker {name} keeps no crop "
+            f"memory, so a cap would be a silently-dropped no-op"
         )
     from busca_tpu.trackers import (
         ByteTracker,
@@ -699,8 +701,8 @@ def main(argv=None):
                              "serving; default None = reference semantics, "
                              "memories grow for the track's life, "
                              "byte_tracker.py:150-156; use >= ~5*seq_len — "
-                             "measured zero-delta, PARITY.md; byte-family "
-                             "trackers only)")
+                             "measured zero-delta, PARITY.md; byte-family, "
+                             "strongsort/deepsort and ghost trackers)")
     # StrongSORT cached artifacts (deep_sort_app.py:50-52, opts.py:142-143)
     parser.add_argument("--npy-det", default=None,
                         help="precomputed detections+features: a .npy file, "

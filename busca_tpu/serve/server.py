@@ -398,8 +398,8 @@ def main(argv=None):
                         "entries (dense recent tail + even-stride archive; "
                         "long-stream serving; default None = reference "
                         "semantics, unbounded growth; use >= ~5*seq_len — "
-                        "measured zero-delta, PARITY.md; byte-family "
-                        "trackers only)")
+                        "measured zero-delta, PARITY.md; byte-family, "
+                        "strongsort/deepsort and ghost trackers)")
     p.add_argument("--reid-ckpt", default=None,
                    help="ReID checkpoint for feature trackers "
                         "(strongsort/ghost/motdt)")

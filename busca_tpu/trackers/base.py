@@ -37,6 +37,45 @@ class TrackState:
     Removed = 3
 
 
+def compact_mem_lists(lists, ticks, cap, stride):
+    """Two-region bounded-memory compaction shared by the track classes
+    (base ``Track``, StrongSORT's ``SSTrack``, GHOST's ``GhostTrack``).
+
+    Keeps the DENSE TAIL — the most recent ``cap//2`` admissions, so the
+    freshest stored entry is always the latest admission — plus an
+    even-stride ARCHIVE of the older history (admission indices ≡ 0 mod
+    ``stride``; index 0 = birth always survives).  The stride doubles
+    until the archive fits its share with headroom, so compaction is
+    amortized O(1) per admission.
+
+    Args:
+      lists: parallel per-entry lists (boxes/crops/confs), equal length.
+      ticks: admission index per entry (aligned with ``lists``).
+      cap: max entries to keep; no-op while ``len(ticks) <= cap``.
+      stride: current archive stride (monotone, returned possibly doubled).
+
+    Returns:
+      ``(new_lists, new_ticks, new_stride)`` — fresh list objects.
+    """
+    if len(ticks) <= cap:
+        return lists, ticks, stride
+    tail_n = max(cap // 2, 1)
+    headroom = max(cap // 4, 1)
+    old_budget = max(cap - tail_n - headroom, 1)
+    split = len(ticks) - tail_n
+    old = ticks[:split]
+    s = stride
+    while sum(1 for t in old if t % s == 0) > old_budget:
+        s *= 2
+    keep = [i for i, t in enumerate(old) if t % s == 0]
+    keep.extend(range(split, len(ticks)))
+    return (
+        [[lst[i] for i in keep] for lst in lists],
+        [ticks[i] for i in keep],
+        s,
+    )
+
+
 class Track:
     _count = itertools.count(1)
 
@@ -244,14 +283,9 @@ class Track:
             self._compact_mems()
 
     def _compact_mems(self):
-        """Bound the memory lists at ``mem_cap`` entries: keep the DENSE
-        TAIL (the most recent ``cap//2`` admissions — the non-broader
-        sampler reads the tail, so the freshest stored crop is always the
-        latest admission) plus an even-stride ARCHIVE of the older history
-        (admission indices ≡ 0 mod ``_mem_stride``; index 0 = birth always
-        survives, preserving the stored span).  The stride doubles until
-        the archive fits its share with headroom, so compaction is
-        amortized O(1) per admission."""
+        """Bound the memory lists at ``mem_cap`` entries via the shared
+        :func:`compact_mem_lists` (dense recent tail + even-stride archive,
+        birth always retained)."""
         cap = self.mem_cap
         if cap is None or len(self.tlwh_mem) <= cap:
             return
@@ -259,22 +293,15 @@ class Track:
             # transient imageless-birth misalignment: compact after the
             # first crop re-aligns the triple (_extend_mems trims it)
             return
-        tail_n = max(cap // 2, 1)
-        headroom = max(cap // 4, 1)
-        old_budget = max(cap - tail_n - headroom, 1)
-        split = len(self.tlwh_mem) - tail_n
-        old_ticks = self._mem_ticks[:split]
-        s = self._mem_stride
-        while sum(1 for t in old_ticks if t % s == 0) > old_budget:
-            s *= 2
-        self._mem_stride = s
-        keep = [i for i, t in enumerate(old_ticks) if t % s == 0]
-        keep.extend(range(split, len(self.tlwh_mem)))
-        self.tlwh_mem = [self.tlwh_mem[i] for i in keep]
-        self.conf_mem = [self.conf_mem[i] for i in keep]
-        self._mem_ticks = [self._mem_ticks[i] for i in keep]
+        lists = [self.tlwh_mem, self.conf_mem]
         if self.images_mem:
-            self.images_mem = [self.images_mem[i] for i in keep]
+            lists.append(self.images_mem)
+        lists, self._mem_ticks, self._mem_stride = compact_mem_lists(
+            lists, self._mem_ticks, cap, self._mem_stride
+        )
+        self.tlwh_mem, self.conf_mem = lists[0], lists[1]
+        if len(lists) > 2:
+            self.images_mem = lists[2]
 
     def mark_lost(self):
         self.state = TrackState.Lost

@@ -83,6 +83,12 @@ class GhostTrack:
         self._images_mem: List[Optional[np.ndarray]] = [image]
         self.conf_mem: List[float] = [conf]
         self.image = image
+        # bounded appearance memory for long-stream serving (None =
+        # reference semantics; see trackers/base.py compact_mem_lists)
+        self.mem_cap: Optional[int] = None
+        self._mem_stride = 1
+        self._mem_clock = 1
+        self._mem_ticks: List[int] = [0]
 
     def __len__(self):
         return len(self.past_frames)
@@ -134,6 +140,23 @@ class GhostTrack:
         else:
             self._images_mem.append(image)
         self.image = image
+        self._mem_ticks.append(self._mem_clock)
+        self._mem_clock += 1
+        if (self.mem_cap is not None
+                and len(self._mem_ticks) > self.mem_cap):
+            from busca_tpu.trackers.base import compact_mem_lists
+
+            lists, self._mem_ticks, self._mem_stride = compact_mem_lists(
+                [self._tlwh_mem, self.conf_mem, self._images_mem],
+                self._mem_ticks, self.mem_cap, self._mem_stride,
+            )
+            self._tlwh_mem, self.conf_mem, self._images_mem = lists
+        if self.mem_cap is not None and len(self.last_pos) > self.mem_cap:
+            # position history: only the last_n_frames tail is ever read
+            # (update_velocity); a plain sliding window suffices, and it
+            # also bounds warp_position_history's O(len) per-frame cost
+            del self.last_pos[: -self.mem_cap]
+            del self.past_frames[: -self.mem_cap]
 
     def update_velocity(self, last_n: int):
         if len(self.last_pos) < 2:
@@ -194,6 +217,11 @@ class GhostConfig:
     update_feats_third_round: bool = False
     avoid_memory_leak: bool = False
     crop_hw: Tuple[int, int] = (384, 128)
+    # bounded appearance memory for long-stream serving (None = reference
+    # semantics; see trackers/base.py compact_mem_lists).  Also bounds the
+    # per-track position history (last_pos/past_frames, read only within
+    # last_n_frames) to the same cap.
+    mem_cap: Optional[int] = None
 
 
 class GhostTracker:
@@ -208,6 +236,11 @@ class GhostTracker:
     def __init__(self, config: GhostConfig, assoc_engine=None,
                  feature_extractor: Optional[Callable] = None):
         self.cfg = config
+        if config.mem_cap is not None and config.mem_cap < 4:
+            raise ValueError(
+                f"mem_cap must be >= 4 (recommended >= ~5*seq_len), "
+                f"got {config.mem_cap}"
+            )
         self.engine = assoc_engine
         self.feature_extractor = feature_extractor
         self.tracks: Dict[int, GhostTrack] = {}
@@ -519,10 +552,12 @@ class GhostTracker:
 
     # ------------------------------------------------------------ internals --
     def _new_track(self, pos, feats, conf, image):
-        self.tracks[self._next_id] = GhostTrack(
+        tr = GhostTrack(
             self._next_id, pos, feats, conf, self.frame_id, image=image,
             conf_threshold=self.conf_threshold,
         )
+        tr.mem_cap = self.cfg.mem_cap
+        self.tracks[self._next_id] = tr
         self._next_id += 1
 
     def _age_inactive(self):

@@ -85,12 +85,19 @@ class SSTrack:
         self.mean, self.covariance = m[0], c[0]
 
         self._tlwh_mem: List[np.ndarray] = [self.tlwh]
-        self._images_mem: List[Optional[np.ndarray]] = []
+        # always append (None for an imageless birth) so the three memory
+        # lists stay index-aligned — the conf-filtered zip views and the
+        # mem-cap compaction both rely on parallel indices
+        self._images_mem: List[Optional[np.ndarray]] = [image]
         self.image = image
-        if image is not None:
-            self._images_mem.append(image)
         self.conf_mem: List[float] = [score]
         self.score = score
+        # bounded appearance memory for long-stream serving (None =
+        # reference semantics; see trackers/base.py compact_mem_lists)
+        self.mem_cap: Optional[int] = None
+        self._mem_stride = 1
+        self._mem_clock = 1
+        self._mem_ticks: List[int] = [0]
 
     # ------------------------------------------------------------ geometry --
     @property
@@ -201,6 +208,18 @@ class SSTrack:
             self.image = image
         else:
             self._images_mem.append(None)
+        self._mem_ticks.append(self._mem_clock)
+        self._mem_clock += 1
+        if (self.mem_cap is not None
+                and len(self._mem_ticks) > self.mem_cap
+                and len(self._images_mem) == len(self.conf_mem)):
+            from busca_tpu.trackers.base import compact_mem_lists
+
+            lists, self._mem_ticks, self._mem_stride = compact_mem_lists(
+                [self._tlwh_mem, self.conf_mem, self._images_mem],
+                self._mem_ticks, self.mem_cap, self._mem_stride,
+            )
+            self._tlwh_mem, self.conf_mem, self._images_mem = lists
 
     def mark_missed(self):
         if self.state == SSState.Tentative:
@@ -272,6 +291,10 @@ class StrongSortConfig:
     avoid_memory_leak: bool = False
     reliable_thresh: Optional[Sequence[float]] = None
     crop_hw: Tuple[int, int] = (384, 128)
+    # bounded appearance memory for long-stream serving (None = reference
+    # semantics: per-track memories grow for the track's life; see
+    # trackers/base.py compact_mem_lists and docs/SERVING.md "Long streams")
+    mem_cap: Optional[int] = None
 
 
 class StrongSortTracker:
@@ -279,6 +302,11 @@ class StrongSortTracker:
 
     def __init__(self, config: StrongSortConfig, assoc_engine=None):
         self.cfg = config
+        if config.mem_cap is not None and config.mem_cap < 4:
+            raise ValueError(
+                f"mem_cap must be >= 4 (recommended >= ~5*seq_len), "
+                f"got {config.mem_cap}"
+            )
         self.engine = assoc_engine
         self.metric = NearestNeighborMetric(
             config.max_cosine_distance, config.nn_budget
@@ -462,19 +490,19 @@ class StrongSortTracker:
 
     # ------------------------------------------------------------ internals --
     def _initiate(self, xyah, score, feature, image):
-        self.tracks.append(
-            SSTrack(
-                xyah,
-                self._next_id,
-                self.cfg.n_init,
-                self.cfg.max_age,
-                feature,
-                score,
-                image,
-                conf_threshold=self.conf_threshold,
-                ema_alpha=self.cfg.ema_alpha,
-            )
+        tr = SSTrack(
+            xyah,
+            self._next_id,
+            self.cfg.n_init,
+            self.cfg.max_age,
+            feature,
+            score,
+            image,
+            conf_threshold=self.conf_threshold,
+            ema_alpha=self.cfg.ema_alpha,
         )
+        tr.mem_cap = self.cfg.mem_cap
+        self.tracks.append(tr)
         self._next_id += 1
 
     def _match(self, xyah, tlwh, scores, features):

@@ -141,13 +141,13 @@ def test_mem_cap_validation():
 
 
 def test_mem_cap_rejected_for_unsupported_tracker():
-    """Non-byte-family trackers store memory their own way; a silently
-    dropped --mem-cap would leak while the operator believes memory is
-    bounded (review r4)."""
+    """sort/motdt keep no crop memory; a silently dropped --mem-cap would
+    mislead the operator into believing memory is bounded (review r4)."""
     from busca_tpu.eval.run import make_tracker
 
-    with pytest.raises(ValueError, match="mem-cap"):
-        make_tracker("strongsort", {"mem_cap": 64}, None)
+    for name in ("sort", "motdt"):
+        with pytest.raises(ValueError, match="mem-cap"):
+            make_tracker(name, {"mem_cap": 64}, None)
 
 
 def test_imageless_update_burns_no_admission(rng):
@@ -165,6 +165,71 @@ def test_imageless_update_burns_no_admission(rng):
     t.update(det, frame_id=51)
     # admissions stay consecutive across the imageless frame
     assert t.conf_mem[-3:] == [3.0, 4.0, 5.0]
+
+
+def test_strongsort_track_capped(rng):
+    """SSTrack honors mem_cap with the shared two-region compaction; the
+    conf-filtered memory views stay index-paired."""
+    from busca_tpu.core import hostmath
+    from busca_tpu.trackers.strongsort import SSTrack
+
+    tr = SSTrack(np.array([60.0, 80, 0.5, 60]), 1, 3, 30, None, -1.0,
+                 _crop(rng), conf_threshold=0.0)
+    tr.mem_cap = 8
+    for tick in range(300):
+        xyah = np.array([60.0 + tick, 80, 0.5, 60])
+        tr.update(xyah, float(tick), None, _crop(rng))
+        assert len(tr.conf_mem) <= 8
+        assert len(tr._tlwh_mem) == len(tr._images_mem) == len(tr.conf_mem)
+        assert tr.conf_mem[-1] == float(tick)  # newest always stored
+        assert tr.conf_mem[0] == -1.0  # birth survives
+    # conf-filtered views stay aligned triples
+    assert len(tr.tlwh_mem) >= len(tr.images_mem)
+
+
+def test_ghost_track_capped(rng):
+    """GhostTrack honors mem_cap; the position history is bounded too
+    (warp_position_history would otherwise cost O(stream) per frame)."""
+    from busca_tpu.trackers.ghost import GhostTrack
+
+    tr = GhostTrack(1, np.array([10.0, 20, 40, 80]), rng.randn(8), -1.0,
+                    1, image=_crop(rng))
+    tr.mem_cap = 8
+    for tick in range(300):
+        pos = np.array([10.0 + tick, 20, 40 + tick, 80])
+        tr.add_detection(pos, rng.randn(8), float(tick), tick + 2,
+                         image=_crop(rng))
+        assert len(tr.conf_mem) <= 8
+        assert len(tr._tlwh_mem) == len(tr._images_mem) == len(tr.conf_mem)
+        assert tr.conf_mem[-1] == float(tick)
+        assert tr.conf_mem[0] == -1.0
+        assert len(tr.last_pos) <= 8 and len(tr.past_frames) <= 8
+    # velocity still computable from the bounded tail
+    tr.update_velocity(5)
+    assert np.isfinite(tr.last_v).all()
+
+
+def test_strongsort_ghost_config_propagation(rng):
+    from busca_tpu.trackers import (
+        GhostConfig,
+        GhostTracker,
+        StrongSortConfig,
+        StrongSortTracker,
+    )
+
+    st = StrongSortTracker(StrongSortConfig(mem_cap=16))
+    st._initiate(np.array([60.0, 80, 0.5, 60]), 0.9, None, _crop(rng))
+    assert st.tracks[0].mem_cap == 16
+    with pytest.raises(ValueError, match="mem_cap"):
+        StrongSortTracker(StrongSortConfig(mem_cap=2))
+
+    gt = GhostTracker(GhostConfig(mem_cap=16))
+    gt.frame_id = 1
+    gt._new_track(np.array([10.0, 20, 40, 80]), rng.randn(8), 0.9,
+                  _crop(rng))
+    assert gt.tracks[1].mem_cap == 16
+    with pytest.raises(ValueError, match="mem_cap"):
+        GhostTracker(GhostConfig(mem_cap=3))
 
 
 def test_capped_track_feeds_engine(rng):

@@ -24,8 +24,10 @@ from test_pipeline_oracle import (
     FRAME_H,
     FRAME_W,
     _run_byte_parity,
+    _run_centertrack_parity,
     _run_ghost_parity,
     _run_strongsort_parity,
+    _run_transcenter_parity,
 )
 
 N_FRAMES = 70
@@ -99,6 +101,21 @@ def test_strongsort_pipeline_fuzz(seed):
 def test_ghost_pipeline_fuzz(seed):
     out = _run_ghost_parity(_random_sequence(seed))
     assert out["third_rounds"] >= 1, "stream never reached the third round"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [111, 222])
+def test_centertrack_pipeline_fuzz(seed):
+    out = _run_centertrack_parity(_random_sequence(seed))
+    assert out["third_rounds"] >= 1, "stream never reached the third round"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [333, 444])
+def test_transcenter_pipeline_fuzz(seed):
+    out = _run_transcenter_parity(_random_sequence(seed))
+    assert out["third_rounds"] >= 1, "stream never reached the third round"
+    assert out["pos_checked"] >= 1, "position export never exercised"
 
 
 @pytest.mark.slow

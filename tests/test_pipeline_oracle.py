@@ -722,20 +722,22 @@ def test_motdt_pipeline_matches_oracle():
     assert len(ids_seen) >= 4
 
 
-@pytest.mark.slow
-def test_centertrack_pipeline_matches_torch_oracle():
+def _run_centertrack_parity(seq, tie_tol=TIE_TOL):
     """The CenterTrack adapter (dict-in/dict-out shim over the mot20-style
     BYTE strategy, trackers/centertrack.py mirroring
-    adapters/CenterTrack/src/lib/utils/tracker.py:7-74) runs the same
-    110-frame BUSCA-attached stream as an mot20 torch oracle: identical
+    adapters/CenterTrack/src/lib/utils/tracker.py:7-74) runs the given
+    BUSCA-attached stream as an mot20 torch oracle: identical
     tracking_ids and boxes every frame, third-round probabilities within
     crop noise, clear-margin decisions equal.  Non-pedestrian results
-    (class != 1) must be dropped before tracking."""
+    (class != 1) must be dropped before tracking.  Returns the exercise
+    counters.  ``tie_tol`` overrides the probability noise bound: random
+    fuzz scenes with several near-equal candidates amplify the crop-LSB
+    noise through the batch-stat BN slightly beyond the authored-stream
+    calibration (measured worst 0.021 vs TIE_TOL's 0.02)."""
     import busca_tpu.trackers.byte as byte_mod
 
     from busca_tpu.trackers.centertrack import CenterTrackAdapter
 
-    seq = _make_sequence()
     torch_model, engine = _build_shared_models()
 
     probs_log_jax = []
@@ -790,7 +792,7 @@ def test_centertrack_pipeline_matches_torch_oracle():
     third_rounds = rescues = decisions_checked = 0
     byte_mod.run_third_round = capturing_run
     try:
-        for t in range(N_FRAMES):
+        for t in range(seq.num_frames):
             frame = seq.frame(t)
             boxes, scores = seq.detections(t)
             dicts = [
@@ -854,19 +856,30 @@ def test_centertrack_pipeline_matches_torch_oracle():
     finally:
         byte_mod.run_third_round = orig_run
 
-    assert third_rounds >= 15, f"only {third_rounds} third rounds fired"
-    assert decisions_checked >= 15
-    assert rescues >= 1
+    return {
+        "third_rounds": third_rounds,
+        "decisions_checked": decisions_checked,
+        "rescues": rescues,
+    }
 
 
 @pytest.mark.slow
-def test_transcenter_pipeline_matches_torch_oracle():
+def test_centertrack_pipeline_matches_torch_oracle():
+    out = _run_centertrack_parity(_make_sequence())
+    assert out["third_rounds"] >= 15, (
+        f"only {out['third_rounds']} third rounds fired"
+    )
+    assert out["decisions_checked"] >= 15
+    assert out["rescues"] >= 1
+
+
+def _run_transcenter_parity(seq):
     """The TransCenter adapter (BYTE strategy + the detector-feedback
     position export, trackers/transcenter.py mirroring
-    adapters/TransCenter/tracking/byte_tracker.py:658-692) over the same
+    adapters/TransCenter/tracking/byte_tracker.py:658-692) over the given
     BUSCA-attached stream: byte-identical tracking vs the torch oracle AND
     a per-frame check that the exported query priors equal the oracle's
-    tracked+lost box set."""
+    tracked+lost box set.  Returns the exercise counters."""
     import busca_tpu.trackers.byte as byte_mod
 
     from busca_tpu.trackers.transcenter import (
@@ -874,7 +887,6 @@ def test_transcenter_pipeline_matches_torch_oracle():
         boxes_to_center_priors,
     )
 
-    seq = _make_sequence()
     torch_model, engine = _build_shared_models()
 
     Track.reset_id_counter()
@@ -913,10 +925,10 @@ def test_transcenter_pipeline_matches_torch_oracle():
         arr = np.asarray(arr, np.float64).reshape(-1, 4)
         return arr[np.lexsort(arr.T[::-1])]
 
-    pos_checked = 0
+    pos_checked = third_rounds = 0
     byte_mod.run_third_round = capturing_run
     try:
-        for t in range(N_FRAMES):
+        for t in range(seq.num_frames):
             frame = seq.frame(t)
             boxes, scores = seq.detections(t)
             # the export the detector would consume NEXT frame
@@ -928,6 +940,7 @@ def test_transcenter_pipeline_matches_torch_oracle():
                                             1.0, frame)
             online_oracle = oracle_tracker.update(boxes.copy(),
                                                   scores.copy(), 1.0, frame)
+            third_rounds += captured["jax"] is not None
             ids_jax = sorted(tr.track_id for tr in online_jax)
             ids_oracle = sorted(tr.track_id for tr in online_oracle)
             assert ids_jax == ids_oracle, (
@@ -968,4 +981,13 @@ def test_transcenter_pipeline_matches_torch_oracle():
     finally:
         byte_mod.run_third_round = orig_run
 
-    assert pos_checked >= 100, "position export exercised too little"
+    return {"pos_checked": pos_checked, "third_rounds": third_rounds}
+
+
+@pytest.mark.slow
+def test_transcenter_pipeline_matches_torch_oracle():
+    out = _run_transcenter_parity(_make_sequence())
+    assert out["pos_checked"] >= 100, "position export exercised too little"
+    assert out["third_rounds"] >= 15, (
+        f"only {out['third_rounds']} third rounds fired"
+    )

@@ -241,6 +241,16 @@ class GhostTracker:
                 f"mem_cap must be >= 4 (recommended >= ~5*seq_len), "
                 f"got {config.mem_cap}"
             )
+        if (config.mem_cap is not None
+                and config.mem_cap < config.last_n_frames):
+            # the bounded position history doubles as the velocity window
+            # source (update_velocity reads the last_n_frames tail); a cap
+            # below it would silently shorten the velocity estimate
+            raise ValueError(
+                f"mem_cap ({config.mem_cap}) must be >= last_n_frames "
+                f"({config.last_n_frames}): the position-history bound "
+                f"would truncate the velocity window"
+            )
         self.engine = assoc_engine
         self.feature_extractor = feature_extractor
         self.tracks: Dict[int, GhostTrack] = {}

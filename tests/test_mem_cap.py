@@ -140,6 +140,17 @@ def test_mem_cap_validation():
         ByteTracker(ByteTrackerConfig(mem_cap=1))
 
 
+def test_mem_cap_must_cover_ghost_velocity_window():
+    """GHOST's bounded position history doubles as the velocity-window
+    source; a cap below last_n_frames would silently shorten the velocity
+    estimate (tracking_utils.py:457-476 reads the last_n tail)."""
+    from busca_tpu.trackers.ghost import GhostConfig, GhostTracker
+
+    with pytest.raises(ValueError, match="last_n_frames"):
+        GhostTracker(GhostConfig(mem_cap=8, last_n_frames=16))
+    GhostTracker(GhostConfig(mem_cap=16, last_n_frames=5))  # fine
+
+
 def test_mem_cap_rejected_for_unsupported_tracker():
     """sort/motdt keep no crop memory; a silently dropped --mem-cap would
     mislead the operator into believing memory is bounded (review r4)."""

@@ -838,14 +838,14 @@ def _run_centertrack_parity(seq, tie_tol=TIE_TOL):
                 third_rounds += 1
                 assert pj.shape == po.shape
                 np.testing.assert_allclose(
-                    pj, po, rtol=0, atol=TIE_TOL,
+                    pj, po, rtol=0, atol=tie_tol,
                     err_msg=f"frame {t + 1}: probabilities diverged",
                 )
                 if len(pj):
                     d = pj.shape[1] - len(pj)
                     idx = (np.arange(len(pj)), d + np.arange(len(pj)))
                     kal_j, kal_o = pj[idx], po[idx]
-                    clear = np.abs(kal_o - BUSCA_THRESH) > TIE_TOL
+                    clear = np.abs(kal_o - BUSCA_THRESH) > tie_tol
                     np.testing.assert_array_equal(
                         (kal_j > BUSCA_THRESH)[clear],
                         (kal_o > BUSCA_THRESH)[clear],

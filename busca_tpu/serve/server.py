@@ -18,6 +18,12 @@ Client→server commands:
 - ``{"cmd": "frame", "shape": [H, W, 3], "payload_bytes": N}`` + raw uint8
   BGR pixels — track one frame; reply carries the online tracks.
 - ``{"cmd": "stop"}`` — close the connection.
+- ``{"cmd": "snapshot"}`` — reply carries the serialized tracker state as
+  the payload (elastic recovery, serve/snapshot.py; the reference loses all
+  tracks on process death — SURVEY §5.3).
+- ``{"cmd": "restore", "frame_id": N, "name": ...}`` + snapshot payload —
+  resume a sequence from a snapshot instead of ``start`` (live handles come
+  from this server's own factory; the detector is reset).
 
 Replies: ``{"ok": true, ...}`` or ``{"ok": false, "error": msg}`` (protocol
 errors are reported, not fatal: the sequence state survives a bad request).
@@ -225,6 +231,39 @@ class TrackingServer:
                     reply = {"ok": True, "name": state["name"]}
                 elif cmd == "frame":
                     reply = self._handle_frame(state, header, payload)
+                elif cmd == "snapshot":
+                    # elastic recovery: serialize the live tracker state
+                    # (serve/snapshot.py) so the stream can resume on a
+                    # fresh server after a crash/restart
+                    if state["tracker"] is None:
+                        reply = {"ok": False,
+                                 "error": "no sequence started"}
+                    else:
+                        from busca_tpu.serve.snapshot import snapshot_bytes
+
+                        blob = snapshot_bytes(state["tracker"])
+                        send_msg(
+                            conn,
+                            {"ok": True, "frame_id": state["frame_id"],
+                             "name": state["name"]},
+                            blob,
+                        )
+                        continue
+                elif cmd == "restore":
+                    from busca_tpu.serve.snapshot import restore_bytes
+
+                    state["tracker"] = restore_bytes(
+                        payload, donor=self.tracker_factory()
+                    )
+                    state["frame_id"] = int(header.get("frame_id", 0))
+                    state["name"] = header.get("name")
+                    if hasattr(self.detector, "reset"):
+                        # feedback detectors re-prime from the restored
+                        # tracker (TransCenter query priors) or take a
+                        # one-frame no-prior transient (CenterTrack pre_img)
+                        self.detector.reset()
+                    reply = {"ok": True, "name": state["name"],
+                             "frame_id": state["frame_id"]}
                 elif cmd == "stop":
                     send_msg(conn, {"ok": True, "bye": True})
                     return
@@ -286,6 +325,25 @@ class TrackingClient:
         return self._roundtrip(
             {"cmd": "frame", "shape": list(frame_bgr.shape)},
             frame_bgr.tobytes(),
+        )
+
+    def snapshot(self) -> tuple:
+        """Fetch the live tracker state: ``(header, blob)`` — resume later
+        with :meth:`restore` on any server built from the same factory."""
+        send_msg(self.conn, {"cmd": "snapshot"})
+        msg = recv_msg(self.conn)
+        if msg is None:
+            raise ConnectionError("server closed the connection")
+        header, blob = msg
+        if not header.get("ok", False):
+            raise RuntimeError(header.get("error", "snapshot failed"))
+        return header, blob
+
+    def restore(self, blob: bytes, frame_id: int = 0,
+                name: Optional[str] = None) -> dict:
+        return self._roundtrip(
+            {"cmd": "restore", "frame_id": int(frame_id), "name": name},
+            blob,
         )
 
     def stop(self) -> dict:

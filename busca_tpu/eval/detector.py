@@ -394,6 +394,22 @@ class TransCenterDetector:
         """Per-video state reset (transcenter.py:197-203)."""
         self._pre_canvas = None
 
+    def state_dict(self) -> dict:
+        """Cross-frame detector state as plain numpy — the previous frame's
+        prepped canvas (the reference's ``pre_sample``,
+        transcenter.py:89-92,194).  Snapshot this alongside the tracker so
+        a restored stream is bit-equal to the unbroken one (serve/snapshot):
+        a plain ``reset()`` would instead re-prime pre_sample from the first
+        post-restore frame, a one-frame deviation."""
+        pre = self._pre_canvas
+        return {"pre_canvas": None if pre is None else np.asarray(pre)}
+
+    def load_state_dict(self, state: dict):
+        import jax.numpy as jnp
+
+        pre = state.get("pre_canvas")
+        self._pre_canvas = None if pre is None else jnp.asarray(pre)
+
     def _make_step(self, frame_hw: Tuple[int, int]):
         import jax
         import jax.numpy as jnp
@@ -580,6 +596,19 @@ class CenterTrackDetector:
     def reset(self):
         """Per-video reset (detector.py:90-104 'Initialize tracking!')."""
         self._pre_canvas = None
+
+    def state_dict(self) -> dict:
+        """Cross-frame state (the previous frame's canvas — the reference's
+        ``pre_images``, detector.py:100-104) as plain numpy, for
+        serve/snapshot's bit-equal stream resume."""
+        pre = self._pre_canvas
+        return {"pre_canvas": None if pre is None else np.asarray(pre)}
+
+    def load_state_dict(self, state: dict):
+        import jax.numpy as jnp
+
+        pre = state.get("pre_canvas")
+        self._pre_canvas = None if pre is None else jnp.asarray(pre)
 
     # ------------------------------------------------------------ internals --
     def _make_step(self, frame_hw: Tuple[int, int]):
@@ -788,6 +817,12 @@ class CenterTrackRunnerDetector:
 
     def reset(self):
         self.det.reset()
+
+    def state_dict(self) -> dict:
+        return self.det.state_dict()
+
+    def load_state_dict(self, state: dict):
+        self.det.load_state_dict(state)
 
     def detect(self, frame_bgr: np.ndarray,
                current_pos=None) -> DetectorOutput:

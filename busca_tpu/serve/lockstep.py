@@ -63,12 +63,14 @@ class LockstepTrackingServer:
         tick_timeout: float = 0.010,
         min_box_area: float = 100.0,
         vertical_thresh: Optional[float] = 1.6,
+        snapshot_key: Optional[bytes] = None,
     ):
         self.detector = detector
         self.tracker_factory = tracker_factory
         self.tick_timeout = tick_timeout
         self.min_box_area = min_box_area
         self.vertical_thresh = vertical_thresh
+        self.snapshot_key = snapshot_key
         self._lock = threading.Condition()
         self._sessions: Dict[int, _Session] = {}
         self._sid = itertools.count(1)
@@ -244,6 +246,54 @@ class LockstepTrackingServer:
                         reply = {"ok": True, "name": sess.name}
                     elif cmd == "frame":
                         reply = self._submit_frame(sess, header, payload)
+                    elif cmd == "snapshot":
+                        # same protocol as TrackingServer: the session's
+                        # tracker is quiescent here (request/response means
+                        # this client has no frame in flight; other
+                        # sessions' ticks touch only their own trackers,
+                        # and the id counters are IdCounter-atomic)
+                        if sess.tracker is None:
+                            reply = {"ok": False,
+                                     "error": "no sequence started"}
+                        else:
+                            from busca_tpu.serve.snapshot import (
+                                snapshot_bytes,
+                            )
+
+                            blob = snapshot_bytes(
+                                sess.tracker,
+                                meta={"frame_id": sess.frame_id,
+                                      "name": sess.name},
+                                key=self.snapshot_key,
+                            )
+                            send_msg(
+                                conn,
+                                {"ok": True, "frame_id": sess.frame_id,
+                                 "name": sess.name},
+                                blob,
+                            )
+                            continue
+                    elif cmd == "restore":
+                        from busca_tpu.serve.snapshot import (
+                            restore_with_meta,
+                        )
+
+                        # factory + unpickle OUTSIDE the scheduler lock
+                        # (same rationale as "start")
+                        trk, meta = restore_with_meta(
+                            payload, donor=self.tracker_factory(),
+                            key=self.snapshot_key,
+                        )
+                        fid = header.get("frame_id")
+                        if fid is None:
+                            fid = meta.get("frame_id", 0)
+                        with self._lock:
+                            sess.tracker = trk
+                            sess.frame_id = int(fid)
+                            sess.name = (header.get("name")
+                                         or meta.get("name"))
+                        reply = {"ok": True, "name": sess.name,
+                                 "frame_id": sess.frame_id}
                     elif cmd == "stop":
                         send_msg(conn, {"ok": True, "bye": True})
                         return

@@ -20,10 +20,16 @@ Client→server commands:
 - ``{"cmd": "stop"}`` — close the connection.
 - ``{"cmd": "snapshot"}`` — reply carries the serialized tracker state as
   the payload (elastic recovery, serve/snapshot.py; the reference loses all
-  tracks on process death — SURVEY §5.3).
-- ``{"cmd": "restore", "frame_id": N, "name": ...}`` + snapshot payload —
-  resume a sequence from a snapshot instead of ``start`` (live handles come
-  from this server's own factory; the detector is reset).
+  tracks on process death — SURVEY §5.3).  The blob embeds the stream
+  position (frame_id/name) and, for stateful feedback detectors
+  (TransCenter/CenterTrack), the detector's cross-frame canvas — so a
+  restored stream is bit-equal to the unbroken one.
+- ``{"cmd": "restore", "name": ...}`` + snapshot payload — resume a
+  sequence from a snapshot instead of ``start`` (live handles come from
+  this server's own factory; frame_id/name/detector state come from the
+  blob; a ``"frame_id"`` in the header, if present, overrides the blob's).
+  With ``--snapshot-key-file`` configured, only HMAC-signed blobs are
+  accepted (see serve/snapshot.py's security model).
 
 Replies: ``{"ok": true, ...}`` or ``{"ok": false, "error": msg}`` (protocol
 errors are reported, not fatal: the sequence state survives a bad request).
@@ -149,11 +155,13 @@ class TrackingServer:
         tracker_factory: Callable[[], object],
         min_box_area: float = 100.0,
         vertical_thresh: Optional[float] = 1.6,
+        snapshot_key: Optional[bytes] = None,
     ):
         self.detector = detector
         self.tracker_factory = tracker_factory
         self.min_box_area = min_box_area
         self.vertical_thresh = vertical_thresh
+        self.snapshot_key = snapshot_key
 
     # ------------------------------------------------------------- handlers --
     def _handle_frame(self, state: dict, header: dict, payload: bytes) -> dict:
@@ -241,7 +249,17 @@ class TrackingServer:
                     else:
                         from busca_tpu.serve.snapshot import snapshot_bytes
 
-                        blob = snapshot_bytes(state["tracker"])
+                        meta = {"frame_id": state["frame_id"],
+                                "name": state["name"]}
+                        if hasattr(self.detector, "state_dict"):
+                            # stateful feedback detectors (TransCenter
+                            # pre_sample, CenterTrack pre_images) carry
+                            # cross-frame arrays: capture them so the
+                            # resumed stream is bit-equal, not a one-frame
+                            # transient (transcenter.py:89-92,194)
+                            meta["detector"] = self.detector.state_dict()
+                        blob = snapshot_bytes(state["tracker"], meta=meta,
+                                              key=self.snapshot_key)
                         send_msg(
                             conn,
                             {"ok": True, "frame_id": state["frame_id"],
@@ -250,17 +268,29 @@ class TrackingServer:
                         )
                         continue
                 elif cmd == "restore":
-                    from busca_tpu.serve.snapshot import restore_bytes
+                    from busca_tpu.serve.snapshot import restore_with_meta
 
-                    state["tracker"] = restore_bytes(
-                        payload, donor=self.tracker_factory()
+                    tracker, meta = restore_with_meta(
+                        payload, donor=self.tracker_factory(),
+                        key=self.snapshot_key,
                     )
-                    state["frame_id"] = int(header.get("frame_id", 0))
-                    state["name"] = header.get("name")
-                    if hasattr(self.detector, "reset"):
-                        # feedback detectors re-prime from the restored
-                        # tracker (TransCenter query priors) or take a
-                        # one-frame no-prior transient (CenterTrack pre_img)
+                    state["tracker"] = tracker
+                    # the blob is authoritative for the stream position; a
+                    # header frame_id, when present, is an explicit override
+                    if "frame_id" in header and header["frame_id"] is not None:
+                        state["frame_id"] = int(header["frame_id"])
+                    else:
+                        state["frame_id"] = int(meta.get("frame_id", 0))
+                    state["name"] = header.get("name") or meta.get("name")
+                    det_state = meta.get("detector")
+                    if det_state is not None and hasattr(
+                            self.detector, "load_state_dict"):
+                        self.detector.load_state_dict(det_state)
+                    elif hasattr(self.detector, "reset"):
+                        # no captured state: feedback detectors re-prime
+                        # from the restored tracker (TransCenter query
+                        # priors) or take a one-frame no-prior transient
+                        # (CenterTrack pre_img)
                         self.detector.reset()
                     reply = {"ok": True, "name": state["name"],
                              "frame_id": state["frame_id"]}
@@ -339,12 +369,14 @@ class TrackingClient:
             raise RuntimeError(header.get("error", "snapshot failed"))
         return header, blob
 
-    def restore(self, blob: bytes, frame_id: int = 0,
+    def restore(self, blob: bytes, frame_id: Optional[int] = None,
                 name: Optional[str] = None) -> dict:
-        return self._roundtrip(
-            {"cmd": "restore", "frame_id": int(frame_id), "name": name},
-            blob,
-        )
+        """Resume from a snapshot blob.  frame_id/name default to the values
+        recorded inside the blob; pass them only to override."""
+        header = {"cmd": "restore", "name": name}
+        if frame_id is not None:
+            header["frame_id"] = int(frame_id)
+        return self._roundtrip(header, blob)
 
     def stop(self) -> dict:
         reply = self._roundtrip({"cmd": "stop"})
@@ -469,12 +501,20 @@ def main(argv=None):
                    help="BUSCA compute dtype: bfloat16 (MXU-native "
                         "production default, matches the eval CLI) or "
                         "float32 for bit-faithful parity")
-    p.add_argument("--reid-stats", choices=("batch", "frozen"),
+    p.add_argument("--reid-stats", choices=("batch", "frozen", "auto"),
                    default="batch",
                    help="'batch' = reference batch-stat BN domain "
                         "adaptation; 'frozen' = stored running stats + "
                         "cross-frame feature caching (opt-in throughput "
-                        "mode, PARITY.md 'Frozen-stats ReID')")
+                        "mode, PARITY.md 'Frozen-stats ReID'); 'auto' = "
+                        "frozen numerics, fused path below the measured "
+                        "per-call T-crossover (engine.AUTO_FUSED_MAX_T)")
+    p.add_argument("--snapshot-key-file", default=None,
+                   help="file holding an HMAC key: snapshot blobs are "
+                        "signed and restore refuses unsigned/forged blobs "
+                        "(serve/snapshot.py security model). Without it, "
+                        "restore still runs the exact-allowlist restricted "
+                        "unpickler but blobs are operator-trusted state")
     p.add_argument("--max-connections", type=int, default=None)
     p.add_argument("--min-box-area", type=float, default=None,
                    help="output filter (mot_evaluator.py:216-221); default "
@@ -576,6 +616,13 @@ def main(argv=None):
 
     engine, factory = build_tracker_runtime(args)
 
+    snapshot_key = None
+    if args.snapshot_key_file:
+        with open(args.snapshot_key_file, "rb") as f:
+            snapshot_key = f.read().strip()
+        if not snapshot_key:
+            p.error(f"--snapshot-key-file {args.snapshot_key_file} is empty")
+
     # output-filter defaults follow the matching eval loop: the BYTE-family
     # runner applies the mot_evaluator filter; track_frames_centertrack
     # emits every dict track unfiltered
@@ -594,11 +641,13 @@ def main(argv=None):
         server = LockstepTrackingServer(
             detector, factory, tick_timeout=args.tick_timeout,
             min_box_area=min_area, vertical_thresh=vthresh,
+            snapshot_key=snapshot_key,
         )
     else:
         server = TrackingServer(detector, factory,
                                 min_box_area=min_area,
-                                vertical_thresh=vthresh)
+                                vertical_thresh=vthresh,
+                                snapshot_key=snapshot_key)
     print(f"serving on {args.socket}", flush=True)
     server.serve_unix(args.socket, max_connections=args.max_connections)
 

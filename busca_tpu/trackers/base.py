@@ -20,7 +20,8 @@ Behavioral contract follows the canonical ByteTrack adapter
 from __future__ import annotations
 
 import dataclasses as _dataclasses
-import itertools
+import itertools  # noqa: F401  (legacy counters may still arrive in old snapshots)
+import threading
 from typing import List, Optional
 
 import numpy as np
@@ -76,8 +77,44 @@ def compact_mem_lists(lists, ticks, cap, stride):
     )
 
 
+class IdCounter:
+    """Thread-safe track-id mint with snapshot support.
+
+    Replaces the ``itertools.count`` class counters: minting is atomic, and
+    serve/snapshot.py's ``peek``/``advance_to`` cannot race a concurrent
+    ``next()`` (the lockstep server mints ids from connection threads while
+    another thread takes a snapshot — an itertools.count read-then-replace
+    there could mint the same id twice)."""
+
+    __slots__ = ("_lock", "_next")
+
+    def __init__(self, start: int = 1):
+        self._lock = threading.Lock()
+        self._next = int(start)
+
+    def __next__(self) -> int:
+        with self._lock:
+            v = self._next
+            self._next += 1
+            return v
+
+    def __iter__(self):
+        return self
+
+    def peek(self) -> int:
+        """The id the next ``next()`` will mint (nothing is consumed)."""
+        with self._lock:
+            return self._next
+
+    def advance_to(self, at_least: int):
+        """Never-regress: ensure future ids are >= ``at_least``."""
+        with self._lock:
+            if at_least > self._next:
+                self._next = int(at_least)
+
+
 class Track:
-    _count = itertools.count(1)
+    _count = IdCounter(1)
 
     def __init__(
         self,
@@ -150,7 +187,7 @@ class Track:
 
     @staticmethod
     def reset_id_counter():
-        Track._count = itertools.count(1)
+        Track._count = IdCounter(1)
 
     # -------------------------------------------------------------- kalman --
     def predict(self):

@@ -32,12 +32,12 @@ FeatureShim).
 from __future__ import annotations
 
 import dataclasses
-import itertools
 from typing import List, Optional
 
 import numpy as np
 
 from busca_tpu.core import hostmath
+from busca_tpu.trackers.base import IdCounter
 from busca_tpu.core.hostmath import CHI2INV95, HostKalman
 from busca_tpu.ops.lap import linear_assignment
 
@@ -56,7 +56,7 @@ class MotdtConfig:
 
 
 class MotdtTrack:
-    _count = itertools.count(1)
+    _count = IdCounter(1)
     _kf = HostKalman()
 
     def __init__(self, tlbr: np.ndarray, score: float, feature: np.ndarray):

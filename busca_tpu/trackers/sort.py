@@ -30,12 +30,12 @@ Update contract matches the other strategies:
 from __future__ import annotations
 
 import dataclasses
-import itertools
 from typing import List, Optional
 
 import numpy as np
 
 from busca_tpu.core import hostmath
+from busca_tpu.trackers.base import IdCounter
 from busca_tpu.ops.lap import lapjv
 
 # constant-velocity transition / observation models (7-state: x y s r + vx
@@ -75,7 +75,7 @@ def _x_to_tlbr(x: np.ndarray) -> np.ndarray:
 class SortTrack:
     """One SORT track: 7-state Kalman + age bookkeeping."""
 
-    _count = itertools.count(1)
+    _count = IdCounter(1)
 
     def __init__(self, tlbr: np.ndarray, score: float):
         self.x = np.zeros(7)

@@ -16,7 +16,7 @@ from busca_tpu.eval.synthetic import SyntheticObject, SyntheticSequence
 from busca_tpu.models.busca import BuscaConfig, BuscaModel
 from busca_tpu.models.convert import convert_busca_state_dict, merge_params
 from busca_tpu.trackers import ByteTracker, ByteTrackerConfig
-from busca_tpu.trackers.base import Track
+from busca_tpu.trackers.base import IdCounter, Track
 
 from oracle_pipeline import OracleByteTracker, TorchBuscaPipeline
 
@@ -637,13 +637,11 @@ def test_sort_pipeline_matches_oracle():
     frame, boxes to float64 noise, over births, dropouts, and re-matches.
     (mot_evaluator.py:258-379 `evaluate_sort` composed; the tracker itself
     is rebuilt from the published algorithm — submodule empty upstream.)"""
-    import itertools
-
     from busca_tpu.trackers.sort import SortConfig, SortTrack, SortTracker
     from oracle_pipeline import OracleSortTracker
 
     seq = _make_sequence()
-    SortTrack._count = itertools.count(1)  # align ID streams
+    SortTrack._count = IdCounter(1)  # align ID streams
     ours = SortTracker(SortConfig())
     oracle = OracleSortTracker()
 
@@ -681,13 +679,11 @@ def test_motdt_pipeline_matches_oracle():
     windows where tracks survive on their own decayed predictions
     (mot_evaluator.py:503-625 composed; algorithm per Chen et al. ICME'18,
     submodule empty upstream)."""
-    import itertools
-
     from busca_tpu.trackers.motdt import MotdtConfig, MotdtTrack, MotdtTracker
     from oracle_pipeline import OracleMotdtTracker
 
     seq = _make_sequence()
-    MotdtTrack._count = itertools.count(1)  # align ID streams
+    MotdtTrack._count = IdCounter(1)  # align ID streams
     ours = MotdtTracker(MotdtConfig())
     oracle = OracleMotdtTracker()
 

@@ -75,6 +75,19 @@ def _iou_tlwh(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.where(union > 0, inter / union, 0)
 
 
+def _check_unique_ids(per_frame, what: str):
+    """An id appearing twice in one frame is ill-formed MOT data (TrackEval
+    raises 'predicts the same ID more than once in a single timestep');
+    silently accepting it would corrupt the correspondence bookkeeping, so
+    fail loudly (found by the metric differential fuzz, r5)."""
+    for f, entry in per_frame.items():
+        ids = entry[1]
+        if len(ids) != len(set(int(i) for i in ids)):
+            raise ValueError(
+                f"{what} frame {f} repeats a track id: {list(ids)}"
+            )
+
+
 def evaluate_clear(
     gt: Dict[int, Tuple[np.ndarray, np.ndarray]],
     pred: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]],
@@ -86,6 +99,8 @@ def evaluate_clear(
       gt: {frame: (tlwh, ids)} ground truth.
       pred: {frame: (tlwh, ids, scores)} tracker output.
     """
+    _check_unique_ids(gt, "gt")
+    _check_unique_ids(pred, "pred")
     frames = sorted(set(gt.keys()) | set(pred.keys()))
     correspondences: Dict[int, int] = {}  # gt id -> pred id from prev frame
     last_match: Dict[int, int] = {}  # gt id -> last matched pred id (for IDSW)
@@ -243,6 +258,8 @@ def evaluate_hota(
     """
     if alphas is None:
         alphas = np.arange(0.05, 0.99, 0.05)
+    _check_unique_ids(gt, "gt")
+    _check_unique_ids(pred, "pred")
     frames = sorted(set(gt.keys()) | set(pred.keys()))
 
     gt_ids_all = sorted({int(i) for f in gt.values() for i in f[1]})

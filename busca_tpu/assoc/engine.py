@@ -47,6 +47,13 @@ from busca_tpu.models.busca import (
 from busca_tpu.utils.padding import next_pow2
 
 DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
+
+# reid_stats='auto' crossover: below this per-call track count the frozen
+# cached path LOSES to one fused dispatch (its encode+scorer double dispatch
+# and cache bookkeeping dominate at tiny batches — measured on v5e,
+# PARITY.md "Frozen-stats ReID / auto"), so auto routes T <= this through
+# the single fused scorer (frozen BN numerics either way).
+AUTO_FUSED_MAX_T = 4
 INCOMPLETE_MEM_BBOX_TLWH = np.array([250.0, 250.0, 500.0, 500.0])
 
 
@@ -108,11 +115,12 @@ class AssociationEngine:
         reid_stats: str = "batch",
         feat_cache_slots: int = 16384,
         feat_bank: bool = True,
+        auto_fused_max_t: int = AUTO_FUSED_MAX_T,
     ):
-        if reid_stats not in ("batch", "frozen"):
-            raise ValueError(f"reid_stats must be 'batch' or 'frozen', "
-                             f"got {reid_stats!r}")
-        if reid_stats == "frozen":
+        if reid_stats not in ("batch", "frozen", "auto"):
+            raise ValueError(f"reid_stats must be 'batch', 'frozen' or "
+                             f"'auto', got {reid_stats!r}")
+        if reid_stats in ("frozen", "auto"):
             # Opt-in deviation (PARITY.md "Frozen-stats ReID"): BN uses the
             # checkpoint's stored running statistics instead of the GHOST
             # batch-stat domain adaptation.  Features become batch-
@@ -120,20 +128,23 @@ class AssociationEngine:
             # uid — steady state re-encodes only the frame's NEW crops.
             if "batch_stats" not in variables:
                 raise ValueError(
-                    "reid_stats='frozen' needs variables['batch_stats'] "
-                    "(running BN statistics: convert_busca_state_dict "
-                    "provides them from a .pth checkpoint, or init the "
-                    "model with reid_use_batch_stats=False)"
+                    f"reid_stats={reid_stats!r} needs "
+                    "variables['batch_stats'] (running BN statistics: "
+                    "convert_busca_state_dict provides them from a .pth "
+                    "checkpoint, or init the model with "
+                    "reid_use_batch_stats=False)"
                 )
             if debug_dir is not None:
                 raise ValueError(
                     "the decision montage is not supported with "
-                    "reid_stats='frozen' (use the default batch mode)"
+                    f"reid_stats={reid_stats!r} (use the default batch "
+                    "mode)"
                 )
             import dataclasses as _dc
 
             config = _dc.replace(config, reid_use_batch_stats=False)
         self.reid_stats = reid_stats
+        self.auto_fused_max_t = int(auto_fused_max_t)
         self.config = config
         self.model = BuscaModel(config)
         self.variables = variables
@@ -165,6 +176,14 @@ class AssociationEngine:
 
         model = self.model
 
+        def mvars(variables):
+            # frozen/auto configs read BN running stats from the
+            # batch_stats collection; batch mode has none to pass
+            if "batch_stats" in variables:
+                return {"params": variables["params"],
+                        "batch_stats": variables["batch_stats"]}
+            return {"params": variables["params"]}
+
         def prep(x, normalize_ims):
             x = x.astype(jnp.float32)
             if normalize_ims:
@@ -176,7 +195,7 @@ class AssociationEngine:
                    mask, normalize_ims=True):
             """crops: uint8 (or float) BGR HWC; boxes: ltrb f32; mask: [T]."""
             logits = model.apply(
-                {"params": variables["params"]},
+                mvars(variables),
                 prep(mem_crops, normalize_ims),
                 prep(can_crops, normalize_ims),
                 mem_boxes,
@@ -194,7 +213,7 @@ class AssociationEngine:
             """Dedup mode: unique candidate crops [U] + occurrence weights +
             per-slot gather indices [T, C]."""
             logits = model.apply(
-                {"params": variables["params"]},
+                mvars(variables),
                 prep(mem_crops, normalize_ims),
                 prep(uniq_can_crops, normalize_ims),
                 mem_boxes,
@@ -217,7 +236,7 @@ class AssociationEngine:
             """Multi-request batch: several independent association calls
             in one forward, BN statistics per (request, mem|can) group."""
             logits = model.apply(
-                {"params": variables["params"]},
+                mvars(variables),
                 prep(mem_crops, normalize_ims),
                 prep(uniq_can_crops, normalize_ims),
                 mem_boxes,
@@ -240,7 +259,7 @@ class AssociationEngine:
             """Banked dedup mode: crops gathered from the HBM bank by slot
             index (slot 0 = the zero crop)."""
             logits = model.apply(
-                {"params": variables["params"]},
+                mvars(variables),
                 prep(bank_arr[mem_slots], normalize_ims),
                 prep(bank_arr[uniq_slots], normalize_ims),
                 mem_boxes,
@@ -262,7 +281,7 @@ class AssociationEngine:
                                          mem_group, can_group, num_groups,
                                          normalize_ims=True):
             logits = model.apply(
-                {"params": variables["params"]},
+                mvars(variables),
                 prep(bank_arr[mem_slots], normalize_ims),
                 prep(bank_arr[uniq_slots], normalize_ims),
                 mem_boxes,
@@ -279,7 +298,7 @@ class AssociationEngine:
         self._score_unique_grouped_banked = _score_unique_grouped_banked
 
         # ------------------------------------------------- frozen-stats mode --
-        if reid_stats == "frozen":
+        if reid_stats in ("frozen", "auto"):
             from collections import OrderedDict
 
             from busca_tpu.models.reid import ReIDResNet
@@ -323,7 +342,7 @@ class AssociationEngine:
                 """Decision forward from precomputed ReID features:
                 [B, L, F] memory + [B, C, F] candidate feats -> probs."""
                 logits = model.apply(
-                    {"params": variables["params"]},
+                    mvars(variables),
                     None,
                     None,
                     mem_boxes,
@@ -382,7 +401,7 @@ class AssociationEngine:
                     """Feats scorer fed by bank gathers: ``mem_slots``
                     [B, L] / ``can_slots`` [B, C] index the bank rows."""
                     logits = model.apply(
-                        {"params": variables["params"]},
+                        mvars(variables),
                         None,
                         None,
                         mem_boxes,
@@ -404,7 +423,7 @@ class AssociationEngine:
             self.bank is not None
             and self.dedup_candidates
             and self.debug_dir is None
-            and self.reid_stats != "frozen"
+            and self.reid_stats not in ("frozen", "auto")
         )
 
     @property
@@ -412,7 +431,7 @@ class AssociationEngine:
         """Request prep keeps per-track crop LISTS (not one stacked array)
         when per-crop identity matters: banked pixel gather or the frozen
         feature cache."""
-        return self.banked or self.reid_stats == "frozen"
+        return self.banked or self.reid_stats in ("frozen", "auto")
 
     # ------------------------------------------------------------------ api --
     def associate(
@@ -450,7 +469,17 @@ class AssociationEngine:
         """Score one prepped request (dedup or duplicated path)."""
         (mem_crops, mem_boxes, reliable, det_inds, can_boxes, unit_crop,
          num_available, d_count, t_count) = req
-        if self.reid_stats == "frozen":
+        if self.reid_stats in ("frozen", "auto"):
+            if self.reid_stats == "auto" and \
+                    t_count <= self.auto_fused_max_t:
+                # tiny call: ONE fused dispatch beats the cached path's
+                # encode+scorer double dispatch (measured crossover,
+                # AUTO_FUSED_MAX_T).  BN runs on stored running stats in
+                # both paths, so numerics are mode-identical either way.
+                return self._score_bucketed_unique(
+                    self._stack_mem_lists(mem_crops), det_inds, unit_crop,
+                    mem_boxes, can_boxes, normalize_ims,
+                )
             if self._feat_bank:
                 ctx = self._new_bank_ctx()
                 try:
@@ -539,7 +568,22 @@ class AssociationEngine:
             keep_highest_value=keep_highest_value,
         )
 
-        if self.reid_stats == "frozen":
+        t_total_frozen = sum(p[1][8] for p in preps)
+        frozen_like = self.reid_stats == "frozen" or (
+            self.reid_stats == "auto"
+            and t_total_frozen > self.auto_fused_max_t
+        )
+        if self.reid_stats == "auto" and not frozen_like:
+            # tiny combined batch: per-request fused dispatches (the same
+            # crossover policy as _score_prepped; frozen BN numerics)
+            for i, req, ndt in preps:
+                probs = self._score_prepped(req, normalize_ims)
+                (_, _, reliable, det_inds, _, _, num_avail, _, _) = req
+                results[i] = self._postprocess(
+                    probs, reliable, det_inds, num_avail, ndt, **post_kw
+                )
+            return results
+        if frozen_like:
             # Frozen features have no BN coupling between requests, so the
             # multi-request batch needs none of the grouped-BN machinery:
             # concatenate every request's feature batch and run the feats
@@ -1183,6 +1227,19 @@ class AssociationEngine:
             (mem_feats, can_feats, mem_boxes, can_boxes),
             lambda *a: self._score_feats(self.variables, *a),
         )
+
+    def _stack_mem_lists(self, mem_entries) -> np.ndarray:
+        """Densify per-track crop LISTS (the frozen/auto prep format) into
+        the ``[T, L, H, W, 3]`` array the fused scorers take.  ``None`` =
+        incomplete memory -> zero crops (network.py:300-308)."""
+        h, w = self.crop_hw
+        t_count = len(mem_entries)
+        out = np.zeros((t_count, self.seq_len, h, w, 3), np.uint8)
+        for ti, entry in enumerate(mem_entries):
+            if entry is not None:
+                for li, cr in enumerate(entry):
+                    out[ti, li] = cr
+        return out
 
     def _score_bucketed_unique(
         self, mem_crops, det_inds, unit_crop, mem_boxes, can_boxes,

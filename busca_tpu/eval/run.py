@@ -75,7 +75,7 @@ def build_engine(busca_config_path: str, ckpt_path: Optional[str],
     args, busca_cfg, tracker_kwargs = load_tracker_bundle(busca_config_path)
     if dtype is not None:
         busca_cfg = dataclasses.replace(busca_cfg, dtype=dtype)
-    if reid_stats == "frozen":
+    if reid_stats in ("frozen", "auto"):
         # the frozen-config init declares the running-stat variables the
         # checkpoint's batch_stats overlay fills in
         busca_cfg = dataclasses.replace(busca_cfg, reid_use_batch_stats=False)
@@ -107,9 +107,9 @@ def build_engine(busca_config_path: str, ckpt_path: Optional[str],
     variables = {"params": params}
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
-    if reid_stats == "frozen":
-        bank = None  # frozen mode has its own HBM FEATURE bank (slot
-        # indices, not pixels) — the crop bank is the batch-mode path
+    if reid_stats in ("frozen", "auto"):
+        bank = None  # frozen/auto modes have their own HBM FEATURE bank
+        # (slot indices, not pixels) — the crop bank is the batch-mode path
     else:
         if bank_slots is None:
             bank_slots = 4096 if jax.default_backend() == "tpu" else 256
@@ -618,13 +618,17 @@ def main(argv=None):
                         help="device crop-bank capacity (assoc/bank.py); "
                              "default: 4096 on TPU / 256 on CPU, 0 disables "
                              "banking")
-    parser.add_argument("--reid-stats", choices=("batch", "frozen"),
+    parser.add_argument("--reid-stats",
+                        choices=("batch", "frozen", "auto"),
                         default="batch",
                         help="BUSCA ReID BN mode: 'batch' = the reference's "
                              "GHOST batch-stat domain adaptation (default); "
                              "'frozen' = stored running statistics + cross-"
                              "frame feature caching (opt-in throughput "
-                             "deviation, PARITY.md 'Frozen-stats ReID')")
+                             "deviation, PARITY.md 'Frozen-stats ReID'); "
+                             "'auto' = frozen numerics with a measured "
+                             "per-call T-crossover between the fused and "
+                             "cached execution paths")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--num-frames", type=int, default=40)
     parser.add_argument("--mot-dir", nargs="*", default=[],

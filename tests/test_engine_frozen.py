@@ -375,3 +375,97 @@ def test_frozen_differs_from_batch_mode(setup):
 def test_frozen_montage_rejected(setup):
     with pytest.raises(ValueError, match="montage"):
         _frozen_engine(setup, debug_dir="/tmp/nope")
+
+
+# ---------------------------------------------------------------------------
+# reid_stats='auto': frozen numerics, fused execution below the T-crossover
+# ---------------------------------------------------------------------------
+
+
+def _auto_engine(setup, **kw):
+    _, variables = setup
+    return AssociationEngine(
+        CFG,
+        variables,
+        seq_len=SEQ_LEN,
+        num_candidates=NUM_CAN,
+        crop_hw=(H, W),
+        buckets=(1, 2, 4, 8),
+        reid_stats="auto",
+        **kw,
+    )
+
+
+def test_auto_requires_batch_stats():
+    with pytest.raises(ValueError, match="batch_stats"):
+        AssociationEngine(
+            CFG, {"params": {}}, crop_hw=(H, W), reid_stats="auto"
+        )
+
+
+def test_auto_matches_frozen_numerics_both_sides_of_crossover(setup):
+    """auto == frozen results at every T — below the crossover it runs the
+    single fused dispatch, above it the cached/banked path, but BN uses the
+    stored running stats either way so the numbers must agree."""
+    for n_tracks, n_dets in [(1, 2), (2, 3), (6, 4), (8, 5)]:
+        rng = np.random.RandomState(100 + n_tracks)
+        tracks, dets, kal = _scene(rng, n_tracks=n_tracks, n_dets=n_dets)
+        frozen = _frozen_engine(setup)
+        auto = _auto_engine(setup, auto_fused_max_t=4)
+        pf, rf = frozen.associate(
+            tracks, dets, extra_kalman_candidates=kal
+        )
+        pa, ra = auto.associate(
+            tracks, dets, extra_kalman_candidates=kal
+        )
+        np.testing.assert_allclose(pa, pf, rtol=0, atol=2e-5)
+        np.testing.assert_array_equal(ra, rf)
+
+
+def test_auto_routes_by_t_crossover(setup, monkeypatch):
+    """Tiny-T calls take the fused scorer; above-crossover calls take the
+    frozen cached path (the VERDICT r4 'auto policy' done-criterion)."""
+    engine = _auto_engine(setup, auto_fused_max_t=2)
+    calls = {"fused": 0, "frozen": 0}
+
+    orig_fused = AssociationEngine._score_bucketed_unique
+    orig_slots = AssociationEngine._frozen_request_slots
+
+    def spy_fused(self, *a, **kw):
+        calls["fused"] += 1
+        return orig_fused(self, *a, **kw)
+
+    def spy_slots(self, *a, **kw):
+        calls["frozen"] += 1
+        return orig_slots(self, *a, **kw)
+
+    monkeypatch.setattr(AssociationEngine, "_score_bucketed_unique",
+                        spy_fused)
+    monkeypatch.setattr(AssociationEngine, "_frozen_request_slots",
+                        spy_slots)
+
+    rng = np.random.RandomState(7)
+    tracks, dets, kal = _scene(rng, n_tracks=2, n_dets=3)
+    engine.associate(tracks, dets, extra_kalman_candidates=kal)
+    assert calls == {"fused": 1, "frozen": 0}
+
+    tracks, dets, kal = _scene(rng, n_tracks=5, n_dets=3)
+    engine.associate(tracks, dets, extra_kalman_candidates=kal)
+    assert calls == {"fused": 1, "frozen": 1}
+
+
+def test_auto_associate_many_matches_frozen(setup):
+    """Batched requests route by the COMBINED track count and match the
+    frozen-mode results on both sides of the crossover."""
+    rng = np.random.RandomState(21)
+    small = [_scene(rng, n_tracks=1, n_dets=2) for _ in range(2)]
+    large = [_scene(rng, n_tracks=4, n_dets=3) for _ in range(2)]
+    for scenes in (small, large):
+        reqs = [(t, d, None, k) for t, d, k in scenes]
+        frozen = _frozen_engine(setup)
+        auto = _auto_engine(setup, auto_fused_max_t=3)
+        rf = frozen.associate_many(reqs)
+        ra = auto.associate_many(reqs)
+        for (pf, relf), (pa, rela) in zip(rf, ra):
+            np.testing.assert_allclose(pa, pf, rtol=0, atol=2e-5)
+            np.testing.assert_array_equal(rela, relf)

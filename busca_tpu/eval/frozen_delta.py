@@ -202,8 +202,16 @@ class DualEngine:
 # The measurement harness
 # ---------------------------------------------------------------------------
 
-def _random_dropout_sequence(seed: int, num_frames: int):
-    """A randomized multi-object sequence with one dropout window."""
+def _random_dropout_sequence(seed: int, num_frames: int,
+                             n_drop: int = 1, drop_len: int = 6,
+                             warm: int = 10):
+    """A randomized multi-object sequence with staggered dropout windows.
+
+    ``n_drop`` objects each get one ``drop_len``-frame detector dropout,
+    staggered after ``warm`` frames (the memory warm-up: a track needs
+    ``seq_len`` admissions before its third-round rows count as reliable).
+    More windows = more third-round decisions per sequence, which the
+    domain-shift measurement needs to reach its sample-size target."""
     from busca_tpu.eval.synthetic import SyntheticObject, SyntheticSequence
 
     rng = np.random.RandomState(seed)
@@ -212,6 +220,8 @@ def _random_dropout_sequence(seed: int, num_frames: int):
         np.array([210, 60, 180], np.float64),
         np.array([60, 120, 230], np.float64),
     ]
+    n_drop = min(n_drop, len(colors))
+    span = max(num_frames - warm - drop_len - 4, 1)
     objs = []
     for i, color in enumerate(colors):
         x0 = float(rng.uniform(20, 300))
@@ -221,12 +231,47 @@ def _random_dropout_sequence(seed: int, num_frames: int):
         w = float(rng.uniform(30, 45))
         h = float(rng.uniform(60, 90))
         drop = (0, 0)
-        if i == 0:
-            start = int(rng.randint(10, max(11, num_frames // 2)))
-            drop = (start, min(start + 6, num_frames - 4))
+        if i < n_drop:
+            lo = warm + (i * span) // max(n_drop, 1)
+            hi = warm + ((i + 1) * span) // max(n_drop, 1)
+            start = int(rng.randint(lo, max(hi, lo + 1)))
+            drop = (start, min(start + drop_len, num_frames - 4))
         objs.append(SyntheticObject(color=color, x0=x0, y0=y0, vx=vx, vy=vy,
                                     w=w, h=h, dropout=drop))
     return SyntheticSequence(objs, num_frames=num_frames, seed=seed)
+
+
+def shift_transform(kind: str):
+    """Deterministic photometric domain shifts for the calibrate-on-A /
+    deploy-on-B arm (the caveat the PARITY.md frozen-mode decision rule
+    hedges on: batch-stat BN adapts to the deployment distribution per
+    batch, network.py:554-556; frozen stats cannot).  Deterministic so the
+    mode delta is not confounded with transform noise."""
+    if kind in (None, "none"):
+        return None
+    if kind == "dim":
+        # low light: contrast 0.65, brightness -40, blue-shifted gains
+        gains = np.array([1.10, 0.75, 0.60], np.float32)  # BGR
+
+        def f(frame):
+            x = frame.astype(np.float32)
+            x = (x - 128.0) * 0.65 + 128.0 - 40.0
+            x = x * gains
+            return np.clip(x, 0, 255).astype(np.uint8)
+
+        return f
+    if kind == "glare":
+        # overexposure: contrast 0.8, brightness +70, warm gains
+        gains = np.array([0.85, 1.05, 1.20], np.float32)
+
+        def f(frame):
+            x = frame.astype(np.float32)
+            x = (x - 128.0) * 0.8 + 128.0 + 70.0
+            x = x * gains
+            return np.clip(x, 0, 255).astype(np.uint8)
+
+        return f
+    raise ValueError(f"unknown shift {kind!r}")
 
 
 def _track_sequence(seq, engine, *, seq_len, num_candidates, crop_hw,
@@ -272,6 +317,11 @@ def measure_frozen_delta(
     calib_batches: int = 8,
     cfg=None,
     params=None,
+    seq_len: int = 3,
+    num_candidates: int = 2,
+    frame_transform=None,
+    n_drop: int = 1,
+    drop_len: int = 6,
 ) -> dict:
     """Run the full frozen-vs-batch deviation measurement.
 
@@ -279,13 +329,19 @@ def measure_frozen_delta(
     running statistics on the training distribution, then for each synthetic
     dropout sequence runs: base (no BUSCA), batch mode (with the dual
     recorder scoring frozen in parallel), and frozen mode end-to-end.
+
+    ``frame_transform`` is the DOMAIN-SHIFT arm (VERDICT r4 Weak #2): a
+    deterministic photometric transform applied to the tracked frames only —
+    calibration stays on the training distribution, so frozen statistics
+    are stale for the deployment domain while batch-stat BN re-adapts per
+    batch (the reference's whole rationale, network.py:554-556).
     """
     from busca_tpu.assoc.engine import AssociationEngine
     from busca_tpu.train.data import EpisodeSpec, synthetic_batch
     from busca_tpu.train.demo import train_demo_model
     from busca_tpu.trackers.byte import ByteTrackerConfig
 
-    seq_len, num_candidates, crop_hw = 3, 2, (64, 32)
+    crop_hw = (64, 32)
     train_metrics = {}
     if cfg is None or params is None:
         cfg, params, train_metrics = train_demo_model(
@@ -318,12 +374,16 @@ def measure_frozen_delta(
 
     per_seq = {"base": [], "batch": [], "frozen": []}
     for s in seq_seeds:
-        seq = _random_dropout_sequence(int(s), num_frames)
+        seq = _random_dropout_sequence(int(s), num_frames,
+                                       n_drop=n_drop, drop_len=drop_len,
+                                       warm=max(10, seq_len + 4))
         # one noise realization shared by all three modes: frames and dets
         # come from a stateful rng, so re-generating per run would confound
         # the mode delta with detection/appearance jitter variance
         frames = [seq.frame(t) for t in range(num_frames)]
         dets = [seq.detections(t) for t in range(num_frames)]
+        if frame_transform is not None:
+            frames = [frame_transform(f) for f in frames]
         seq_kw = dict(seq_len=seq_len, num_candidates=num_candidates,
                       crop_hw=crop_hw, frames=frames, dets=dets)
         per_seq["base"].append(_track_sequence(seq, None, **seq_kw))
@@ -349,10 +409,9 @@ def measure_frozen_delta(
     }
 
 
-def main():
-    out = measure_frozen_delta()
+def _report(tag_name, out):
     f = out["flip"]
-    print(f"train: {out['train']}")
+    print(f"== arm: {tag_name} ==")
     print(
         f"decisions: {f['rows']} rows over {f['calls']} calls | "
         f"argmax flips {f['argmax_flips']} ({f['argmax_flip_rate']:.1%}) | "
@@ -371,9 +430,68 @@ def main():
         f"frozen-batch delta: MOTA {d['mota']:+.4f} IDF1 {d['idf1']:+.4f} "
         f"HOTA {d['hota']:+.4f} FN {d['fn']:+.1f} IDs {d['ids']:+.1f}"
     )
+
+
+def main(argv=None):
+    """``python -m busca_tpu.eval.frozen_delta`` — frozen-vs-batch deviation,
+    in-domain and (``--shift``) under a calibrate-on-A / deploy-on-B
+    photometric domain shift."""
+    import argparse
     import json
-    print(json.dumps({"flip": f, "metrics": out["metrics"],
-                      "delta": d}))
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--seq-len", type=int, default=3,
+                   help="memory length (3 = the cheap r4 setting; 11 = the "
+                        "production config the VERDICT r5 table uses)")
+    p.add_argument("--num-candidates", type=int, default=2)
+    p.add_argument("--frames", type=int, default=40)
+    p.add_argument("--seeds", type=int, default=3,
+                   help="number of synthetic sequences per arm")
+    p.add_argument("--n-drop", type=int, default=1,
+                   help="dropout windows per sequence (decision volume)")
+    p.add_argument("--drop-len", type=int, default=6)
+    p.add_argument("--steps", type=int, default=60,
+                   help="demo-model training steps")
+    p.add_argument("--train-batch", type=int, default=12)
+    p.add_argument("--shift", default="none",
+                   choices=("none", "dim", "glare", "both"),
+                   help="also run the domain-shift arm(s): calibrate on the "
+                        "training distribution, track on the transformed "
+                        "frames")
+    args = p.parse_args(argv)
+
+    from busca_tpu.train.demo import train_demo_model
+
+    # ONE model + calibration shared by all arms: the arms differ only in
+    # the deployment-domain transform
+    cfg, params, train_metrics = train_demo_model(
+        steps=args.steps, batch=args.train_batch, seed=3,
+        seq_len=args.seq_len, num_candidates=args.num_candidates,
+        crop_hw=(64, 32),
+    )
+    print(f"train: {train_metrics}")
+
+    kw = dict(
+        num_frames=args.frames, seq_seeds=tuple(range(args.seeds)),
+        cfg=cfg, params=params, seq_len=args.seq_len,
+        num_candidates=args.num_candidates, n_drop=args.n_drop,
+        drop_len=args.drop_len,
+    )
+    arms = ["none"]
+    if args.shift == "both":
+        arms += ["dim", "glare"]
+    elif args.shift != "none":
+        arms += [args.shift]
+    record = {}
+    for arm in arms:
+        out = measure_frozen_delta(
+            frame_transform=shift_transform(arm), **kw
+        )
+        name = "in-domain" if arm == "none" else f"shift:{arm}"
+        _report(name, out)
+        record[name] = {"flip": out["flip"], "metrics": out["metrics"],
+                        "delta": out["delta"]}
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -183,3 +183,45 @@ def test_measure_frozen_delta_report_shape():
         m = out["metrics"][tag]
         assert np.isfinite([m["mota"], m["hota"], m["idf1"]]).all()
     assert set(out["delta"]) == {"mota", "idf1", "hota", "fn", "ids"}
+
+
+def test_shift_transform_shapes_and_determinism():
+    from busca_tpu.eval.frozen_delta import shift_transform
+
+    rng = np.random.RandomState(0)
+    frame = rng.randint(0, 255, (48, 64, 3)).astype(np.uint8)
+    assert shift_transform("none") is None
+    for kind in ("dim", "glare"):
+        f = shift_transform(kind)
+        out1, out2 = f(frame), f(frame)
+        assert out1.shape == frame.shape and out1.dtype == np.uint8
+        np.testing.assert_array_equal(out1, out2)  # deterministic
+        assert np.abs(out1.astype(int) - frame.astype(int)).mean() > 5
+    with pytest.raises(ValueError, match="unknown shift"):
+        shift_transform("fog")
+
+
+@pytest.mark.slow
+def test_measure_frozen_delta_shift_arm_runs():
+    """The calibrate-on-A / deploy-on-B arm: same report shape, decisions
+    recorded, and the shifted frames really reach the tracker (the arm would
+    otherwise silently measure in-domain again)."""
+    from busca_tpu.eval.frozen_delta import shift_transform
+
+    seen = {"calls": 0}
+    dim = shift_transform("dim")
+
+    def spying_dim(frame):
+        seen["calls"] += 1
+        return dim(frame)
+
+    out = measure_frozen_delta(
+        steps=25, train_batch=10, seed=3, num_frames=24, seq_seeds=(0,),
+        calib_batches=3, frame_transform=spying_dim, n_drop=2,
+    )
+    assert seen["calls"] == 24
+    f = out["flip"]
+    assert f["calls"] > 0 and f["rows"] > 0
+    for tag in ("base", "batch", "frozen"):
+        m = out["metrics"][tag]
+        assert np.isfinite([m["mota"], m["hota"], m["idf1"]]).all()

@@ -304,8 +304,20 @@ def _track_sequence(seq, engine, *, seq_len, num_candidates, crop_hw,
     gt = seq.ground_truth()
     m = evaluate_sequence(res, gt)
     h = evaluate_hota(gt, results_to_pred(res))
-    return {"mota": m.mota, "idf1": m.idf1, "hota": h["hota"],
-            "fn": m.num_misses, "ids": m.num_switches}
+    out = {"mota": m.mota, "idf1": m.idf1, "hota": h["hota"],
+           "fn": m.num_misses, "ids": m.num_switches}
+    if mem_cap is not None:
+        # realized compaction state (memcap_delta's length sweep reports
+        # it): how far the archive stride doubled and how many admissions
+        # each surviving memory represents
+        all_tracks = tracker.tracked + tracker.lost + tracker.removed
+        if all_tracks:
+            out["max_stride"] = int(max(t._mem_stride for t in all_tracks))
+            out["max_mem_len"] = int(
+                max(len(t.images_mem) for t in all_tracks))
+            out["max_admissions"] = int(
+                max(t._mem_clock for t in all_tracks))
+    return out
 
 
 def measure_frozen_delta(

@@ -128,3 +128,30 @@ def test_byte_pipeline_fuzz_cmc():
     assert out["third_rounds"] >= 1
     assert out["warp_shifts"], "CMC never ran"
     assert max(out["warp_shifts"]) > 0.3, "warps were trivial"
+
+
+@pytest.mark.slow
+def test_centertrack_pipeline_fuzz_cmc():
+    """CMC live on the dict-IO CenterTrack pipeline over a drifting-camera
+    stream — the shipped MOT17 config runs ECC for this adapter too
+    (config/CenterTrack/MOT17/config_centertrack_mot17.yml:26)."""
+    out = _run_centertrack_parity(
+        _random_sequence(626, with_drift=True), tie_tol=0.025, use_cmc=True
+    )
+    assert out["third_rounds"] >= 1
+    assert out["warp_shifts"], "CMC never ran"
+    assert max(out["warp_shifts"]) > 0.3, "warps were trivial"
+
+
+@pytest.mark.slow
+def test_transcenter_pipeline_fuzz_cmc():
+    """CMC live on the TransCenter pipeline (query-prior export checked
+    per frame while warping) over a drifting-camera stream
+    (config/TransCenter/MOT17/config_transcenter_mot17.yml:27)."""
+    out = _run_transcenter_parity(
+        _random_sequence(737, with_drift=True), use_cmc=True
+    )
+    assert out["third_rounds"] >= 1
+    assert out["pos_checked"] >= 1
+    assert out["warp_shifts"], "CMC never ran"
+    assert max(out["warp_shifts"]) > 0.3, "warps were trivial"

@@ -127,6 +127,26 @@ TIE_TOL = 0.02  # crop-backend LSB noise bound (measured worst 0.0094)
 BUSCA_THRESH = 0.3
 
 
+def _record_warp_shifts(oracle_tracker):
+    """Wrap the oracle's ECC CMC so tests can assert the compensation was
+    genuinely non-trivial on a drifting stream: records the per-track
+    position shift each warp application produced."""
+    warp_shifts = []
+    orig_cmc = oracle_tracker.camera_motion_compensation
+
+    def recorded_cmc(track_pool, current_frame, **kw):
+        before = [t.mean[:2].copy() if t.mean is not None
+                  else t._tlwh[:2].copy() for t in track_pool]
+        cc = orig_cmc(track_pool, current_frame, **kw)
+        for t, b in zip(track_pool, before):
+            after = t.mean[:2] if t.mean is not None else t._tlwh[:2]
+            warp_shifts.append(float(np.linalg.norm(after - b)))
+        return cc
+
+    oracle_tracker.camera_motion_compensation = recorded_cmc
+    return warp_shifts
+
+
 def _run_byte_parity(seq, use_cmc=False):
     """Both pipelines run the same stream; third-round *probabilities* must
     agree within crop-quantization noise and every non-tie *decision* must
@@ -173,21 +193,7 @@ def _run_byte_parity(seq, use_cmc=False):
         use_camera_motion_compensation=use_cmc,
     )
 
-    # record the oracle's estimated warps so CMC runs can assert the
-    # compensation was genuinely non-trivial on the drifting stream
-    warp_shifts = []
-    orig_cmc = oracle_tracker.camera_motion_compensation
-
-    def recorded_cmc(track_pool, current_frame, **kw):
-        before = [t.mean[:2].copy() if t.mean is not None
-                  else t._tlwh[:2].copy() for t in track_pool]
-        cc = orig_cmc(track_pool, current_frame, **kw)
-        for t, b in zip(track_pool, before):
-            after = t.mean[:2] if t.mean is not None else t._tlwh[:2]
-            warp_shifts.append(float(np.linalg.norm(after - b)))
-        return cc
-
-    oracle_tracker.camera_motion_compensation = recorded_cmc
+    warp_shifts = _record_warp_shifts(oracle_tracker)
 
     # force the jax outcome into the oracle tracker (decisions still
     # compared below); forced["jax"] is set per frame before the oracle
@@ -718,15 +724,19 @@ def test_motdt_pipeline_matches_oracle():
     assert len(ids_seen) >= 4
 
 
-def _run_centertrack_parity(seq, tie_tol=TIE_TOL):
+def _run_centertrack_parity(seq, tie_tol=TIE_TOL, use_cmc=False):
     """The CenterTrack adapter (dict-in/dict-out shim over the mot20-style
     BYTE strategy, trackers/centertrack.py mirroring
     adapters/CenterTrack/src/lib/utils/tracker.py:7-74) runs the given
     BUSCA-attached stream as an mot20 torch oracle: identical
     tracking_ids and boxes every frame, third-round probabilities within
     crop noise, clear-margin decisions equal.  Non-pedestrian results
-    (class != 1) must be dropped before tracking.  Returns the exercise
-    counters.  ``tie_tol`` overrides the probability noise bound: random
+    (class != 1) must be dropped before tracking.  ``use_cmc`` runs both
+    pipelines with ECC camera-motion compensation live — the shipped
+    CenterTrack-MOT17 config enables it
+    (config/CenterTrack/MOT17/config_centertrack_mot17.yml:26).  Returns
+    the exercise counters.  ``tie_tol`` overrides the probability noise
+    bound: random
     fuzz scenes with several near-equal candidates amplify the crop-LSB
     noise through the batch-stat BN slightly beyond the authored-stream
     calibration (measured worst 0.021 vs TIE_TOL's 0.02)."""
@@ -752,7 +762,7 @@ def _run_centertrack_parity(seq, tie_tol=TIE_TOL):
         ByteTrackerConfig(
             use_busca=True, track_thresh=0.5, busca_thresh=BUSCA_THRESH,
             seq_len=SEQ_LEN, num_candidates=C, crop_hw=CROP_HW,
-            use_camera_motion_compensation=False,
+            use_camera_motion_compensation=use_cmc,
             select_highest_candidate=False,
         ),
         engine, new_thresh=NEW_THRESH,
@@ -761,8 +771,11 @@ def _run_centertrack_parity(seq, tie_tol=TIE_TOL):
         torch_model, track_thresh=0.5, busca_thresh=BUSCA_THRESH,
         seq_len=SEQ_LEN, num_candidates=C, crop_hw=CROP_HW,
         select_highest_candidate=False, mot20=True,
+        use_camera_motion_compensation=use_cmc,
     )
     oracle_tracker.det_thresh = NEW_THRESH  # tracker.py:11 new_thresh
+
+    warp_shifts = _record_warp_shifts(oracle_tracker)
 
     # capture the jax third-round outcome as it happens (the adapter's
     # update is self-contained), then force it into the oracle so a
@@ -856,6 +869,7 @@ def _run_centertrack_parity(seq, tie_tol=TIE_TOL):
         "third_rounds": third_rounds,
         "decisions_checked": decisions_checked,
         "rescues": rescues,
+        "warp_shifts": warp_shifts,
     }
 
 
@@ -869,13 +883,16 @@ def test_centertrack_pipeline_matches_torch_oracle():
     assert out["rescues"] >= 1
 
 
-def _run_transcenter_parity(seq):
+def _run_transcenter_parity(seq, use_cmc=False):
     """The TransCenter adapter (BYTE strategy + the detector-feedback
     position export, trackers/transcenter.py mirroring
     adapters/TransCenter/tracking/byte_tracker.py:658-692) over the given
     BUSCA-attached stream: byte-identical tracking vs the torch oracle AND
     a per-frame check that the exported query priors equal the oracle's
-    tracked+lost box set.  Returns the exercise counters."""
+    tracked+lost box set.  ``use_cmc`` runs both pipelines with ECC live —
+    the shipped TransCenter-MOT17 config enables it
+    (config/TransCenter/MOT17/config_transcenter_mot17.yml:27).  Returns
+    the exercise counters."""
     import busca_tpu.trackers.byte as byte_mod
 
     from busca_tpu.trackers.transcenter import (
@@ -890,7 +907,7 @@ def _run_transcenter_parity(seq):
         ByteTrackerConfig(
             use_busca=True, track_thresh=0.5, busca_thresh=BUSCA_THRESH,
             seq_len=SEQ_LEN, num_candidates=C, crop_hw=CROP_HW,
-            use_camera_motion_compensation=False,
+            use_camera_motion_compensation=use_cmc,
             select_highest_candidate=False,
         ),
         engine,
@@ -899,7 +916,10 @@ def _run_transcenter_parity(seq):
         torch_model, track_thresh=0.5, busca_thresh=BUSCA_THRESH,
         seq_len=SEQ_LEN, num_candidates=C, crop_hw=CROP_HW,
         select_highest_candidate=False,
+        use_camera_motion_compensation=use_cmc,
     )
+
+    warp_shifts = _record_warp_shifts(oracle_tracker)
 
     captured = {"jax": None}
     orig_run = byte_mod.run_third_round
@@ -977,7 +997,8 @@ def _run_transcenter_parity(seq):
     finally:
         byte_mod.run_third_round = orig_run
 
-    return {"pos_checked": pos_checked, "third_rounds": third_rounds}
+    return {"pos_checked": pos_checked, "third_rounds": third_rounds,
+            "warp_shifts": warp_shifts}
 
 
 @pytest.mark.slow

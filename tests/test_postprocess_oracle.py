@@ -42,12 +42,8 @@ def _train_torch_aflink(steps=200, batch=32):
     return model, acc
 
 
-def _fragmenting_rows():
-    """Full StrongSORT run over a sequence whose dropout outlives max_age,
-    so one identity fragments into two tracklets (the AFLink scenario).
-    Returns MOT rows [frame, id, x, y, w, h, score]."""
+def _fragmenting_seq():
     from busca_tpu.eval.synthetic import SyntheticObject, SyntheticSequence
-    from busca_tpu.trackers import StrongSortConfig, StrongSortTracker
 
     objs = [
         SyntheticObject(
@@ -60,7 +56,17 @@ def _fragmenting_rows():
             x0=300, y0=150, vx=-1.0, vy=-0.3, w=34, h=68,
         ),
     ]
-    seq = SyntheticSequence(objs, num_frames=60, seed=SEED)
+    return SyntheticSequence(objs, num_frames=60, seed=SEED)
+
+
+def _fragmenting_rows():
+    """Full StrongSORT run over a sequence whose dropout outlives max_age,
+    so one identity fragments into two tracklets (the AFLink scenario).
+    Returns MOT rows [frame, id, x, y, w, h, score]."""
+    from busca_tpu.trackers import StrongSortConfig, StrongSortTracker
+
+    seq = _fragmenting_seq()
+    objs = seq.objects
     rng_feats = {
         oid: np.random.RandomState(700 + oid).randn(32)
         for oid in range(len(objs))
@@ -180,3 +186,59 @@ def test_oracle_aflink_mutual_gate_terminates():
         signal.signal(signal.SIGALRM, old)
     # both rows merged under one identity
     assert np.unique(out[:, 1]).tolist() == [1.0]
+
+
+@pytest.mark.slow
+def test_aflink_gsi_improve_fragmented_metrics():
+    """The postprocess analog of test_trained_rescue: on a deliberately
+    fragmented stream (occlusion outliving max_age), the synthetic-trained
+    AFLink merges the fragments (IDs down, IDF1 up) and GSI fills the gap
+    (FN down, MOTA up) — the end-benefit the reference's chain exists for
+    (adapters/StrongSORT/strong_sort.py:29-46)."""
+    from busca_tpu.eval.metrics import evaluate_clear
+    from busca_tpu.models.aflink import train_aflink_synthetic
+    from busca_tpu.trackers.postprocess import (
+        aflink,
+        gaussian_smoothed_interpolation,
+    )
+
+    seq = _fragmenting_seq()
+    rows = _fragmenting_rows()
+    gt = seq.ground_truth()
+
+    def pred_of(r):
+        out = {}
+        for f in np.unique(r[:, 0]).astype(int):
+            fr = r[r[:, 0] == f]
+            out[f] = (fr[:, 2:6].copy(), fr[:, 1].astype(int),
+                      fr[:, 6].copy())
+        return out
+
+    model, params, acc = train_aflink_synthetic(steps=150, batch=64, seed=0)
+    assert acc > 0.8, f"synthetic AFLink failed to learn: acc={acc}"
+
+    linked = aflink(rows, model=model, params=params)
+    smoothed = gaussian_smoothed_interpolation(linked)
+
+    m_raw = evaluate_clear(gt, pred_of(rows))
+    m_link = evaluate_clear(gt, pred_of(linked))
+    m_full = evaluate_clear(gt, pred_of(smoothed))
+
+    # the stream really fragmented, and AFLink really merged it
+    assert len(np.unique(rows[:, 1])) > len(np.unique(linked[:, 1]))
+    assert m_raw.num_switches >= 1, "scenario produced no identity break"
+    assert m_link.num_switches < m_raw.num_switches
+    assert m_link.idf1 > m_raw.idf1, (m_link.idf1, m_raw.idf1)
+
+    # GSI fills the occlusion gap: misses drop, MOTA improves end-to-end
+    assert m_full.num_misses < m_link.num_misses
+    assert m_full.mota > m_raw.mota, (m_full.mota, m_raw.mota)
+
+    print(
+        f"raw:  IDF1={m_raw.idf1:.3f} IDs={m_raw.num_switches} "
+        f"FN={m_raw.num_misses} MOTA={m_raw.mota:.3f}\n"
+        f"link: IDF1={m_link.idf1:.3f} IDs={m_link.num_switches} "
+        f"FN={m_link.num_misses} MOTA={m_link.mota:.3f}\n"
+        f"gsi:  IDF1={m_full.idf1:.3f} IDs={m_full.num_switches} "
+        f"FN={m_full.num_misses} MOTA={m_full.mota:.3f}"
+    )

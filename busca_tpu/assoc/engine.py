@@ -48,12 +48,13 @@ from busca_tpu.utils.padding import next_pow2
 
 DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
 
-# reid_stats='auto' crossover: below this per-call track count the frozen
-# cached path LOSES to one fused dispatch (its encode+scorer double dispatch
-# and cache bookkeeping dominate at tiny batches — measured on v5e,
-# PARITY.md "Frozen-stats ReID / auto"), so auto routes T <= this through
-# the single fused scorer (frozen BN numerics either way).
-AUTO_FUSED_MAX_T = 4
+# reid_stats='auto' crossover: at or below this per-call track count ONE
+# fused dispatch beats the frozen cached path's encode+score double
+# dispatch.  Measured on v5e at d=30 (tools/exp_reid_auto.py, device-step
+# cost, PARITY.md "Frozen-stats ReID / auto" table): fused wins only at
+# T=1 (7.9 vs 8.9 ms); from T=2 the cached path wins (9.3 vs 11.9 ms,
+# widening to 15.2 vs 107.9 ms at T=64).  Frozen BN numerics either way.
+AUTO_FUSED_MAX_T = 1
 INCOMPLETE_MEM_BBOX_TLWH = np.array([250.0, 250.0, 500.0, 500.0])
 
 

@@ -275,7 +275,8 @@ def shift_transform(kind: str):
 
 
 def _track_sequence(seq, engine, *, seq_len, num_candidates, crop_hw,
-                    frames=None, dets=None, mem_cap=None):
+                    frames=None, dets=None, mem_cap=None,
+                    use_broader_memory=False):
     from busca_tpu.eval.metrics import evaluate_hota
     from busca_tpu.eval.runner import (
         evaluate_sequence,
@@ -287,7 +288,12 @@ def _track_sequence(seq, engine, *, seq_len, num_candidates, crop_hw,
     cfg = ByteTrackerConfig(
         use_busca=engine is not None, seq_len=seq_len,
         num_candidates=num_candidates, crop_hw=crop_hw,
-        use_broader_memory=False,  # demo model trained on consecutive mems
+        # default False: the demo model is trained on consecutive mems.
+        # The mem-cap length sweep turns it ON for its archive arm — the
+        # broader sampler is the one consumer that actually reads the
+        # compacted archive (network.py:262-271), so the capped-vs-
+        # unbounded delta only exists in that regime.
+        use_broader_memory=use_broader_memory,
         mem_cap=mem_cap,
     )
     tracker = ByteTracker(cfg, assoc_engine=engine)

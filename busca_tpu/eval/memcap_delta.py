@@ -108,6 +108,7 @@ def measure_memcap_delta(
     long_stream: bool = False,
     drop_period: int = 150,
     drop_len: int = 6,
+    use_broader_memory: bool = False,
 ) -> dict:
     """Run the unbounded-vs-capped deviation measurement.
 
@@ -127,6 +128,9 @@ def measure_memcap_delta(
         cfg, params, train_metrics = train_demo_model(
             steps=steps, batch=train_batch, seed=seed,
             seq_len=seq_len, num_candidates=num_candidates, crop_hw=crop_hw,
+            # broader-memory runs consume even-stride-subsampled memories;
+            # the stride augmentation keeps them in-distribution
+            mem_stride_max=4 if use_broader_memory else 1,
         )
 
     engine = AssociationEngine(
@@ -151,7 +155,8 @@ def measure_memcap_delta(
         frames = [seq.frame(t) for t in range(num_frames)]
         dets = [seq.detections(t) for t in range(num_frames)]
         kw = dict(seq_len=seq_len, num_candidates=num_candidates,
-                  crop_hw=crop_hw, frames=frames, dets=dets)
+                  crop_hw=crop_hw, frames=frames, dets=dets,
+                  use_broader_memory=use_broader_memory)
         per_seq["unbounded"].append(_track_sequence(seq, engine, **kw))
         for c in caps:
             per_seq[f"cap{c}"].append(
@@ -203,6 +208,12 @@ def main(argv=None):
                    help="long-stream regime: periodic dropouts across the "
                         "whole stream")
     p.add_argument("--drop-period", type=int, default=150)
+    p.add_argument("--broader", action="store_true",
+                   help="use_broader_memory=True: the even-stride sampler "
+                        "over the WHOLE history — the one memory consumer "
+                        "that reads the compacted archive (the dense tail "
+                        "makes the default last-seq_len sampler exactly "
+                        "cap-invariant)")
     args = p.parse_args(argv)
 
     caps = args.caps
@@ -214,6 +225,7 @@ def main(argv=None):
         seq_seeds=tuple(range(args.seeds)), steps=args.steps,
         seq_len=args.seq_len, num_candidates=args.num_candidates,
         long_stream=args.long, drop_period=args.drop_period,
+        use_broader_memory=args.broader,
     )
     print(f"train: {out['train']}")
     for tag, m in out["metrics"].items():

@@ -31,6 +31,13 @@ class EpisodeSpec:
     crop_hw: Tuple[int, int] = (384, 128)
     has_bad: bool = True
     neg_threshold: float = 0.5  # IoU below which no candidate is "correct"
+    # Opt-in broader-memory augmentation: per-episode random stride in
+    # [1, mem_stride_max] between memory entries, so even-stride-subsampled
+    # memories (use_broader_memory / the mem-cap archive,
+    # network.py:262-271) are in-distribution.  Default 1 = exact legacy
+    # behavior (consecutive-frame memories) — the pinned demo-model
+    # measurements train with the default.
+    mem_stride_max: int = 1
 
     @property
     def num_choices(self) -> int:
@@ -65,10 +72,12 @@ def synthetic_batch(rng: np.random.RandomState, spec: EpisodeSpec) -> Dict[str, 
                 col + rng.randn(h, w, 3) * noise, 0, 255
             ).astype(np.float32)
 
+        mem_stride = (1 if spec.mem_stride_max <= 1
+                      else rng.randint(1, spec.mem_stride_max + 1))
         for t in range(l):
             mem_crops[i, t] = crop_of(color)
-            x = x0 + vx * (t - l + 1)
-            y = y0 + vy * (t - l + 1)
+            x = x0 + vx * (t - l + 1) * mem_stride
+            y = y0 + vy * (t - l + 1) * mem_stride
             mem_boxes[i, t] = [x, y, x + bw, y + bh]
 
         u = rng.uniform()

@@ -24,6 +24,7 @@ def train_demo_model(
     lr: float = 3e-4,
     seed: int = 0,
     log_every: int = 0,
+    mem_stride_max: int = 1,
 ):
     """Train a tiny BuscaModel on synthetic episodes.
 
@@ -43,7 +44,7 @@ def train_demo_model(
     )
     spec = EpisodeSpec(
         batch=batch, seq_len=seq_len, num_candidates=num_candidates,
-        crop_hw=crop_hw,
+        crop_hw=crop_hw, mem_stride_max=mem_stride_max,
     )
     model = BuscaModel(cfg)
     rng = np.random.RandomState(seed)

@@ -37,6 +37,10 @@ def main(argv=None):
     p.add_argument("--num-candidates", type=int, default=2)
     p.add_argument("--steps", type=int, default=80)
     p.add_argument("--drop-period", type=int, default=150)
+    p.add_argument("--broader", action="store_true",
+                   help="run the use_broader_memory=True regime — the "
+                        "even-stride sampler is the consumer that actually "
+                        "reads the compacted archive")
     args = p.parse_args(argv)
 
     from busca_tpu.eval.memcap_delta import measure_memcap_delta
@@ -50,12 +54,14 @@ def main(argv=None):
         steps=args.steps, batch=12, seed=3,
         seq_len=args.seq_len, num_candidates=args.num_candidates,
         crop_hw=(64, 32),
+        mem_stride_max=4 if args.broader else 1,
     )
     print(f"trained demo model in {time.time() - t0:.0f}s: {train_metrics}")
 
     with open(args.out, "a") as f:
         f.write(json.dumps({"kind": "header", "caps": caps,
                             "seq_len": args.seq_len,
+                            "broader": bool(args.broader),
                             "train": train_metrics}) + "\n")
         f.flush()
         for n in args.lengths:
@@ -66,8 +72,10 @@ def main(argv=None):
                 cfg=cfg, params=params, seq_len=args.seq_len,
                 num_candidates=args.num_candidates, long_stream=True,
                 drop_period=args.drop_period,
+                use_broader_memory=args.broader,
             )
             row = {"kind": "length", "num_frames": n, "seeds": seeds,
+                   "broader": bool(args.broader),
                    "wall_s": round(time.time() - t0, 1),
                    "metrics": out["metrics"], "delta": out["delta"]}
             f.write(json.dumps(row) + "\n")

@@ -23,6 +23,29 @@ def test_synthetic_batch_layout(rng):
     assert np.isfinite(b["mem_crops"]).all()
 
 
+def test_mem_stride_augmentation_default_is_legacy(rng):
+    """mem_stride_max=1 (the default) must generate bit-identical episodes
+    to the pre-augmentation sampler — every pinned demo-model measurement
+    (frozen_delta / memcap_delta tables in PARITY.md) trains with the
+    default, so the default must never drift.  The >1 arm must actually
+    widen the memory spacing (the broader-memory sweep's in-distribution
+    guarantee)."""
+    kw = dict(batch=8, seq_len=3, num_candidates=2, crop_hw=(16, 8))
+    b_default = synthetic_batch(np.random.RandomState(5), EpisodeSpec(**kw))
+    b_explicit = synthetic_batch(
+        np.random.RandomState(5), EpisodeSpec(mem_stride_max=1, **kw)
+    )
+    for k in b_default:
+        assert np.array_equal(b_default[k], b_explicit[k]), k
+
+    b_wide = synthetic_batch(
+        np.random.RandomState(5), EpisodeSpec(mem_stride_max=4, **kw)
+    )
+    d1 = np.abs(np.diff(b_default["mem_boxes"][..., 0], axis=1)).mean()
+    d4 = np.abs(np.diff(b_wide["mem_boxes"][..., 0], axis=1)).mean()
+    assert d4 > d1
+
+
 def test_single_device_smoke_train():
     _, metrics = train_smoke(
         steps=2,

@@ -309,9 +309,10 @@ def _track_sequence(seq, engine, *, seq_len, num_candidates, crop_hw,
     res = run_sequence(tracker, iter(frames), dets)
     gt = seq.ground_truth()
     m = evaluate_sequence(res, gt)
-    h = evaluate_hota(gt, results_to_pred(res))
+    pred = results_to_pred(res)
+    h = evaluate_hota(gt, pred)
     out = {"mota": m.mota, "idf1": m.idf1, "hota": h["hota"],
-           "fn": m.num_misses, "ids": m.num_switches}
+           "fn": m.num_misses, "ids": m.num_switches, "pred": pred}
     if mem_cap is not None:
         # realized compaction state (memcap_delta's length sweep reports
         # it): how far the archive stride doubled and how many admissions

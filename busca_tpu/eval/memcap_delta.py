@@ -171,7 +171,42 @@ def measure_memcap_delta(
                 out[k] = int(max(r.get(k, 0) for r in rows))
         return out
 
+    def pred_divergence(pred_a, pred_b, num_frames):
+        """Output-ROW-level comparison (metrics can coincide while rows
+        differ): first frame whose (ids, boxes) differ + differing-frame
+        count.  Boxes compared at 1e-3 px."""
+        first, n_diff = None, 0
+        for f in range(num_frames):
+            a, b = pred_a.get(f), pred_b.get(f)
+            same = (a is None) == (b is None)
+            if same and a is not None:
+                ia, ib = np.argsort(a[1]), np.argsort(b[1])
+                same = (
+                    a[1].shape == b[1].shape
+                    and np.array_equal(a[1][ia], b[1][ib])
+                    and np.allclose(a[0][ia], b[0][ib], atol=1e-3)
+                )
+            if not same:
+                n_diff += 1
+                if first is None:
+                    first = f
+        return first, n_diff
+
     metrics = {tag: agg(rows) for tag, rows in per_seq.items()}
+    divergence = {}
+    for c in caps:
+        firsts, diffs = [], []
+        for ru, rc in zip(per_seq["unbounded"], per_seq[f"cap{c}"]):
+            first, n_diff = pred_divergence(
+                ru["pred"], rc["pred"], num_frames)
+            firsts.append(first)
+            diffs.append(n_diff)
+        real = [f for f in firsts if f is not None]
+        divergence[f"cap{c}"] = {
+            "first_diff_frame": min(real) if real else None,
+            "diff_frames_total": int(np.sum(diffs)),
+            "per_seed_first": firsts,
+        }
     deltas = {
         f"cap{c}": {
             k: metrics[f"cap{c}"][k] - metrics["unbounded"][k]
@@ -186,6 +221,7 @@ def measure_memcap_delta(
         "metrics": metrics,
         "per_sequence": per_seq,
         "delta": deltas,
+        "divergence": divergence,
     }
 
 
@@ -239,13 +275,17 @@ def main(argv=None):
             + extra
         )
     for tag, d in out["delta"].items():
+        dv = out["divergence"][tag]
         print(
             f"{tag}-unbounded delta: MOTA {d['mota']:+.4f} "
             f"IDF1 {d['idf1']:+.4f} HOTA {d['hota']:+.4f} "
-            f"FN {d['fn']:+.1f} IDs {d['ids']:+.1f}"
+            f"FN {d['fn']:+.1f} IDs {d['ids']:+.1f} | rows: "
+            f"{dv['diff_frames_total']} differing frames, first at "
+            f"{dv['first_diff_frame']}"
         )
     import json
     print(json.dumps({"metrics": out["metrics"], "delta": out["delta"],
+                      "divergence": out["divergence"],
                       "num_frames": out["num_frames"]}))
 
 

@@ -22,3 +22,9 @@ def test_measure_memcap_delta_report_shape():
         assert np.isfinite([m["mota"], m["hota"], m["idf1"]]).all(), tag
     assert set(out["delta"]) == {"cap8"}
     assert set(out["delta"]["cap8"]) == {"mota", "idf1", "hota", "fn", "ids"}
+    # row-level divergence report (metrics can coincide while output rows
+    # differ, so the sweep reports both)
+    dv = out["divergence"]["cap8"]
+    assert dv["diff_frames_total"] >= 0
+    assert dv["first_diff_frame"] is None or (
+        0 <= dv["first_diff_frame"] < 40)

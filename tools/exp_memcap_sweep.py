@@ -77,7 +77,8 @@ def main(argv=None):
             row = {"kind": "length", "num_frames": n, "seeds": seeds,
                    "broader": bool(args.broader),
                    "wall_s": round(time.time() - t0, 1),
-                   "metrics": out["metrics"], "delta": out["delta"]}
+                   "metrics": out["metrics"], "delta": out["delta"],
+                   "divergence": out.get("divergence", {})}
             f.write(json.dumps(row) + "\n")
             f.flush()
             print(f"--- {n} frames ({seeds} seeds, {row['wall_s']}s)")
@@ -91,9 +92,12 @@ def main(argv=None):
                       f"IDF1={m['idf1']:.4f} HOTA={m['hota']:.4f} "
                       f"FN={m['fn']:.1f} IDs={m['ids']:.1f}" + extra)
             for tag, d in out["delta"].items():
+                dv = out.get("divergence", {}).get(tag, {})
                 print(f"  {tag}-unbounded: MOTA {d['mota']:+.4f} "
                       f"IDF1 {d['idf1']:+.4f} HOTA {d['hota']:+.4f} "
-                      f"FN {d['fn']:+.1f} IDs {d['ids']:+.1f}")
+                      f"FN {d['fn']:+.1f} IDs {d['ids']:+.1f} | rows: "
+                      f"{dv.get('diff_frames_total')} differing frames, "
+                      f"first at {dv.get('first_diff_frame')}")
     print("sweep done")
 
 

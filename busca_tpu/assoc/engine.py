@@ -569,21 +569,11 @@ class AssociationEngine:
             keep_highest_value=keep_highest_value,
         )
 
-        t_total_frozen = sum(p[1][8] for p in preps)
+        t_total = sum(p[1][8] for p in preps)
         frozen_like = self.reid_stats == "frozen" or (
             self.reid_stats == "auto"
-            and t_total_frozen > self.auto_fused_max_t
+            and t_total > self.auto_fused_max_t
         )
-        if self.reid_stats == "auto" and not frozen_like:
-            # tiny combined batch: per-request fused dispatches (the same
-            # crossover policy as _score_prepped; frozen BN numerics)
-            for i, req, ndt in preps:
-                probs = self._score_prepped(req, normalize_ims)
-                (_, _, reliable, det_inds, _, _, num_avail, _, _) = req
-                results[i] = self._postprocess(
-                    probs, reliable, det_inds, num_avail, ndt, **post_kw
-                )
-            return results
         if frozen_like:
             # Frozen features have no BN coupling between requests, so the
             # multi-request batch needs none of the grouped-BN machinery:
@@ -643,15 +633,18 @@ class AssociationEngine:
                 row += t_count
             return results
 
-        t_total = sum(p[1][8] for p in preps)
         if (
-            len(preps) == 1
+            self.reid_stats == "auto"  # below the crossover: fused per-
+            # request dispatches beat the cached path (_score_prepped
+            # applies the same policy; frozen BN numerics either way)
+            or len(preps) == 1
             or t_total > self.buckets[-1]
             or not self.dedup_candidates
             or self.debug_dir is not None
         ):
-            # one live request / oversized batch / non-dedup mode: score the
-            # already-prepped requests individually (no duplicate prep work)
+            # one live request / oversized batch / non-dedup mode / tiny
+            # auto batch: score the already-prepped requests individually
+            # (no duplicate prep work)
             for i, req, ndt in preps:
                 probs = self._score_prepped(req, normalize_ims)
                 (_, _, reliable, det_inds, _, _, num_avail, _, _) = req

@@ -481,8 +481,11 @@ def main(argv=None):
 
     from busca_tpu.train.demo import train_demo_model
 
-    # ONE model + calibration shared by all arms: the arms differ only in
-    # the deployment-domain transform
+    # ONE trained model shared by all arms: the arms differ only in the
+    # deployment-domain transform.  (BN calibration still re-runs inside
+    # measure_frozen_delta per arm — it is deterministic, always on the
+    # UN-shifted training distribution, so every arm calibrates to the
+    # same statistics by construction.)
     cfg, params, train_metrics = train_demo_model(
         steps=args.steps, batch=args.train_batch, seed=3,
         seq_len=args.seq_len, num_candidates=args.num_candidates,

@@ -176,7 +176,8 @@ def measure_memcap_delta(
         differ): first frame whose (ids, boxes) differ + differing-frame
         count.  Boxes compared at 1e-3 px."""
         first, n_diff = None, 0
-        for f in range(num_frames):
+        # prediction dicts are keyed 1..num_frames (runner.py:114,231)
+        for f in range(1, num_frames + 1):
             a, b = pred_a.get(f), pred_b.get(f)
             same = (a is None) == (b is None)
             if same and a is not None:

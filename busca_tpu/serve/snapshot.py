@@ -58,6 +58,11 @@ import threading
 from typing import Optional, Tuple
 
 FORMAT_VERSION = 2
+# version-1 blobs (r4: same counters-as-ints + tracker payload, no "meta"
+# key) restore unchanged — meta just defaults to {}.  Class-level counters
+# are not part of instance pickles, so the IdCounter migration does not
+# affect blob compatibility.
+_READABLE_VERSIONS = (1, 2)
 
 # signed container layout: MAGIC + 32-byte HMAC-SHA256(key, payload) + payload
 _SIGNED_MAGIC = b"BSNPSIG1"
@@ -246,9 +251,10 @@ def restore_with_meta(blob: bytes, engine=None, feature_extractor=None,
     if not isinstance(payload, dict) or "tracker" not in payload:
         raise ValueError("not a tracker snapshot blob")
     version = payload.get("version")
-    if version != FORMAT_VERSION:
+    if version not in _READABLE_VERSIONS:
         raise ValueError(
-            f"snapshot format {version!r} != supported {FORMAT_VERSION}"
+            f"snapshot format {version!r} not in supported "
+            f"{_READABLE_VERSIONS}"
         )
     tracker = payload["tracker"]
     chain = _chain(tracker)

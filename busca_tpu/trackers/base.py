@@ -20,7 +20,6 @@ Behavioral contract follows the canonical ByteTrack adapter
 from __future__ import annotations
 
 import dataclasses as _dataclasses
-import itertools  # noqa: F401  (legacy counters may still arrive in old snapshots)
 import threading
 from typing import List, Optional
 

@@ -83,3 +83,15 @@ def test_dockerignore_or_lean_copies():
     assert not re.search(r"^COPY\s+\.\s", df, re.M) or os.path.exists(
         os.path.join(REPO, ".dockerignore")
     )
+
+
+def test_dockerignore_excludes_host_built_native():
+    """COPY preserves mtimes, so a host-built native/liblapjv.so in the
+    build context would make the image's `make -C native` a no-op and bake
+    in the dev machine's binary (glibc mismatch risk on the slim base).
+    The .dockerignore must keep built artifacts out of the context so the
+    image always compiles from source."""
+    with open(os.path.join(REPO, ".dockerignore")) as f:
+        ignore = f.read()
+    assert "native/*.so" in ignore
+    assert "native/*.o" in ignore

@@ -237,6 +237,26 @@ def test_restore_rejects_wrong_version(engine):
         restore_bytes(pickle.dumps(payload))
 
 
+def test_restore_accepts_version1_blobs(engine):
+    """r4 blobs (version 1: same counters-as-ints + tracker payload, no
+    'meta' key) must keep restoring across the format-2 upgrade — losing a
+    held snapshot on deploy is the exact failure the feature exists to
+    prevent.  Class-level id counters are not part of instance pickles, so
+    the IdCounter migration does not affect old blobs."""
+    from busca_tpu.serve.snapshot import restore_with_meta
+
+    tracker = ByteTracker(_byte_cfg(), engine)
+    for frame, boxes, scores in _stream(6):
+        tracker.update(boxes, scores, 1.0, frame)
+    blob = snapshot_bytes(tracker)
+    payload = pickle.loads(blob)
+    payload["version"] = 1
+    del payload["meta"]
+    restored, meta = restore_with_meta(pickle.dumps(payload), engine=engine)
+    assert meta == {}
+    assert _outputs(restored.tracked) == _outputs(tracker.tracked)
+
+
 def test_server_snapshot_restore_across_servers():
     """A client streams to server A, snapshots, and resumes on a freshly
     built server B (fresh-process simulation: id counter reset): the

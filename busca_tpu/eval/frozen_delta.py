@@ -296,6 +296,12 @@ def _track_sequence(seq, engine, *, seq_len, num_candidates, crop_hw,
         use_broader_memory=use_broader_memory,
         mem_cap=mem_cap,
     )
+    from busca_tpu.trackers.base import Track
+
+    # fresh ids per run: mode/cap arms over the same realization must mint
+    # identical ids until their behavior actually diverges, or row-level
+    # comparisons (memcap_delta.pred_divergence) flag every frame
+    Track.reset_id_counter()
     tracker = ByteTracker(cfg, assoc_engine=engine)
     n = seq.num_frames
     # frames/dets draw from the sequence's STATEFUL noise rng — callers

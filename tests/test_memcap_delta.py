@@ -27,4 +27,25 @@ def test_measure_memcap_delta_report_shape():
     dv = out["divergence"]["cap8"]
     assert dv["diff_frames_total"] >= 0
     assert dv["first_diff_frame"] is None or (
-        0 <= dv["first_diff_frame"] < 40)
+        0 <= dv["first_diff_frame"] <= 40)
+
+
+@pytest.mark.slow
+def test_broader_arm_divergence_onset_respects_cap():
+    """In the broader-memory regime (the even-stride sampler that actually
+    reads the compacted archive) a capped run CAN diverge from unbounded —
+    but never before a track's admissions exceed the cap, because until
+    then the stored memory is the complete history.  Pins the row-level
+    divergence machinery end-to-end: ids are counter-reset per run, so the
+    first differing frame is a behavior divergence, not an id offset."""
+    cap = 8
+    out = measure_memcap_delta(
+        caps=(cap,), steps=20, train_batch=8, num_frames=50,
+        seq_seeds=(0,), long_stream=True, use_broader_memory=True,
+    )
+    dv = out["divergence"][f"cap{cap}"]
+    first = dv["first_diff_frame"]
+    # ~one admission per frame for these always-visible synthetic objects:
+    # divergence strictly after the cap'th admission (frame index is
+    # 1-based, warm-up frames all admit)
+    assert first is None or first > cap, dv

@@ -153,15 +153,22 @@ def evaluate_clear(
                 matches += 1
                 dist_sum += 1 - iou[gi, pi]
 
-        # 2) Hungarian on the rest
+        # 2) Hungarian on the rest.  motmetrics semantics: invalid pairs are
+        # forbidden edges and the solver maximizes the NUMBER of valid
+        # matches first, min total distance second (motmetrics
+        # lap.add_expensive_edges) — exactly what ops.lap.solve_dense
+        # implements.  The previous lapjv-with-cost-limit call here traded
+        # match count against distance (an unmatched lane costs limit/2), so
+        # a frame with one strong pair and two moderate cross pairs kept ONE
+        # match where motmetrics keeps two — found by the r5 extended
+        # differential fuzz (seed 1001855), pinned in test_metrics_fuzz.
         free_g = [i for i in range(len(g_ids)) if i not in matched_g]
         free_p = [i for i in range(len(p_ids)) if i not in matched_p]
         if free_g and free_p:
             cost = 1 - iou[np.ix_(free_g, free_p)]
             cost[cost > 1 - iou_threshold] = np.inf
-            cost = np.where(np.isfinite(cost), cost, lap.BIG)
-            m, _, _ = lap.linear_assignment(cost, thresh=1 - iou_threshold)
-            for i, j in m:
+            rows, cols = lap.solve_dense(cost)
+            for i, j in zip(rows, cols):
                 gi, pi = free_g[i], free_p[j]
                 gid, pid = g_ids[gi], p_ids[pi]
                 frame_corr[gid] = pid

@@ -169,11 +169,23 @@ def solve_dense(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     if n == 0 or m == 0:
         return np.empty(0, dtype=int), np.empty(0, dtype=int)
     forbidden = ~np.isfinite(cost)
-    work = np.where(forbidden, BIG, cost)
     size = max(n, m)
-    cc = np.full((size, size), BIG, dtype=np.float64)
-    # dummy entries cheaper than any forbidden pair so forbidden pairs lose
-    cc[:, :] = BIG / 2
+    # Expensive-edge values SCALED to the data (motmetrics
+    # lap.add_expensive_edges style) instead of a fixed 1e15: at 1e15 the
+    # float64 ulp is ~0.125, so total-cost comparisons between equal-
+    # cardinality assignments differing by ~1e-3 in real cost fell below
+    # the solver's rounding granularity and solve_dense could return a
+    # max-cardinality but cost-SUBOPTIMAL matching (found by the r5
+    # extended metric fuzz: ~1e-3 MOTP drifts vs the exhaustive oracle,
+    # seeds 1005905/1021523/1032252).  DUMMY > 2*size*C makes cardinality
+    # still dominate any real-cost rearrangement; FORBID = 2*DUMMY keeps
+    # forbidden pairs losing to unmatched lanes; both stay ~O(size*C), so
+    # sums keep full double precision.
+    c_abs = np.abs(cost[~forbidden]).max() if (~forbidden).any() else 0.0
+    dummy = 2.0 * size * float(c_abs) + 1.0
+    forbid = 2.0 * dummy
+    work = np.where(forbidden, forbid, cost)
+    cc = np.full((size, size), dummy, dtype=np.float64)
     cc[:n, :m] = work
     x, _, _ = _solve_square(cc)
     rows, cols = [], []

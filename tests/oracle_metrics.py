@@ -320,10 +320,18 @@ def oracle_average_precision(detections: Dict[int, tuple],
         recalls.append(tp / total_gt)
         precisions.append(tp / k)
     ap = 0.0
+    # exact >= comparison, matching pycocotools' protocol
+    # (cocoeval.py accumulate: searchsorted(rc, recThrs, 'left') with NO
+    # epsilon).  np.linspace(0,1,101)[70] is 0.7000000000000001, so a run
+    # whose best recall is exactly 7/10 contributes ZERO precision at the
+    # 0.70 recall point — a real pycocotools quirk this oracle must share
+    # (found by the r5 extended fuzz, seed 3001468: an earlier 1e-12 slack
+    # here made the oracle deviate from the canonical protocol while the
+    # production evaluator matched it).
     for r in np.linspace(0, 1, 101):
         best = 0.0
         for rec, pre in zip(recalls, precisions):
-            if rec >= r - 1e-12:
+            if rec >= r:
                 best = max(best, pre)
         ap += best
     return ap / 101.0
@@ -405,10 +413,13 @@ def oracle_coco_full(detections: Dict[int, tuple],
                 precisions.append(tp / k)
             ars.append(recalls[-1])
             ap = 0.0
+            # exact >=, the pycocotools searchsorted semantics (see
+            # oracle_average_precision — incl. the 0.7000000000000001
+            # linspace quirk)
             for r in np.linspace(0, 1, 101):
                 best = 0.0
                 for rec, pre in zip(recalls, precisions):
-                    if rec >= r - 1e-12:
+                    if rec >= r:
                         best = max(best, pre)
                 ap += best
             aps.append(ap / 101.0)

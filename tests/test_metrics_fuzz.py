@@ -244,6 +244,85 @@ def test_clear_hota_extended_fuzz(block):
                 seed, k, got[k], want[k])
 
 
+def test_clear_matching_maximizes_matches_not_total_cost():
+    """motmetrics' per-frame correspondence maximizes the NUMBER of valid
+    (IoU >= 0.5) matches before minimizing distance (lap.add_expensive_edges
+    makes every forbidden edge dearer than any all-valid assignment).  A
+    frame with one strong pair and two moderate cross pairs must therefore
+    produce TWO matches — a cost-limit assignment (ByteTrack lapjv
+    semantics, where an unmatched lane costs limit/2) keeps only the strong
+    one.  Found by the r5 extended differential fuzz (seed 1001855)."""
+    # gt1 overlaps pred A at ~0.87 and pred B at ~0.52;
+    # gt2 overlaps pred A at ~0.55 and pred B at ~0.34 (invalid)
+    gt = {0: (np.array([[33.3, 40.9, 22.1, 20.3],
+                        [29.8, 41.4, 27.9, 14.3]]),
+              np.array([1, 2]))}
+    pred = {0: (np.array([[33.1, 42.1, 21.6, 20.0],
+                          [33.9, 46.0, 29.6, 17.2]]),
+                np.array([11, 12]), np.ones(2))}
+    got = evaluate_clear(gt, pred).as_dict()
+    want = oracle_clear(gt, pred)
+    assert got["num_matches"] == 2
+    assert got["num_false_positives"] == 0
+    assert got["num_misses"] == 0
+    for k in COUNT_FIELDS:
+        assert got[k] == want[k], (k, got[k], want[k])
+    for k in FLOAT_FIELDS:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
+@pytest.mark.parametrize(
+    "seed", [1001855, 1005905, 1015153, 1021523, 1032252, 1046651])
+def test_clear_fuzz_regression_seeds(seed):
+    """r5 extended-fuzz scenes that exposed two real matching defects,
+    pinned end-to-end: 1001855 — the cost-limit assignment kept ONE match
+    where motmetrics keeps two (match count traded against distance);
+    the rest — solve_dense's fixed 1e15 expensive edges fell below float64
+    granularity, returning max-cardinality but cost-suboptimal matchings
+    (~1e-3 MOTP drift, MT/ML off-by-one).  Both fixed in
+    eval/metrics.evaluate_clear + ops/lap.solve_dense."""
+    rng = np.random.RandomState(seed)
+    gt, pred = _random_scene(rng, n_frames=rng.randint(2, 13), max_gt=4)
+    _assert_clear_equal(gt, pred, seed)
+
+
+def test_recall_threshold_linspace_quirk_matches_pycocotools():
+    """np.linspace(0,1,101)[70] is 0.7000000000000001, so a detection set
+    whose final recall is EXACTLY 7/10 contributes zero precision at the
+    0.70 recall point under pycocotools' accumulate (searchsorted with no
+    epsilon) — AP is 70/101, not 71/101.  The production evaluator matches
+    the canonical protocol; this pins the quirk on both sides (found by the
+    r5 extended fuzz: an epsilon slack in the oracle deviated here)."""
+    gt = {0: np.array([[10.0 * i, 0.0, 10.0 * i + 8.0, 8.0]
+                       for i in range(10)])}
+    boxes = np.array([[10.0 * i, 0.0, 10.0 * i + 8.0, 8.0]
+                      for i in range(7)])
+    scores = np.linspace(0.9, 0.3, 7)
+    dets = {0: (boxes, scores)}
+    for thr in (0.5, 0.75):
+        got = average_precision(dets, gt, thr)
+        want = oracle_average_precision(dets, gt, thr)
+        assert got == pytest.approx(70.0 / 101.0, abs=1e-12)
+        assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_coco_fuzz_regression_seed_3001468():
+    """The r5 extended-fuzz scene that exposed the linspace quirk above:
+    3 images, 10 considered gts, final recall exactly 0.7 at both 0.5 and
+    0.75 IoU — pinned so the evaluator/oracle pair never drifts apart on
+    it again."""
+    rng = np.random.RandomState(3001468)
+    dets, gts = _random_detections(rng, n_imgs=rng.randint(1, 4))
+    for thr in (0.5, 0.75):
+        got = average_precision(dets, gts, thr)
+        want = oracle_average_precision(dets, gts, thr)
+        assert got == pytest.approx(want, abs=1e-9), thr
+    got = coco_eval_full(dets, gts)
+    want = oracle_coco_full(dets, gts)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
 def test_duplicate_id_in_frame_is_rejected():
     """An id repeated within one frame is ill-formed MOT data: TrackEval
     raises ('predicts the same ID more than once in a single timestep');

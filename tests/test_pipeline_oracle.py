@@ -147,7 +147,7 @@ def _record_warp_shifts(oracle_tracker):
     return warp_shifts
 
 
-def _run_byte_parity(seq, use_cmc=False):
+def _run_byte_parity(seq, use_cmc=False, tie_tol=TIE_TOL):
     """Both pipelines run the same stream; third-round *probabilities* must
     agree within crop-quantization noise and every non-tie *decision* must
     be identical.  To keep the comparison butterfly-free, the jax
@@ -257,7 +257,7 @@ def _run_byte_parity(seq, use_cmc=False):
             third_rounds += 1
             assert pj.shape == po.shape, f"frame {t + 1}"
             np.testing.assert_allclose(
-                pj, po, rtol=0, atol=TIE_TOL,
+                pj, po, rtol=0, atol=tie_tol,
                 err_msg=f"frame {t + 1}: third-round probabilities diverged"
                         " beyond crop-noise tolerance",
             )
@@ -268,7 +268,7 @@ def _run_byte_parity(seq, use_cmc=False):
                 kal_j, kal_o = pj[idx], po[idx]
                 # every decision with margin beyond the noise bound must
                 # agree between the two implementations
-                clear = np.abs(kal_o - BUSCA_THRESH) > TIE_TOL
+                clear = np.abs(kal_o - BUSCA_THRESH) > tie_tol
                 np.testing.assert_array_equal(
                     (kal_j > BUSCA_THRESH)[clear], (kal_o > BUSCA_THRESH)[clear],
                     err_msg=f"frame {t + 1}: clear-margin third-round "

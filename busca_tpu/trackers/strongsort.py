@@ -31,7 +31,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from busca_tpu.core import hostmath
-from busca_tpu.ops import lap
 from busca_tpu.trackers.base import (
     KALMAN_CANDIDATE_CONF,
     extract_uint8_crops,
@@ -567,7 +566,13 @@ class StrongSortTracker:
         d_tlbr = hostmath.tlwh_to_tlbr(
             np.stack([tlwh[d] for d in det_indices])
         )
-        cost = 1.0 - hostmath.iou_matrix(t_tlbr, d_tlbr)
+        # deep_sort's iou_matching.iou uses the STANDARD convention (no +1;
+        # upstream StrongSORT submodule deep_sort/iou_matching.py, wh =
+        # max(0, br - tl)) — unlike the ByteTrack family's cython_bbox +1
+        # IoU.  At the 0.7 threshold edge the two conventions disagree on
+        # whether a coasting track re-attaches (r5 campaign seed 8006,
+        # pinned in test_pipeline_fuzz).
+        cost = 1.0 - hostmath.iou_matrix_std(t_tlbr, d_tlbr)
         # tracks older than 1 frame are excluded from IoU matching
         for row, ti in enumerate(track_indices):
             if self.tracks[ti].time_since_update > 1:
@@ -579,13 +584,37 @@ class StrongSortTracker:
 
     @staticmethod
     def _assign(cost, track_indices, det_indices, max_distance):
-        m, u_rows, u_cols = lap.linear_assignment(cost, thresh=max_distance)
-        matches = [(track_indices[r], det_indices[c]) for r, c in m]
-        return (
-            matches,
-            [track_indices[r] for r in u_rows],
-            [det_indices[c] for c in u_cols],
-        )
+        """deep_sort ``min_cost_matching`` protocol
+        (deep_sort/linear_assignment.py:52-86): the cost matrix arrives
+        clamped to ``max_distance + 1e-5``, a FULL Hungarian assignment
+        runs on it — clamped over-threshold pairs PARTICIPATE in the
+        optimization and can absorb a track/det lane — and pairs above
+        ``max_distance`` are discarded afterwards.  This is NOT the
+        ByteTrack cost-limit LAP (which prices an unmatched lane at
+        limit/2 and can therefore match a pair the reference protocol
+        leaves coasting): the r5 extended composed-fuzz campaign found a
+        4x4 frame where the two protocols pick different optima (pinned,
+        tests/test_pipeline_fuzz.py::test_strongsort_assign_protocol_seed).
+        """
+        from scipy.optimize import linear_sum_assignment
+
+        cost = np.asarray(cost)
+        if cost.size == 0:
+            return [], list(track_indices), list(det_indices)
+        rows, cols = linear_sum_assignment(cost)
+        matches, u_rows, u_cols = [], [], []
+        assigned_r, assigned_c = set(), set()
+        for r, c in zip(rows, cols):
+            if cost[r, c] > max_distance:
+                continue
+            matches.append((track_indices[r], det_indices[c]))
+            assigned_r.add(r)
+            assigned_c.add(c)
+        u_rows = [track_indices[r] for r in range(len(track_indices))
+                  if r not in assigned_r]
+        u_cols = [det_indices[c] for c in range(len(det_indices))
+                  if c not in assigned_c]
+        return matches, u_rows, u_cols
 
     # ------------------------------------------------------------- BUSCA bits --
     def _considered_dets(self, tlwh, scores, features, det_images):

@@ -97,6 +97,18 @@ def test_strongsort_pipeline_fuzz(seed):
 
 
 @pytest.mark.slow
+def test_strongsort_assign_protocol_seed():
+    """r5 extended-campaign find (seed 8006): a 4x4 appearance-round frame
+    where deep_sort's min_cost_matching protocol (clamped full Hungarian,
+    over-threshold pairs participate then drop — linear_assignment.py:52-86)
+    leaves a track coasting while a ByteTrack cost-limit LAP would match
+    it.  The production StrongSORT now implements the reference protocol
+    exactly; this pins the frame-by-frame parity on the exposing stream."""
+    out = _run_strongsort_parity(_random_sequence(8006))
+    assert out["third_rounds"] >= 1
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [808, 909])
 def test_ghost_pipeline_fuzz(seed):
     out = _run_ghost_parity(_random_sequence(seed))
